@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: BitNet-2B ternary decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tok/s", "vs_baseline": N, ...}
+
+Baseline: 26.9 tok/s — the reference's BitNet.cpp CLI decode on a Ryzen 7
+7700 (BASELINE.md row 1, reference docs/research/notebook.md:17-23).
+Weights are random ternary (throughput is value-independent).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_TOKS = 26.9
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.models.bitnet import KVCache, forward, init_params
+
+    cfg = BitNetConfig.bitnet_2b()
+    prompt_len = int(os.environ.get("WF_BENCH_PROMPT", "64"))
+    decode_steps = int(os.environ.get("WF_BENCH_STEPS", "64"))
+    batch = int(os.environ.get("WF_BENCH_BATCH", "1"))
+    max_len = prompt_len + decode_steps + 8
+
+    use_pallas = os.environ.get("WF_BENCH_PALLAS", "1") == "1" and (
+        jax.devices()[0].platform != "cpu"
+    )
+    linear_fn = None
+    if use_pallas:
+        from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear
+
+        linear_fn = make_pallas_linear()
+
+    t0 = time.perf_counter()
+    params = init_params(cfg, seed=0)
+    params = jax.device_put(params)
+    init_s = time.perf_counter() - t0
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_step(params, tok, cache, start):
+        logits, cache = forward(
+            params, cfg, tok, cache, start, logits_all=False, linear_fn=linear_fn
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def prefill(params, toks, cache, start):
+        logits, cache = forward(
+            params, cfg, toks, cache, start, logits_all=False, linear_fn=linear_fn
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
+
+    cache = KVCache.zeros(cfg, batch, max_len)
+    toks = jnp.ones((batch, prompt_len), jnp.int32)
+    start0 = jnp.zeros((batch,), jnp.int32)
+
+    t0 = time.perf_counter()
+    tok, cache = prefill(params, toks, cache, start0)
+    tok.block_until_ready()
+    ttft_s = time.perf_counter() - t0  # includes compile on first call
+
+    # warmup decode (compile)
+    pos = prompt_len
+    tok, cache = decode_step(params, tok, cache, jnp.full((batch,), pos, jnp.int32))
+    tok.block_until_ready()
+    pos += 1
+
+    t0 = time.perf_counter()
+    for _ in range(decode_steps):
+        tok, cache = decode_step(params, tok, cache, jnp.full((batch,), pos, jnp.int32))
+        pos += 1
+    tok.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    toks_per_s = decode_steps * batch / dt
+    result = {
+        "metric": "bitnet-2b ternary decode throughput (batch %d, greedy)" % batch,
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / BASELINE_TOKS, 2),
+        "baseline": BASELINE_TOKS,
+        "baseline_desc": "BitNet.cpp CLI decode, Ryzen 7 7700 AVX512 (notebook.md:17-23)",
+        "platform": jax.devices()[0].platform,
+        "pallas": bool(use_pallas),
+        "ms_per_token": round(dt / decode_steps * 1000, 3),
+        "prefill_first_call_s": round(ttft_s, 2),
+        "param_init_s": round(init_s, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Engine tests: paged forward == contiguous forward, continuous batching,
+radix prefix reuse, page accounting (reference analogs:
+tests/test_kv_cache_cpp.py, test_batching.py, kv_cache/validator.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from wrinklefree_tpu.config import BitNetConfig, EngineConfig
+from wrinklefree_tpu.engine import Engine, PageAllocator, RadixCache, SamplingParams
+from wrinklefree_tpu.kv.paged import PagedKV, paged_forward
+from wrinklefree_tpu.models.bitnet import KVCache, forward, init_params
+
+CFG = BitNetConfig.tiny()
+ECFG = EngineConfig(
+    max_batch_slots=4, page_size=8, num_pages=64, max_context=64,
+    prefill_buckets=(8, 16, 32),
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, seed=0)
+
+
+@pytest.fixture()
+def engine(params):
+    return Engine(params, CFG, ECFG)
+
+
+class TestPagedForward:
+    def test_matches_contiguous(self, params):
+        """Paged path must equal the contiguous-cache forward."""
+        rng = np.random.default_rng(0)
+        B, S = 2, 12
+        tokens = rng.integers(0, CFG.vocab_size, size=(B, S)).astype(np.int32)
+
+        cache = KVCache.zeros(CFG, B, 32)
+        ref_logits, _ = forward(
+            params, CFG, jnp.asarray(tokens), cache, jnp.zeros((B,), jnp.int32),
+            logits_all=True,
+        )
+        ref_last = np.asarray(ref_logits)[:, -1]
+
+        ps, npages = 8, 32
+        pools = PagedKV.zeros(CFG, npages, ps)
+        page_table = np.zeros((B, 4), np.int32)
+        page_table[0, :2] = [1, 2]
+        page_table[1, :2] = [3, 4]
+        logits, pools = paged_forward(
+            params, CFG, jnp.asarray(tokens), pools,
+            jnp.asarray(page_table), jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), S, jnp.int32),
+        )
+        np.testing.assert_allclose(np.asarray(logits), ref_last, rtol=2e-2, atol=2e-1)
+        assert np.array_equal(np.asarray(logits).argmax(-1), ref_last.argmax(-1))
+
+    def test_padding_is_harmless(self, params):
+        """Bucket padding (new_lens < S) must not change logits."""
+        rng = np.random.default_rng(1)
+        toks = rng.integers(0, CFG.vocab_size, size=(6,)).astype(np.int32)
+        ps = 8
+        pools = PagedKV.zeros(CFG, 16, ps)
+        pt = np.zeros((1, 4), np.int32)
+        pt[0, :2] = [1, 2]
+
+        padded = np.zeros((1, 16), np.int32)
+        padded[0, :6] = toks
+        lp, _ = paged_forward(
+            params, CFG, jnp.asarray(padded), pools, jnp.asarray(pt),
+            jnp.zeros((1,), jnp.int32), jnp.asarray([6], jnp.int32),
+        )
+        pools2 = PagedKV.zeros(CFG, 16, ps)
+        le, _ = paged_forward(
+            params, CFG, jnp.asarray(toks[None, :]), pools2, jnp.asarray(pt),
+            jnp.zeros((1,), jnp.int32), jnp.asarray([6], jnp.int32),
+        )
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(le), rtol=1e-4, atol=1e-4)
+
+
+class TestEngine:
+    def test_single_request_matches_simple_generate(self, params, engine):
+        from wrinklefree_tpu.models.bitnet import generate
+
+        prompt = [1, 5, 9, 2, 7]
+        want = generate(params, CFG, prompt, max_new_tokens=10)[len(prompt):]
+        req = engine.generate(prompt, SamplingParams(max_new_tokens=10))
+        assert req.output_ids == want
+
+    def test_concurrent_requests_match_sequential(self, params):
+        """Batched decode must give the same tokens as one-at-a-time
+        (reference tests/test_batching.py semantics)."""
+        rng = np.random.default_rng(2)
+        prompts = [rng.integers(0, CFG.vocab_size, size=(n,)).tolist() for n in (5, 9, 13)]
+
+        seq_engine = Engine(params, CFG, ECFG)
+        sequential = [
+            seq_engine.generate(p, SamplingParams(max_new_tokens=8)).output_ids
+            for p in prompts
+        ]
+
+        # fresh engine without radix (prefix reuse changes nothing for these
+        # disjoint prompts, but keep it apples-to-apples)
+        batch_engine = Engine(params, CFG, ECFG)
+        reqs = [batch_engine.submit(p, SamplingParams(max_new_tokens=8)) for p in prompts]
+        while not all(r.finished for r in reqs):
+            batch_engine.step()
+        assert [r.output_ids for r in reqs] == sequential
+
+    def test_radix_prefix_reuse(self, params):
+        """Second request sharing a long prefix must reuse cached pages and
+        produce identical output (reference kv_cache/validator.py:103-148)."""
+        eng = Engine(params, CFG, ECFG)
+        shared = list(range(1, 25))  # 24 tokens = 3 full pages
+        r1 = eng.generate(shared + [30], SamplingParams(max_new_tokens=5))
+        hits_before = eng.stats["radix_hit_tokens"]
+        r2 = eng.generate(shared + [30], SamplingParams(max_new_tokens=5))
+        assert eng.stats["radix_hit_tokens"] > hits_before, "no radix hit"
+        assert r1.output_ids == r2.output_ids
+
+        # and a no-radix engine agrees
+        ecfg = EngineConfig(**{**ECFG.__dict__, "enable_radix_cache": False})
+        eng2 = Engine(params, CFG, ecfg)
+        r3 = eng2.generate(shared + [30], SamplingParams(max_new_tokens=5))
+        assert r3.output_ids == r1.output_ids
+
+    def test_page_accounting_no_leaks(self, params):
+        eng = Engine(params, CFG, ECFG)
+        free0 = eng.allocator.num_free
+        for i in range(5):
+            eng.generate(list(range(i + 1, i + 12)), SamplingParams(max_new_tokens=6))
+        # all non-tree pages returned
+        leaked = free0 - eng.allocator.num_free - eng.radix.num_cached_pages
+        assert leaked == 0, f"leaked {leaked} pages"
+        # evicting everything returns all pages
+        eng.radix.reset()
+        assert eng.allocator.num_free == free0
+
+    def test_max_new_tokens_respected(self, params, engine):
+        req = engine.generate([1, 2, 3], SamplingParams(max_new_tokens=4))
+        assert len(req.output_ids) == 4
+        assert req.finish_reason == "length"
+
+    def test_streaming_callback(self, params, engine):
+        got = []
+        req = engine.submit(
+            [4, 5, 6], SamplingParams(max_new_tokens=5),
+            on_token=lambda t, fin: got.append((t, fin)),
+        )
+        while not req.finished:
+            engine.step()
+        assert [t for t, _ in got] == req.output_ids
+        assert got[-1][1] is True
+
+
+class TestAllocatorRadix:
+    def test_allocator_lifo_and_refcounts(self):
+        a = PageAllocator(8)
+        p = a.alloc(3)
+        assert len(set(p)) == 3 and 0 not in p
+        a.retain(p[0])
+        a.release(p[0])
+        assert a.refcount(p[0]) == 1
+        a.release(p[0])
+        assert a.refcount(p[0]) == 0
+        q = a.alloc(1)[0]
+        assert q == p[0]  # LIFO
+        with pytest.raises(MemoryError):
+            a.alloc(10)
+
+    def test_radix_match_insert_evict(self):
+        a = PageAllocator(16)
+        r = RadixCache(a, 4)
+        toks = list(range(12))
+        pages = a.alloc(3)
+        r.insert(toks, pages)
+        m, mp, nodes = r.match(toks + [99])
+        assert m == 12 and mp == pages
+        r.lock(nodes)
+        assert r.evict(10) == 0  # locked nodes not evictable
+        r.unlock(nodes)
+        a.release_all(pages)
+        assert r.evict(10) == 3
+        assert a.num_free == 15

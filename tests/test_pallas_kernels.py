@@ -1,0 +1,88 @@
+"""Pallas kernels vs their pure-jnp oracles (interpret mode on CPU).
+
+Analog of the reference's kernel-vs-reference battery
+(tests/test_bitnet_model.py, test_bitnet_weight_loading.py:270): every
+fused kernel must match the exact jnp math — integer paths bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from wrinklefree_tpu.ops import ternary as T
+from wrinklefree_tpu.ops.ternary_pallas import ternary_matmul_pallas, ternary_linear_pallas
+from wrinklefree_tpu.ops.attention import gqa_attention_reference
+from wrinklefree_tpu.ops.flash_attention import flash_prefill
+
+INTERPRET = jax.devices()[0].platform == "cpu"
+
+
+def rand_packed(k, n, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    return jnp.asarray(T.pack_ternary_np(w)), w
+
+
+class TestTernaryMatmulPallas:
+    @pytest.mark.parametrize("b,k,n", [(1, 512, 256), (8, 512, 256), (33, 1024, 512)])
+    def test_int_exact_vs_oracle(self, b, k, n):
+        q, w = rand_packed(k, n, seed=b)
+        rng = np.random.default_rng(b)
+        x_q = jnp.asarray(rng.integers(-128, 128, size=(b, k)), dtype=jnp.int8)
+        got = ternary_matmul_pallas(x_q, q, interpret=INTERPRET)
+        want = T.ternary_matmul_reference(x_q, q)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_rescale_matches_linear(self):
+        k, n = 1024, 512
+        q, _ = rand_packed(k, n, seed=3)
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(4, k)), jnp.float32)
+        got = np.asarray(
+            ternary_linear_pallas(x, q, jnp.float32(1.7), out_dtype=jnp.float32,
+                                  interpret=INTERPRET)
+        )
+        want = np.asarray(
+            T.ternary_linear(x, q, jnp.float32(1.7), out_dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_3d_input(self):
+        k, n = 512, 256
+        q, _ = rand_packed(k, n, seed=4)
+        x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 3, k)), jnp.float32)
+        got = ternary_linear_pallas(x, q, jnp.float32(1.0), interpret=INTERPRET)
+        assert got.shape == (2, 3, n)
+        want = T.ternary_linear(x, q, jnp.float32(1.0))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=1e-2
+        )
+
+
+class TestFlashPrefill:
+    @pytest.mark.parametrize("b,s,t,nh,kv,off", [
+        (1, 256, 256, 4, 2, 0),
+        (2, 256, 512, 8, 8, 0),     # MHA
+        (1, 256, 1024, 4, 1, 128),  # MQA + chunked-prefill offset
+    ])
+    def test_vs_reference(self, b, s, t, nh, kv, off):
+        d = 64
+        rng = np.random.default_rng(s + t)
+        q = jnp.asarray(rng.normal(size=(b, s, nh, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, t, kv, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, t, kv, d)), jnp.float32)
+        got = np.asarray(flash_prefill(q, k, v, off, block_q=128, block_k=128,
+                                       interpret=INTERPRET))
+        want = np.asarray(gqa_attention_reference(q, k, v, off))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_bf16(self):
+        b, s, nh, kv, d = 1, 256, 4, 2, 128
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(b, s, nh, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, s, kv, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, s, kv, d)), jnp.bfloat16)
+        got = np.asarray(flash_prefill(q, k, v, 0, block_q=128, block_k=128,
+                                       interpret=INTERPRET).astype(jnp.float32))
+        want = np.asarray(gqa_attention_reference(q, k, v, 0).astype(jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)

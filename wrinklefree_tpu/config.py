@@ -1,0 +1,115 @@
+"""Model and engine configuration dataclasses.
+
+Canonical 2B config: hidden 2560, inter 6912, 30 layers, 20 Q / 5 KV heads,
+head_dim 128, vocab 128256, rope theta 5e5, tied embeddings
+(reference legacy/src/models/bitnet.py:27-37, scripts/direct_inference_full.py:84-98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BitNetConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 2560
+    intermediate_size: int = 6912
+    num_layers: int = 30
+    num_heads: int = 20
+    num_kv_heads: int = 5
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500_000.0
+    max_position: int = 4096
+    tie_word_embeddings: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    # MoE (0 experts = dense); see wrinklefree_tpu/models/moe.py
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @classmethod
+    def bitnet_2b(cls) -> "BitNetConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "BitNetConfig":
+        """Small config for tests (CPU-runnable)."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            max_position=256,
+        )
+
+    @classmethod
+    def llama3_8b_ternary(cls) -> "BitNetConfig":
+        """Llama-3-8B converted to ternary (WrinkleFree naive converter target,
+        reference legacy/benchmark/naive_converter.py)."""
+        return cls(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            max_position=8192,
+            tie_word_embeddings=False,
+        )
+
+    @classmethod
+    def from_hf_config(cls, path: Path | str) -> "BitNetConfig":
+        """Build from a HuggingFace config.json directory or file."""
+        p = Path(path)
+        if p.is_dir():
+            p = p / "config.json"
+        cfg = json.loads(p.read_text())
+        hidden = cfg["hidden_size"]
+        heads = cfg["num_attention_heads"]
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=heads,
+            num_kv_heads=cfg.get("num_key_value_heads", heads),
+            head_dim=cfg.get("head_dim", hidden // heads),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 500_000.0),
+            max_position=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Continuous-batching engine configuration (serving analog of the
+    reference's SGLang scheduler flags + configs/serving/default.yaml)."""
+
+    max_batch_slots: int = 8
+    page_size: int = 16  # reference kv_cache/kv_cache.py:59-60
+    num_pages: int = 2048
+    max_context: int = 4096
+    prefill_buckets: tuple = (32, 128, 512, 2048, 4096)
+    kv_dtype: str = "bf16"  # bf16 | int8 | fp8_e4m3 | fp8_e5m2
+    enable_radix_cache: bool = True
+    use_pallas: bool = False  # fused Pallas kernels (TPU); jnp/XLA otherwise
+    max_queue: int = 256

@@ -1,0 +1,413 @@
+"""Continuous-batching inference engine.
+
+TPU-native re-design of the reference's SGLang scheduler (SURVEY.md §3.1):
+the entire decode step — KV write, paged attention, 7 ternary matmuls x L
+layers, sampling — is ONE jitted program over fixed batch slots with
+donated KV pools. The host loop only moves int32 metadata (page tables,
+seq lens), avoiding the reference's ~49 ms/token Python overhead
+(reference docs/research/notebook.md:946-954).
+
+Scheduling model:
+  - fixed `max_batch_slots` decode slots; free slots admit queued requests
+  - prefill runs chunked at bucketed lengths (one jit per bucket)
+  - radix prefix cache reuses full KV pages across requests
+  - page 0 is trash; inactive slots decode into it harmlessly
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+import logging
+import queue
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BitNetConfig, EngineConfig
+from ..kv.paged import PagedKV, paged_forward
+from ..ops.sampling import sample_token
+from .page_allocator import PageAllocator
+from .radix_cache import RadixCache
+from .sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt_ids: List[int]
+    sampling: SamplingParams
+    on_token: Optional[Callable[[int, bool], None]] = None  # (token, finished)
+    # runtime state
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    pages: List[int] = dataclasses.field(default_factory=list)  # owned pages
+    matched_nodes: list = dataclasses.field(default_factory=list)
+    matched_tokens: int = 0
+    seq_len: int = 0
+    finished: bool = False
+    finish_reason: str = ""
+    arrival_t: float = dataclasses.field(default_factory=time.monotonic)
+    first_token_t: Optional[float] = None
+    finish_t: Optional[float] = None
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        cfg: BitNetConfig,
+        ecfg: EngineConfig | None = None,
+        *,
+        eos_token_id: Optional[int] = None,
+        linear_fn=None,
+        attention_fn=None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg or EngineConfig()
+        self.eos_token_id = eos_token_id
+        self._linear_fn = linear_fn
+        self._attention_fn = attention_fn
+
+        e = self.ecfg
+        self.page_size = e.page_size
+        self.max_pages_per_seq = -(-e.max_context // e.page_size)
+        self.pools = PagedKV.zeros(cfg, e.num_pages, e.page_size, e.kv_dtype)
+        self.allocator = PageAllocator(e.num_pages)
+        self.radix = RadixCache(self.allocator, e.page_size) if e.enable_radix_cache else None
+
+        S = e.max_batch_slots
+        self.page_table = np.zeros((S, self.max_pages_per_seq), np.int32)
+        self.seq_lens = np.zeros((S,), np.int32)
+        self.slots: List[Optional[Request]] = [None] * S
+        self.last_tokens = np.zeros((S,), np.int32)
+
+        self.waiting: "queue.Queue[Request]" = queue.Queue(maxsize=e.max_queue)
+        self._rid = itertools.count()
+        self._rng = jax.random.PRNGKey(0)
+        self._step_i = 0
+        self._lock = threading.Lock()
+
+        self._decode_jit = self._build_decode()
+        self._prefill_jits: Dict[int, Callable] = {}
+
+        # metrics
+        self.stats = {"decode_steps": 0, "decode_tokens": 0, "prefill_tokens": 0,
+                      "radix_hit_tokens": 0, "requests": 0}
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+
+    def _build_decode(self):
+        cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode(params, pools, tokens, page_table, seq_lens, rng, temps, top_ps):
+            new_lens = jnp.ones_like(seq_lens)
+            logits, pools = paged_forward(
+                params, cfg, tokens, pools, page_table, seq_lens, new_lens,
+                linear_fn=lf, attention_fn=af,
+            )
+            nxt = sample_token(logits, rng, temperature=temps, top_p=top_ps)
+            return nxt, pools
+
+        return decode
+
+    def _prefill_for_bucket(self, bucket: int):
+        if bucket not in self._prefill_jits:
+            cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, pools, tokens, page_table, seq_len, new_len,
+                        rng, temp, top_p):
+                logits, pools = paged_forward(
+                    params, cfg, tokens, pools, page_table, seq_len, new_len,
+                    linear_fn=lf, attention_fn=af,
+                )
+                nxt = sample_token(logits, rng, temperature=temp, top_p=top_p)
+                return nxt, pools
+
+            self._prefill_jits[bucket] = prefill
+        return self._prefill_jits[bucket]
+
+    def _next_rng(self):
+        self._step_i += 1
+        return jax.random.fold_in(self._rng, self._step_i)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def submit(
+        self,
+        prompt_ids: List[int],
+        sampling: SamplingParams | None = None,
+        on_token: Optional[Callable[[int, bool], None]] = None,
+    ) -> Request:
+        sampling = sampling or SamplingParams()
+        limit = self.ecfg.max_context
+        if len(prompt_ids) >= limit:
+            raise ValueError(
+                f"prompt too long: {len(prompt_ids)} >= max_context {limit}"
+            )
+        req = Request(next(self._rid), list(prompt_ids), sampling, on_token)
+        self.waiting.put(req, timeout=5)
+        self.stats["requests"] += 1
+        return req
+
+    def generate(
+        self, prompt_ids: List[int], sampling: SamplingParams | None = None
+    ) -> Request:
+        """Synchronous convenience: run the loop until this request finishes."""
+        req = self.submit(prompt_ids, sampling)
+        while not req.finished:
+            if not self.step():
+                time.sleep(0.001)
+        return req
+
+    def has_work(self) -> bool:
+        return (not self.waiting.empty()) or any(s is not None for s in self.slots)
+
+    # ------------------------------------------------------------------
+    # scheduling
+    # ------------------------------------------------------------------
+
+    def step(self) -> bool:
+        """One engine iteration: admit + prefill new requests, then one
+        batched decode step. Returns True if any work was done."""
+        with self._lock:
+            did = self._admit()
+            did = self._decode() or did
+            return did
+
+    def _alloc_pages(self, n: int) -> List[int]:
+        if n == 0:
+            return []
+        if self.allocator.num_free < n and self.radix is not None:
+            self.radix.evict(n - self.allocator.num_free)
+        return self.allocator.alloc(n)
+
+    def _admit(self) -> bool:
+        did = False
+        for slot in range(len(self.slots)):
+            if self.slots[slot] is not None:
+                continue
+            try:
+                req = self.waiting.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                self._start_request(slot, req)
+                did = True
+            except MemoryError:
+                # If nothing is running and nothing is cached, no pages will
+                # ever free up — the request can never fit: reject it.
+                busy = any(s is not None for s in self.slots)
+                cached = self.radix is not None and self.radix.num_cached_pages > 0
+                if not busy and not cached:
+                    req.finish_reason = "oom"
+                    req.finished = True
+                    if req.on_token is not None:
+                        req.on_token(-1, True)
+                    logger.warning("rejecting request %d: needs more KV pages than exist", req.rid)
+                else:
+                    self.waiting.put(req)  # retry when pages free up
+                break
+        return did
+
+    def _start_request(self, slot: int, req: Request):
+        ps = self.page_size
+        prompt = req.prompt_ids
+        total_budget = min(
+            len(prompt) + req.sampling.max_new_tokens, self.ecfg.max_context
+        )
+        pages_needed_total = -(-total_budget // ps)
+        if pages_needed_total > self.max_pages_per_seq:
+            pages_needed_total = self.max_pages_per_seq
+
+        matched = 0
+        matched_pages: List[int] = []
+        nodes = []
+        if self.radix is not None:
+            matched, matched_pages, nodes = self.radix.match(prompt)
+            # never match the full prompt: at least one token must run
+            while matched >= len(prompt) and nodes:
+                nodes.pop()
+                matched_pages.pop()
+                matched -= ps
+            self.radix.lock(nodes)
+            self.stats["radix_hit_tokens"] += matched
+
+        own_needed = pages_needed_total - len(matched_pages)
+        try:
+            own_pages = self._alloc_pages(max(own_needed, 0))
+        except MemoryError:
+            if self.radix is not None:
+                self.radix.unlock(nodes)
+            raise
+
+        req.slot = slot
+        req.pages = own_pages
+        req.matched_nodes = nodes
+        req.matched_tokens = matched
+        req.seq_len = matched
+        all_pages = matched_pages + own_pages
+
+        row = np.zeros((self.max_pages_per_seq,), np.int32)
+        row[: len(all_pages)] = all_pages
+        self.page_table[slot] = row
+        self.seq_lens[slot] = matched
+        self.slots[slot] = req
+
+        # chunked prefill of the unmatched suffix
+        to_run = prompt[matched:]
+        pt_dev = jnp.asarray(self.page_table[slot : slot + 1])
+        pos = matched
+        first_tok = None
+        while to_run:
+            bucket = self._pick_bucket(len(to_run))
+            chunk = to_run[:bucket]
+            to_run = to_run[bucket:]
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, : len(chunk)] = chunk
+            fn = self._prefill_for_bucket(bucket)
+            nxt, self.pools = fn(
+                self.params,
+                self.pools,
+                jnp.asarray(padded),
+                pt_dev,
+                jnp.asarray([pos], jnp.int32),
+                jnp.asarray([len(chunk)], jnp.int32),
+                self._next_rng(),
+                jnp.asarray([req.sampling.temperature], jnp.float32),
+                jnp.asarray([req.sampling.top_p], jnp.float32),
+            )
+            pos += len(chunk)
+            first_tok = int(nxt[0])
+        self.stats["prefill_tokens"] += len(prompt) - matched
+
+        req.seq_len = len(prompt)
+        self.seq_lens[slot] = len(prompt)
+        assert first_tok is not None
+        self._emit_token(req, first_tok)
+        if not req.finished:
+            self.last_tokens[slot] = first_tok
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        return self.ecfg.prefill_buckets[-1]
+
+    def _decode(self) -> bool:
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return False
+
+        # page-boundary allocation before the step
+        for i in active:
+            req = self.slots[i]
+            if req.seq_len % self.page_size == 0:
+                lp = req.seq_len // self.page_size
+                if lp >= self.max_pages_per_seq:
+                    self._finish(req, "length")
+                    continue
+                if self.page_table[i, lp] == 0:
+                    try:
+                        (pg,) = self._alloc_pages(1)
+                    except MemoryError:
+                        self._finish(req, "oom")
+                        continue
+                    req.pages.append(pg)
+                    self.page_table[i, lp] = pg
+
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return True
+
+        S = len(self.slots)
+        temps = np.zeros((S,), np.float32)
+        top_ps = np.ones((S,), np.float32)
+        for i in active:
+            temps[i] = self.slots[i].sampling.temperature
+            top_ps[i] = self.slots[i].sampling.top_p
+
+        nxt, self.pools = self._decode_jit(
+            self.params,
+            self.pools,
+            jnp.asarray(self.last_tokens[:, None]),
+            jnp.asarray(self.page_table),
+            jnp.asarray(self.seq_lens),
+            self._next_rng(),
+            jnp.asarray(temps),
+            jnp.asarray(top_ps),
+        )
+        nxt = np.asarray(nxt)
+        self.stats["decode_steps"] += 1
+
+        for i in active:
+            req = self.slots[i]
+            req.seq_len += 1
+            self.seq_lens[i] = req.seq_len
+            tok = int(nxt[i])
+            self.stats["decode_tokens"] += 1
+            self._emit_token(req, tok)
+            if not req.finished:
+                self.last_tokens[i] = tok
+        return True
+
+    # ------------------------------------------------------------------
+    # finishing
+    # ------------------------------------------------------------------
+
+    def _emit_token(self, req: Request, tok: int):
+        if req.first_token_t is None:
+            req.first_token_t = time.monotonic()
+        req.output_ids.append(tok)
+        s = req.sampling
+        finished = False
+        reason = ""
+        if not s.ignore_eos and self.eos_token_id is not None and tok == self.eos_token_id:
+            finished, reason = True, "stop"
+        elif s.stop_token_ids and tok in s.stop_token_ids:
+            finished, reason = True, "stop"
+        elif len(req.output_ids) >= s.max_new_tokens:
+            finished, reason = True, "length"
+        elif req.seq_len + 1 >= self.ecfg.max_context:
+            finished, reason = True, "length"
+        if req.on_token is not None:
+            req.on_token(tok, finished)
+        if finished:
+            self._finish(req, reason)
+
+    def _finish(self, req: Request, reason: str):
+        req.finished = True
+        req.finish_reason = reason
+        req.finish_t = time.monotonic()
+        slot = req.slot
+        if slot >= 0 and self.slots[slot] is req:
+            self.slots[slot] = None
+            self.page_table[slot] = 0
+            self.seq_lens[slot] = 0
+            self.last_tokens[slot] = 0
+
+        # hand full pages to the radix tree, release the rest
+        seq_tokens = req.prompt_ids + req.output_ids
+        full = req.seq_len // self.page_size
+        if self.radix is not None and full > 0:
+            all_pages = [n.page for n in req.matched_nodes] + req.pages
+            self.radix.insert(seq_tokens[: full * self.page_size], all_pages[:full])
+        if self.radix is not None:
+            self.radix.unlock(req.matched_nodes)
+        self.allocator.release_all(req.pages)
+        req.pages = []
+        req.matched_nodes = []

@@ -1,0 +1,304 @@
+"""BitNet b1.58 model — functional JAX implementation.
+
+Architecture (reference scripts/direct_inference_full.py:210-302 and HF
+transformers BitNetForCausalLM): embed -> N x { RMSNorm, GQA attention
+(RoPE theta=5e5), attn_sub_norm before o_proj, residual, RMSNorm,
+ReLU^2-gated MLP with ffn_sub_norm before down_proj, residual } ->
+final RMSNorm -> tied-embedding logits.
+
+TPU-first design notes:
+- All per-layer parameters are STACKED on a leading [L] axis and the
+  layer loop is a single `lax.scan` — one trace, one compile, no Python
+  per-layer dispatch (the reference burns ~49ms/token in Python overhead,
+  reference docs/research/notebook.md:946-954).
+- One `forward` covers prefill and decode against a contiguous KV cache
+  with static shapes; the paged-KV path lives in wrinklefree_tpu/engine.
+- The ternary matmul is pluggable (`linear_fn`) so the engine can swap in
+  the fused Pallas kernel; the default is the exact jnp oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BitNetConfig
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+from ..ops.ternary import (
+    pack_ternary_np,
+    quantize_weights_ternary,
+    ternary_linear,
+)
+
+LinearFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def default_linear(x, qweight, scale, out_dtype=jnp.bfloat16, kernel=None, quant_axis=None):
+    return ternary_linear(
+        x, qweight, scale, out_dtype=out_dtype, kernel=kernel, quant_axis=quant_axis
+    )
+
+
+class KVCache(NamedTuple):
+    """Contiguous per-layer KV cache [L, B, T, KV, D]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def zeros(cls, cfg: BitNetConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def _stack(arrs):
+    return jnp.asarray(np.stack(arrs, axis=0))
+
+
+def init_params(cfg: BitNetConfig, seed: int = 0, dtype=jnp.bfloat16):
+    """Random ternary model (for tests/benchmarks; real weights come from
+    wrinklefree_tpu.models.loader)."""
+    rng = np.random.default_rng(seed)
+
+    def rand_proj(k, n):
+        w = rng.normal(0.0, 0.02, size=(k, n)).astype(np.float32)
+        tern, scale = quantize_weights_ternary(w)
+        return pack_ternary_np(tern), np.float32(scale)
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    Q, KV = cfg.q_dim, cfg.kv_dim
+    qw = {k: [] for k in ("q", "k", "v", "o", "gate", "up", "down")}
+    sc = {k: [] for k in qw}
+    dims = {
+        "q": (H, Q), "k": (H, KV), "v": (H, KV), "o": (Q, H),
+        "gate": (H, I), "up": (H, I), "down": (I, H),
+    }
+    for _ in range(cfg.num_layers):
+        for name, (kk, nn_) in dims.items():
+            w, s = rand_proj(kk, nn_)
+            qw[name].append(w)
+            sc[name].append(s)
+
+    ones_h = np.ones((cfg.num_layers, H), np.float32)
+    layers = {
+        "input_ln": jnp.asarray(ones_h, dtype),
+        "post_ln": jnp.asarray(ones_h, dtype),
+        "attn_sub": jnp.asarray(np.ones((cfg.num_layers, Q), np.float32), dtype),
+        "ffn_sub": jnp.asarray(np.ones((cfg.num_layers, I), np.float32), dtype),
+    }
+    for name in dims:
+        layers[f"{name}_qw"] = _stack(qw[name])
+        layers[f"{name}_scale"] = jnp.asarray(np.asarray(sc[name]), jnp.float32)
+
+    params = {
+        "embed": jnp.asarray(
+            rng.normal(0.0, 0.02, size=(cfg.vocab_size, H)).astype(np.float32), dtype
+        ),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(
+            rng.normal(0.0, 0.02, size=(cfg.vocab_size, H)).astype(np.float32), dtype
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _attention(q, k_cache, v_cache, q_pos, cfg: BitNetConfig):
+    """GQA attention of q [B,S,NH,D] over cache [B,T,KV,D] (full history).
+
+    Mask: key index t attends iff t <= q_pos (cache filled contiguously
+    from 0, so index == absolute position). Head counts are derived from
+    the array shapes so the same code runs on TP-local shards.
+    """
+    B, S, NH, D = q.shape
+    T = k_cache.shape[1]
+    KV = k_cache.shape[2]
+    G = NH // KV
+    scale = 1.0 / np.sqrt(D)
+
+    qg = q.reshape(B, S, KV, G, D)
+    # scores [B, KV, G, S, T]
+    scores = jnp.einsum("bskgd,btkd->bkgst", qg, k_cache, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    key_idx = jnp.arange(T)[None, None, None, None, :]
+    mask = key_idx <= q_pos[:, None, None, :, None]  # [B,1,1,S,T]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v_cache)
+    return out.reshape(B, S, NH, D)
+
+
+def forward(
+    params,
+    cfg: BitNetConfig,
+    tokens: jax.Array,  # [B, S] int32
+    cache: KVCache,  # [L, B, T, KV, D]
+    start_pos: jax.Array,  # [B] int32 — current cache fill per sequence
+    *,
+    linear_fn: Optional[LinearFn] = None,
+    logits_all: bool = True,
+    tp_axis: Optional[str] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run S new tokens through the model, updating the KV cache in place.
+
+    Covers prefill (S = prompt len, start_pos = 0) and decode (S = 1).
+    Returns (logits [B,S,V] float32 if logits_all else [B,V], new cache).
+
+    With ``tp_axis`` set, this body is the PER-DEVICE program of a
+    `shard_map` tensor-parallel run (see wrinklefree_tpu/parallel):
+    q/k/v/gate/up are column-sharded (local heads), o/down row-sharded
+    (partial sums -> psum over ICI), the tied embedding is vocab-sharded
+    (lookup via psum, logits via tiled all-gather). This is the TP design
+    the reference stubs out at world_size=1 (SURVEY.md §2.3).
+    """
+    lf = linear_fn or default_linear
+    B, S = tokens.shape
+    dtype = cfg.dtype
+
+    embed = params["embed"]
+    if tp_axis is None:
+        hidden = embed[tokens].astype(dtype)  # [B,S,H]
+    else:
+        # vocab-sharded embedding lookup: local gather + psum
+        v_local = embed.shape[0]
+        v_start = jax.lax.axis_index(tp_axis) * v_local
+        local = tokens - v_start
+        ok = (local >= 0) & (local < v_local)
+        rows = embed[jnp.clip(local, 0, v_local - 1)].astype(dtype)
+        hidden = jax.lax.psum(jnp.where(ok[..., None], rows, 0), tp_axis)
+    positions = start_pos[:, None] + jnp.arange(S)[None, :]  # [B,S]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype)
+
+    batch_idx = jnp.arange(B)[:, None] * jnp.ones((1, S), jnp.int32)
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
+
+    def layer_step(h, xs):
+        lp, ck, cv = xs  # ck/cv: [B, T, KV_local, D]
+        normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+
+        q = lf(normed, lp["q_qw"], lp["q_scale"]).reshape(B, S, -1, cfg.head_dim)
+        k = lf(normed, lp["k_qw"], lp["k_scale"]).reshape(B, S, -1, cfg.head_dim)
+        v = lf(normed, lp["v_qw"], lp["v_scale"]).reshape(B, S, -1, cfg.head_dim)
+        q, k = apply_rope(q, k, cos, sin)
+
+        ck = ck.at[batch_idx, positions].set(k)
+        cv = cv.at[batch_idx, positions].set(v)
+
+        attn = _attention(q, ck, cv, positions, cfg)  # [B,S,NH_local,D]
+        attn = attn.reshape(B, S, -1)
+        # NOTE (TP): attn_sub_norm is a true RMS over the FULL q_dim; under
+        # TP each device holds q_dim/tp of it, so the mean-square is
+        # psum-reduced before normalizing.
+        if tp_axis is None:
+            attn = rms_norm(attn, lp["attn_sub"], cfg.rms_norm_eps)
+        else:
+            af = attn.astype(jnp.float32)
+            ms = jax.lax.psum(jnp.sum(af * af, axis=-1, keepdims=True), tp_axis)
+            var = ms / cfg.q_dim
+            attn = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(attn.dtype) * lp["attn_sub"]
+        # Row-parallel partials are psum'd in f32 so the reduction does not
+        # round through bf16 per shard.
+        o_dt = jnp.float32 if tp_axis is not None else dtype
+        h = h + maybe_psum(
+            lf(attn, lp["o_qw"], lp["o_scale"], quant_axis=tp_axis, out_dtype=o_dt)
+        ).astype(dtype)
+
+        normed = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        gate = lf(normed, lp["gate_qw"], lp["gate_scale"])
+        up = lf(normed, lp["up_qw"], lp["up_scale"])
+        act = jnp.square(jax.nn.relu(gate)) * up  # ReLU^2, NOT SiLU
+        if tp_axis is None:
+            act = rms_norm(act, lp["ffn_sub"], cfg.rms_norm_eps)
+        else:
+            af = act.astype(jnp.float32)
+            ms = jax.lax.psum(jnp.sum(af * af, axis=-1, keepdims=True), tp_axis)
+            var = ms / cfg.intermediate_size
+            act = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(act.dtype) * lp["ffn_sub"]
+        h = h + maybe_psum(
+            lf(act, lp["down_qw"], lp["down_scale"], quant_axis=tp_axis, out_dtype=o_dt)
+        ).astype(dtype)
+        return h, (ck, cv)
+
+    hidden, (new_k, new_v) = jax.lax.scan(
+        layer_step, hidden, (params["layers"], cache.k, cache.v)
+    )
+
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    if not logits_all:
+        hidden = hidden[:, -1]
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jax.lax.dot_general(
+        hidden,
+        head,
+        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if tp_axis is not None:
+        # head is vocab-sharded: gather the local [.., V/tp] logits
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1, tiled=True)
+    return logits, KVCache(new_k, new_v)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "logits_all"), donate_argnames=("cache",))
+def forward_jit(params, cfg, tokens, cache, start_pos, logits_all=False):
+    return forward(params, cfg, tokens, cache, start_pos, logits_all=logits_all)
+
+
+# ---------------------------------------------------------------------------
+# Simple generation loop (milestone-A path; production path is the engine)
+# ---------------------------------------------------------------------------
+
+
+def generate(
+    params,
+    cfg: BitNetConfig,
+    prompt_ids,
+    max_new_tokens: int = 32,
+    max_len: Optional[int] = None,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
+):
+    """Greedy/sampled batch-1 generation with a contiguous KV cache."""
+    from ..ops.sampling import sample_token
+
+    prompt = jnp.asarray(prompt_ids, jnp.int32)[None, :]
+    T = max_len or min(cfg.max_position, prompt.shape[1] + max_new_tokens)
+    cache = KVCache.zeros(cfg, 1, T, cfg.dtype)
+
+    logits, cache = forward_jit(params, cfg, prompt, cache, jnp.zeros((1,), jnp.int32))
+    rng = jax.random.PRNGKey(seed)
+    out = list(np.asarray(prompt[0]))
+    pos = prompt.shape[1]
+    rng, sub = jax.random.split(rng)
+    tok = sample_token(logits, sub, temperature=temperature, top_p=top_p)
+
+    for _ in range(max_new_tokens):
+        out.append(int(tok[0]))
+        if pos + 1 >= T:
+            break
+        logits, cache = forward_jit(
+            params, cfg, tok[:, None], cache, jnp.full((1,), pos, jnp.int32)
+        )
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(logits, sub, temperature=temperature, top_p=top_p)
+        pos += 1
+    return out

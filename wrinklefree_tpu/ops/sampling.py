@@ -1,0 +1,64 @@
+"""Sampling: greedy / temperature / top-k / top-p, all inside jit.
+
+The reference samples on the host per token (reference
+scripts/direct_inference_full.py:304-326); here sampling is part of the
+jitted decode step so the host loop stays free of per-token math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_top_k(logits: jax.Array, k: jax.Array) -> jax.Array:
+    """Mask all but the top-k logits (k may be traced; vocab-size static)."""
+    vocab = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    kth = jnp.take_along_axis(
+        sorted_logits, jnp.clip(k - 1, 0, vocab - 1)[..., None], axis=-1
+    )
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def apply_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Nucleus filtering: keep the smallest set with cumulative prob > p.
+
+    Matches the reference semantics (direct_inference_full.py:313-322):
+    tokens strictly after the first index where cumsum exceeds p are dropped.
+    """
+    sort_idx = jnp.argsort(logits, axis=-1)[..., ::-1]
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep position i if the cumulative prob BEFORE it is still <= p
+    keep = (cum - probs) <= top_p[..., None]
+    keep = keep.at[..., 0].set(True)
+    masked = jnp.where(keep, sorted_logits, -jnp.inf)
+    # unsort back
+    inv = jnp.argsort(sort_idx, axis=-1)
+    return jnp.take_along_axis(masked, inv, axis=-1)
+
+
+def sample_token(
+    logits: jax.Array,  # [B, V] float32
+    rng: jax.Array,
+    temperature=0.0,
+    top_p=1.0,
+    top_k: int = 0,
+) -> jax.Array:
+    """Returns next token ids [B] int32. temperature/top_p may be scalars
+    or per-row [B] arrays; temperature == 0 rows decode greedily."""
+    temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), logits.shape[:1])
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), logits.shape[:1])
+
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    safe_t = jnp.where(temperature > 0, temperature, 1.0)
+    scaled = logits / safe_t[:, None]
+    if top_k:
+        scaled = apply_top_k(scaled, jnp.full(logits.shape[:1], top_k, jnp.int32))
+    scaled = apply_top_p(scaled, top_p)
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+    return jnp.where(temperature > 0, sampled, greedy)

@@ -1,0 +1,181 @@
+"""Fused ternary dequant-matmul Pallas kernels (TPU).
+
+The TPU analog of the reference's AVX512 fused dequant+GEMV
+(reference legacy/src/native/bitnet_kernel.cpp:178-267 and the sgl-kernel
+`bitnet_gemv_cpu`/`bitnet_gemm_cpu` ops): ternary weights stay 2-bit
+packed in HBM and are expanded in-register, so the kernel streams
+~0.25 byte/weight — at batch 1 this is HBM-bandwidth bound and the packed
+format is exactly what makes it fast.
+
+Thanks to the wf-tpu plane-major layout (see ops/ternary.py) the unpack is
+4 shift-mask ops and 4 MXU dots with NO cross-lane interleave:
+
+    acc = sum_j  x[:, j*K4:(j+1)*K4] @ (((qw >> 2j) & 3) - 1)
+
+Integer math is exact: every kernel here must agree bit-for-bit with
+`ternary_matmul_reference` (enforced in tests/test_pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ternary import quantize_activations
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype):
+    """x [TB,K] int8, w [K4,TN] uint8, sx [TB,1] f32, sw [1,1] f32 ->
+    o [TB,TN] out_dtype."""
+    k4 = w_ref.shape[0]
+    w_bytes = w_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[1]), jnp.int32)
+    for j in range(4):
+        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
+        acc += jax.lax.dot_general(
+            x_j,
+            w_j,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+        ).astype(jnp.int32)
+    inv = 1.0 / (sx_ref[:] * sw_ref[0, 0])
+    o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+
+
+def _matmul_int_kernel(x_ref, w_ref, o_ref, *, dot_dtype):
+    """Exact-integer variant (no rescale): o [TB,TN] int32."""
+    k4 = w_ref.shape[0]
+    w_bytes = w_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[1]), jnp.int32)
+    for j in range(4):
+        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
+        acc += jax.lax.dot_general(
+            x_j,
+            w_j,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+        ).astype(jnp.int32)
+    o_ref[:] = acc
+
+
+def _pick_tiles(b: int, k: int, n: int):
+    """Block sizes: favor streaming the full K per tile (weights visited
+    once), modest N tiles for VMEM, B padded to the int8 sublane tile."""
+    tb = min(_round_up(b, 32), 256)
+    tn = 256 if n % 256 == 0 else (128 if n % 128 == 0 else n)
+    return tb, tn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "dot_dtype", "interpret")
+)
+def ternary_matmul_pallas(
+    x_q: jax.Array,  # [..., K] int8
+    qweight: jax.Array,  # [K//4, N] uint8
+    act_scale: jax.Array | None = None,  # [..., 1] f32
+    weight_scale: jax.Array | None = None,  # scalar f32
+    *,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused packed-ternary matmul.
+
+    With scales: returns ``(x_q @ W) / (act_scale * weight_scale)`` in
+    ``out_dtype``. Without: exact int32 accumulator.
+    """
+    k4, n = qweight.shape
+    k = 4 * k4
+    lead = x_q.shape[:-1]
+    x2 = x_q.reshape(-1, k)
+    b = x2.shape[0]
+    tb, tn = _pick_tiles(b, k, n)
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)))
+
+    grid = (b_pad // tb, n // tn)
+    x_spec = pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((k4, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((tb, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * b_pad * k * n,
+        bytes_accessed=b_pad * k + k4 * n + b_pad * n * 4,
+        transcendentals=0,
+    )
+
+    if act_scale is None:
+        out = pl.pallas_call(
+            functools.partial(_matmul_int_kernel, dot_dtype=dot_dtype),
+            grid=grid,
+            in_specs=[x_spec, w_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.int32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x2, qweight)
+        return out[:b].reshape(*lead, n)
+
+    sx = jnp.broadcast_to(act_scale.reshape(-1, 1).astype(jnp.float32), (b, 1))
+    if b_pad != b:
+        sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)), constant_values=1.0)
+    sw = jnp.asarray(weight_scale, jnp.float32).reshape(1, 1)
+    sx_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    sw_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_matmul_kernel, dot_dtype=dot_dtype),
+        grid=grid,
+        in_specs=[x_spec, w_spec, sx_spec, sw_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), out_dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x2, qweight, sx, sw)
+    return out[:b].reshape(*lead, n)
+
+
+def ternary_linear_pallas(
+    x: jax.Array,
+    qweight: jax.Array,
+    weight_scale: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+    quant_axis: str | None = None,
+) -> jax.Array:
+    """Drop-in `linear_fn` for the model: act-quant + fused kernel."""
+    x_q, act_scale = quantize_activations(x, quant_axis=quant_axis)
+    return ternary_matmul_pallas(
+        x_q,
+        qweight,
+        act_scale,
+        weight_scale,
+        out_dtype=out_dtype,
+        dot_dtype=dot_dtype,
+        interpret=interpret,
+    )
+
+
+def make_pallas_linear(dot_dtype=jnp.int8, interpret: bool = False):
+    def linear_fn(x, qweight, scale, out_dtype=jnp.bfloat16, quant_axis=None):
+        return ternary_linear_pallas(
+            x, qweight, scale, out_dtype=out_dtype, dot_dtype=dot_dtype,
+            interpret=interpret, quant_axis=quant_axis,
+        )
+
+    return linear_fn
