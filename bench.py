@@ -14,6 +14,10 @@ import os
 import sys
 import time
 
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 BASELINE_TOKS = 26.9
 
 
@@ -39,10 +43,12 @@ def main():
 
         linear_fn = make_pallas_linear()
 
+    log("initializing params...")
     t0 = time.perf_counter()
     params = init_params(cfg, seed=0)
     params = jax.device_put(params)
     init_s = time.perf_counter() - t0
+    log(f"params ready in {init_s:.1f}s; compiling prefill...")
 
     import functools
 
@@ -68,12 +74,14 @@ def main():
     tok, cache = prefill(params, toks, cache, start0)
     tok.block_until_ready()
     ttft_s = time.perf_counter() - t0  # includes compile on first call
+    log(f"prefill done in {ttft_s:.1f}s; compiling decode...")
 
     # warmup decode (compile)
     pos = prompt_len
     tok, cache = decode_step(params, tok, cache, jnp.full((batch,), pos, jnp.int32))
     tok.block_until_ready()
     pos += 1
+    log("decode compiled; timing...")
 
     t0 = time.perf_counter()
     for _ in range(decode_steps):

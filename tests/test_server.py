@@ -1,0 +1,157 @@
+"""HTTP server tests: spin the tiny-model server on a real socket and
+exercise every endpoint with the real clients (reference analogs:
+tests/test_smoke.py, test_batching.py, kv_cache/validator.py — but
+self-hosted, so they run in CI too)."""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import pytest
+import requests
+
+from wrinklefree_tpu.client import InferenceClient
+from wrinklefree_tpu.server.http import build_app, create_server
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    from aiohttp import web
+
+    port = _free_port()
+    server = create_server(tiny=True, use_pallas=False)
+    app = build_app(server)
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(app)
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            if requests.get(f"{url}/health", timeout=1).status_code == 200:
+                break
+        except requests.RequestException:
+            time.sleep(0.1)
+    else:
+        pytest.fail("server did not come up")
+    yield url
+    loop.call_soon_threadsafe(loop.stop)
+
+
+@pytest.fixture()
+def client(server_url):
+    return InferenceClient(server_url)
+
+
+@pytest.mark.smoke
+class TestSmoke:
+    def test_health(self, client):
+        assert client.health()
+
+    def test_models(self, client):
+        assert client.models() == ["wrinklefree-tiny-test"]
+
+    def test_tokenize_detokenize(self, client):
+        ids = client.tokenize("hello world")
+        assert isinstance(ids, list) and all(isinstance(i, int) for i in ids)
+        text = client.detokenize(ids)
+        assert isinstance(text, str)
+
+    def test_generate(self, client):
+        out = client.generate("hello", max_tokens=8, temperature=0.0)
+        assert isinstance(out, str)
+
+    def test_chat(self, client):
+        out = client.chat([{"role": "user", "content": "hi"}], max_tokens=8,
+                          temperature=0.0)
+        assert isinstance(out, str)
+
+    def test_stats(self, client):
+        s = client.stats()
+        assert s["requests"] >= 1 and "free_pages" in s
+
+
+class TestStreaming:
+    def test_chat_stream_sse(self, client):
+        chunks = list(
+            client.chat_stream([{"role": "user", "content": "hello"}],
+                               max_tokens=8, temperature=0.0)
+        )
+        full = client.chat([{"role": "user", "content": "hello"}],
+                           max_tokens=8, temperature=0.0)
+        assert "".join(chunks) == full
+
+    def test_completion_stream(self, client):
+        chunks = list(client.generate_stream("abc", max_tokens=6, temperature=0.0))
+        full = client.generate("abc", max_tokens=6, temperature=0.0)
+        assert "".join(chunks) == full
+
+    def test_raw_sse_format(self, server_url):
+        """The raw SSE wire format must match the OpenAI contract the
+        reference UI parses (demo/serve_sglang.py:88-111)."""
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m", "messages": [{"role": "user", "content": "x"}],
+                  "max_tokens": 4, "stream": True},
+            stream=True, timeout=60,
+        )
+        lines = [l for l in r.iter_lines() if l]
+        assert all(l.startswith(b"data: ") for l in lines)
+        assert lines[-1] == b"data: [DONE]"
+        first = json.loads(lines[0][6:])
+        assert first["object"] == "chat.completion.chunk"
+        assert first["choices"][0]["delta"].get("role") == "assistant"
+
+
+class TestValidation:
+    def test_bad_json(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions", data="{not json",
+            headers={"Content-Type": "application/json"}, timeout=10,
+        )
+        assert r.status_code == 400
+
+    def test_missing_messages(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions", json={"model": "m"}, timeout=10
+        )
+        assert r.status_code == 400
+
+    def test_determinism_at_temp0(self, client):
+        """Reference test_sglang_correctness.py: temp=0 must be deterministic."""
+        outs = {client.generate("same prompt", max_tokens=8, temperature=0.0)
+                for _ in range(3)}
+        assert len(outs) == 1
+
+    def test_concurrent_requests(self, server_url):
+        """Batched concurrency smoke (reference tests/test_batching.py:46-302)."""
+        import concurrent.futures as cf
+
+        def one(i):
+            c = InferenceClient(server_url)
+            return c.generate(f"prompt {i}", max_tokens=6, temperature=0.0)
+
+        with cf.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(one, range(8)))
+        assert len(results) == 8
+        # determinism: same prompt again gives same result
+        c = InferenceClient(server_url)
+        assert c.generate("prompt 3", max_tokens=6, temperature=0.0) == results[3]

@@ -1,0 +1,3 @@
+from .cache_key import PACK_FORMAT, compute_cache_key
+from .convert import convert_and_save
+from .loader import get_cached_or_convert, list_cached_models

@@ -384,6 +384,10 @@ class Engine:
             finished, reason = True, "length"
         elif req.seq_len + 1 >= self.ecfg.max_context:
             finished, reason = True, "length"
+        if finished:
+            # set the reason BEFORE notifying: stream consumers read
+            # req.finish_reason as soon as they see fin=True
+            req.finish_reason = reason
         if req.on_token is not None:
             req.on_token(tok, finished)
         if finished:

@@ -65,9 +65,17 @@ def _stack(arrs):
     return jnp.asarray(np.stack(arrs, axis=0))
 
 
-def init_params(cfg: BitNetConfig, seed: int = 0, dtype=jnp.bfloat16):
+def init_params(cfg: BitNetConfig, seed: int = 0, dtype=jnp.bfloat16, fast: bool = None):
     """Random ternary model (for tests/benchmarks; real weights come from
-    wrinklefree_tpu.models.loader)."""
+    wrinklefree_tpu.models.loader).
+
+    fast=True (default for >=1B-param configs) draws ternary values
+    directly instead of quantizing gaussians — billions of float64
+    normals otherwise dominate benchmark startup."""
+    if fast is None:
+        fast = cfg.hidden_size * cfg.num_layers > 10_000
+    if fast:
+        return _init_params_on_device(cfg, seed, dtype)
     rng = np.random.default_rng(seed)
 
     def rand_proj(k, n):
@@ -100,18 +108,57 @@ def init_params(cfg: BitNetConfig, seed: int = 0, dtype=jnp.bfloat16):
         layers[f"{name}_qw"] = _stack(qw[name])
         layers[f"{name}_scale"] = jnp.asarray(np.asarray(sc[name]), jnp.float32)
 
-    params = {
-        "embed": jnp.asarray(
+    def rand_embed():
+        return jnp.asarray(
             rng.normal(0.0, 0.02, size=(cfg.vocab_size, H)).astype(np.float32), dtype
-        ),
+        )
+
+    params = {
+        "embed": rand_embed(),
         "final_norm": jnp.ones((H,), dtype),
         "layers": layers,
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(
-            rng.normal(0.0, 0.02, size=(cfg.vocab_size, H)).astype(np.float32), dtype
-        )
+        params["lm_head"] = rand_embed()
     return params
+
+
+def _init_params_on_device(cfg: BitNetConfig, seed: int, dtype):
+    """Generate random ternary params entirely on-device (host numpy is
+    far too slow for 2B+ params on throttled CPUs; the TPU does this in
+    well under a second)."""
+    H, I, Q, KV = cfg.hidden_size, cfg.intermediate_size, cfg.q_dim, cfg.kv_dim
+    L = cfg.num_layers
+    key = jax.random.PRNGKey(seed)
+    dims = {
+        "q": (H, Q), "k": (H, KV), "v": (H, KV), "o": (Q, H),
+        "gate": (H, I), "up": (H, I), "down": (I, H),
+    }
+
+    @jax.jit
+    def build(key):
+        keys = jax.random.split(key, len(dims) + 2)
+        layers = {}
+        for i, (name, (kk, nn_)) in enumerate(dims.items()):
+            bits = jax.random.bits(keys[i], (4, L, kk // 4, nn_), dtype=jnp.uint8)
+            enc = bits % 3  # {0,1,2} ~ ternary+1 (slight skew is fine here)
+            layers[f"{name}_qw"] = (
+                enc[0] | (enc[1] << 2) | (enc[2] << 4) | (enc[3] << 6)
+            )
+            layers[f"{name}_scale"] = jnp.full((L,), 50.0, jnp.float32)
+        layers["input_ln"] = jnp.ones((L, H), dtype)
+        layers["post_ln"] = jnp.ones((L, H), dtype)
+        layers["attn_sub"] = jnp.ones((L, Q), dtype)
+        layers["ffn_sub"] = jnp.ones((L, I), dtype)
+        embed = (jax.random.normal(keys[-1], (cfg.vocab_size, H), jnp.bfloat16) * 0.02).astype(dtype)
+        params = {"embed": embed, "final_norm": jnp.ones((H,), dtype), "layers": layers}
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = (
+                jax.random.normal(keys[-2], (cfg.vocab_size, H), jnp.bfloat16) * 0.02
+            ).astype(dtype)
+        return params
+
+    return build(key)
 
 
 # ---------------------------------------------------------------------------

@@ -68,13 +68,21 @@ def pack_ternary_np(w_kn: np.ndarray) -> np.ndarray:
     k, n = w_kn.shape
     if k % 4 != 0:
         raise ValueError(f"K ({k}) must be divisible by 4")
-    enc = (np.rint(np.asarray(w_kn, dtype=np.float32)).clip(-1, 1).astype(np.int32) + 1).astype(
-        np.uint8
-    )
+    if np.issubdtype(w_kn.dtype, np.integer):
+        enc = (w_kn.astype(np.int8, copy=False) + 1).astype(np.uint8)
+    else:
+        enc = (
+            np.rint(np.asarray(w_kn, dtype=np.float32)).clip(-1, 1).astype(np.int32) + 1
+        ).astype(np.uint8)
     planes = enc.reshape(4, k // 4, n)
-    return (
-        planes[0] | (planes[1] << 2) | (planes[2] << 4) | (planes[3] << 6)
-    ).astype(np.uint8)
+    # ascontiguousarray matters: packing a transposed view yields an
+    # F-ordered result, and safetensors 0.8 serializes the raw buffer
+    # without honoring strides — silently corrupting saved caches.
+    return np.ascontiguousarray(
+        (planes[0] | (planes[1] << 2) | (planes[2] << 4) | (planes[3] << 6)).astype(
+            np.uint8
+        )
+    )
 
 
 def unpack_ternary_np(qweight: np.ndarray) -> np.ndarray:

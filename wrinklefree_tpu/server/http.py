@@ -1,0 +1,367 @@
+"""OpenAI-compatible + llama.cpp-compatible HTTP server (aiohttp, SSE).
+
+Endpoint contract = the union the reference serves across its three
+backends (SURVEY.md §0): OpenAI `/v1/chat/completions`, `/v1/completions`,
+`/v1/models`, `/health` (reference demo/serve_sglang.py:61-114) and
+llama.cpp `/completion`, `/tokenize`, `/detokenize`
+(reference client/bitnet_client.py:50-104).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import time
+from typing import List, Optional
+
+from aiohttp import web
+
+from ..config import BitNetConfig, EngineConfig
+from ..engine.engine import Engine
+from ..engine.sampling_params import SamplingParams
+from .api_types import (
+    chat_chunk,
+    chat_completion_id,
+    chat_response,
+    completion_id,
+    completion_response,
+    format_chat_prompt,
+)
+from .async_engine import AsyncEngine
+
+logger = logging.getLogger(__name__)
+
+
+class ByteTokenizer:
+    """Trivial byte-level tokenizer for --tiny test serving (vocab 256)."""
+
+    eos_token_id = 0
+    chat_template = None
+
+    def encode(self, text: str, **kw) -> List[int]:
+        return [1 + (b % 250) for b in text.encode("utf-8")][:2048]
+
+    def decode(self, ids, **kw) -> str:
+        return "".join(chr(96 + (i % 26)) if i > 0 else "" for i in ids)
+
+
+class _Detokenizer:
+    """Incremental detokenization: decode-all + emit the stable diff."""
+
+    def __init__(self, tokenizer):
+        self.tok = tokenizer
+        self.ids: List[int] = []
+        self.emitted = ""
+
+    def push(self, tok: int) -> str:
+        self.ids.append(tok)
+        full = self.tok.decode(self.ids, skip_special_tokens=True)
+        if full.endswith("�"):  # mid-multibyte
+            return ""
+        delta = full[len(self.emitted):]
+        self.emitted = full
+        return delta
+
+
+class InferenceServer:
+    def __init__(self, engine: Engine, tokenizer, model_name: str):
+        self.async_engine = AsyncEngine(engine)
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.start_time = time.time()
+
+    # -- request plumbing -------------------------------------------------
+
+    def _sampling_from(self, body: dict, is_llamacpp=False) -> SamplingParams:
+        if is_llamacpp:
+            max_new = int(body.get("n_predict", 128))
+            if max_new < 0:
+                max_new = 512
+        else:
+            max_new = int(body.get("max_tokens", body.get("max_new_tokens", 128)))
+        return SamplingParams(
+            temperature=float(body.get("temperature", 0.7)),
+            top_p=float(body.get("top_p", 0.9)),
+            top_k=int(body.get("top_k", 0)),
+            max_new_tokens=max(1, max_new),
+            ignore_eos=bool(body.get("ignore_eos", False)),
+        )
+
+    def _encode(self, prompt) -> List[int]:
+        if isinstance(prompt, list):  # already token ids
+            return [int(t) for t in prompt]
+        return list(self.tokenizer.encode(prompt))
+
+    # -- handlers ----------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response(
+            {"status": "ok", "uptime_s": round(time.time() - self.start_time, 1)}
+        )
+
+    async def models(self, request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {"id": self.model_name, "object": "model", "owned_by": "wrinklefree-tpu"}
+                ],
+            }
+        )
+
+    async def stats(self, request):
+        eng = self.async_engine.engine
+        return web.json_response(
+            {
+                **eng.stats,
+                "free_pages": eng.allocator.num_free,
+                "cached_pages": eng.radix.num_cached_pages if eng.radix else 0,
+                "active_slots": sum(s is not None for s in eng.slots),
+                "queued": eng.waiting.qsize(),
+            }
+        )
+
+    async def tokenize(self, request):
+        body = await request.json()
+        ids = self._encode(body.get("content", body.get("text", "")))
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(self, request):
+        body = await request.json()
+        text = self.tokenizer.decode(body.get("tokens", []), skip_special_tokens=True)
+        return web.json_response({"content": text})
+
+    async def chat_completions(self, request):
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": {"message": "invalid JSON"}}, status=400)
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            return web.json_response(
+                {"error": {"message": "'messages' must be a non-empty list"}}, status=400
+            )
+        prompt = format_chat_prompt(messages, self.tokenizer)
+        ids = self._encode(prompt)
+        sampling = self._sampling_from(body)
+        cid = chat_completion_id()
+        try:
+            if body.get("stream"):
+                return await self._stream_chat(request, cid, ids, sampling)
+            req, text = await self._run(ids, sampling)
+            return web.json_response(
+                chat_response(cid, self.model_name, text, req.finish_reason or "stop",
+                              len(ids), len(req.output_ids))
+            )
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+
+    async def completions(self, request):
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        ids = self._encode(prompt)
+        sampling = self._sampling_from(body)
+        cid = completion_id()
+        try:
+            if body.get("stream"):
+                return await self._stream_completion(request, cid, ids, sampling, openai=True)
+            req, text = await self._run(ids, sampling)
+            return web.json_response(
+                completion_response(cid, self.model_name, text,
+                                    req.finish_reason or "stop", len(ids),
+                                    len(req.output_ids))
+            )
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+
+    async def llamacpp_completion(self, request):
+        """llama.cpp-style /completion (reference client/bitnet_client.py:50-104)."""
+        body = await request.json()
+        ids = self._encode(body.get("prompt", ""))
+        sampling = self._sampling_from(body, is_llamacpp=True)
+        try:
+            if body.get("stream"):
+                return await self._stream_completion(
+                    request, completion_id(), ids, sampling, openai=False
+                )
+            req, text = await self._run(ids, sampling)
+            return web.json_response(
+                {
+                    "content": text,
+                    "stop": True,
+                    "stopped_eos": req.finish_reason == "stop",
+                    "stopped_limit": req.finish_reason == "length",
+                    "tokens_predicted": len(req.output_ids),
+                    "tokens_evaluated": len(ids),
+                }
+            )
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    # -- generation helpers -------------------------------------------------
+
+    async def _run(self, ids, sampling):
+        detok = _Detokenizer(self.tokenizer)
+        req = None
+        parts = []
+        async for tok, fin, r in self.async_engine.generate_stream(ids, sampling):
+            req = r
+            if tok >= 0:
+                parts.append(detok.push(tok))
+        if req is not None and req.finish_reason == "oom":
+            raise ValueError("request cannot fit in KV cache")
+        return req, "".join(parts)
+
+    async def _stream_chat(self, request, cid, ids, sampling):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            }
+        )
+        await resp.prepare(request)
+        await resp.write(
+            chat_chunk(cid, self.model_name, {"role": "assistant"}).encode()
+        )
+        detok = _Detokenizer(self.tokenizer)
+        finish = "stop"
+        async for tok, fin, req in self.async_engine.generate_stream(ids, sampling):
+            if tok >= 0:
+                delta = detok.push(tok)
+                if delta:
+                    await resp.write(
+                        chat_chunk(cid, self.model_name, {"content": delta}).encode()
+                    )
+            if fin:
+                finish = req.finish_reason or "stop"
+        await resp.write(chat_chunk(cid, self.model_name, {}, finish).encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def _stream_completion(self, request, cid, ids, sampling, openai: bool):
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        detok = _Detokenizer(self.tokenizer)
+        n = 0
+        async for tok, fin, req in self.async_engine.generate_stream(ids, sampling):
+            if tok >= 0:
+                delta = detok.push(tok)
+                n += 1
+                if openai:
+                    payload = {
+                        "id": cid, "object": "text_completion", "model": self.model_name,
+                        "choices": [{"index": 0, "text": delta,
+                                     "finish_reason": req.finish_reason if fin else None}],
+                    }
+                else:
+                    payload = {"content": delta, "stop": bool(fin),
+                               "tokens_predicted": n}
+                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+        if openai:
+            await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+
+def build_app(server: InferenceServer) -> web.Application:
+    app = web.Application()
+    app.add_routes(
+        [
+            web.get("/health", server.health),
+            web.get("/v1/models", server.models),
+            web.get("/stats", server.stats),
+            web.post("/v1/chat/completions", server.chat_completions),
+            web.post("/v1/completions", server.completions),
+            web.post("/completion", server.llamacpp_completion),
+            web.post("/tokenize", server.tokenize),
+            web.post("/detokenize", server.detokenize),
+        ]
+    )
+    return app
+
+
+def create_server(
+    model_path: Optional[str] = None,
+    *,
+    tiny: bool = False,
+    engine_config: Optional[EngineConfig] = None,
+    use_pallas: Optional[bool] = None,
+) -> InferenceServer:
+    import jax
+
+    from ..models.bitnet import init_params
+    from ..models.loader import load_params, load_tokenizer
+
+    linear_fn = None
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    if use_pallas:
+        from ..ops.ternary_pallas import make_pallas_linear
+
+        linear_fn = make_pallas_linear()
+
+    if tiny:
+        cfg = BitNetConfig.tiny()
+        params = init_params(cfg, seed=0)
+        tokenizer = ByteTokenizer()
+        ecfg = engine_config or EngineConfig(
+            max_batch_slots=4, page_size=8, num_pages=256, max_context=256,
+            prefill_buckets=(16, 64, 128),
+        )
+        name = "wrinklefree-tiny-test"
+        linear_fn = None
+    else:
+        assert model_path, "--model required unless --tiny"
+        params, cfg = load_params(model_path)
+        tokenizer = load_tokenizer(model_path)
+        ecfg = engine_config or EngineConfig()
+        name = str(model_path)
+
+    eos = getattr(tokenizer, "eos_token_id", None)
+    engine = Engine(params, cfg, ecfg, eos_token_id=eos, linear_fn=linear_fn)
+    return InferenceServer(engine, tokenizer, name)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("wrinklefree-tpu server")
+    p.add_argument("--model", default=None, help="model directory (HF or packed)")
+    p.add_argument("--tiny", action="store_true", help="tiny random model (testing)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=30000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--num-pages", type=int, default=2048)
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--max-context", type=int, default=4096)
+    p.add_argument("--kv-dtype", default="bf16",
+                   choices=["bf16", "fp16", "f32", "int8", "fp8_e4m3", "fp8_e5m2"])
+    p.add_argument("--no-radix", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    ecfg = None
+    if args.model:
+        ecfg = EngineConfig(
+            max_batch_slots=args.max_batch,
+            page_size=args.page_size,
+            num_pages=args.num_pages,
+            max_context=args.max_context,
+            kv_dtype=args.kv_dtype,
+            enable_radix_cache=not args.no_radix,
+        )
+    server = create_server(
+        args.model, tiny=args.tiny, engine_config=ecfg,
+        use_pallas=False if args.no_pallas else None,
+    )
+    app = build_app(server)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
