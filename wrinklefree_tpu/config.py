@@ -32,6 +32,11 @@ class BitNetConfig:
     # MoE (0 experts = dense); see wrinklefree_tpu/models/moe.py
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # Architecture family knobs: BitNet b1.58 uses ReLU^2 gate + attn/ffn
+    # sub-norms; ternary-converted Llama keeps SiLU and no sub-norms
+    # (reference legacy/benchmark/naive_converter.py converts weights only).
+    mlp_act: str = "relu2"  # relu2 | silu
+    sub_norms: bool = True
 
     @property
     def q_dim(self) -> int:
@@ -73,6 +78,8 @@ class BitNetConfig:
             head_dim=128,
             max_position=8192,
             tie_word_embeddings=False,
+            mlp_act="silu",
+            sub_norms=False,
         )
 
     @classmethod
@@ -96,6 +103,8 @@ class BitNetConfig:
             rope_theta=cfg.get("rope_theta", 500_000.0),
             max_position=cfg.get("max_position_embeddings", 4096),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            mlp_act="silu" if cfg.get("hidden_act", "relu2") == "silu" else "relu2",
+            sub_norms=cfg.get("model_type", "bitnet") != "llama",
         )
 
 
@@ -113,3 +122,80 @@ class EngineConfig:
     enable_radix_cache: bool = True
     use_pallas: bool = False  # fused Pallas kernels (TPU); jnp/XLA otherwise
     max_queue: int = 256
+
+
+# ---------------------------------------------------------------------------
+# YAML config tier (reference configs/{serving,models,sparsity,attention}/*.yaml
+# loaded via hydra/omegaconf; here plain pyyaml into the dataclasses above).
+# ---------------------------------------------------------------------------
+
+CONFIGS_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def load_yaml(path: Path | str) -> dict:
+    """Load one YAML config file (absolute path or relative to configs/)."""
+    import yaml
+
+    p = Path(path)
+    if not p.exists():
+        p = CONFIGS_DIR / path
+    with open(p) as f:
+        return yaml.safe_load(f) or {}
+
+
+def model_config_from_yaml(path: Path | str) -> BitNetConfig:
+    """Build a BitNetConfig from a configs/models/*.yaml model card."""
+    doc = load_yaml(path)
+    arch = doc.get("architecture", {})
+    fields = {f.name for f in dataclasses.fields(BitNetConfig)}
+    return BitNetConfig(**{k: v for k, v in arch.items() if k in fields})
+
+
+def engine_config_from_yaml(path: Path | str = "serving/default.yaml") -> "EngineConfig":
+    doc = load_yaml(path).get("engine", {})
+    kw = {}
+    if "max_batch_slots" in doc:
+        kw["max_batch_slots"] = int(doc["max_batch_slots"])
+    if "page_size" in doc:
+        kw["page_size"] = int(doc["page_size"])
+    if "num_pages" in doc:
+        kw["num_pages"] = int(doc["num_pages"])
+    if "max_context" in doc:
+        kw["max_context"] = int(doc["max_context"])
+    if "prefill_buckets" in doc:
+        kw["prefill_buckets"] = tuple(doc["prefill_buckets"])
+    if "kv_cache_dtype" in doc:
+        kw["kv_dtype"] = {"bfloat16": "bf16"}.get(doc["kv_cache_dtype"], doc["kv_cache_dtype"])
+    if "radix_cache" in doc:
+        kw["enable_radix_cache"] = bool(doc["radix_cache"])
+    if "use_pallas" in doc and doc["use_pallas"] != "auto":
+        kw["use_pallas"] = bool(doc["use_pallas"])
+    return EngineConfig(**kw)
+
+
+def activation_sparsity_from_yaml(path: Path | str):
+    """configs/sparsity/*.yaml -> ActivationSparsityConfig (or None if off)."""
+    from .ops.activation_sparsity import ActivationSparsityConfig, SparsityMode
+
+    doc = load_yaml(path).get("activation_sparsity", {})
+    mode = SparsityMode(doc.get("mode", "none"))
+    if mode == SparsityMode.NONE:
+        return None
+    fields = {f.name for f in dataclasses.fields(ActivationSparsityConfig)}
+    return ActivationSparsityConfig(
+        **{k: v for k, v in doc.items() if k in fields and k != "mode"}, mode=mode
+    )
+
+
+def attention_sparsity_from_yaml(path: Path | str):
+    """configs/attention/*.yaml -> AttentionSparsityConfig (or None if off)."""
+    from .ops.sparse_attention import AttentionSparsityConfig, AttentionSparsityMode
+
+    doc = load_yaml(path).get("attention_sparsity", {})
+    mode = AttentionSparsityMode(doc.get("mode", "none"))
+    if mode == AttentionSparsityMode.NONE:
+        return None
+    fields = {f.name for f in dataclasses.fields(AttentionSparsityConfig)}
+    return AttentionSparsityConfig(
+        **{k: v for k, v in doc.items() if k in fields and k != "mode"}, mode=mode
+    )

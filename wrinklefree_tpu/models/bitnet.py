@@ -166,12 +166,15 @@ def _init_params_on_device(cfg: BitNetConfig, seed: int, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _attention(q, k_cache, v_cache, q_pos, cfg: BitNetConfig):
+def _attention(q, k_cache, v_cache, q_pos, cfg: BitNetConfig, attn_sparsity=None):
     """GQA attention of q [B,S,NH,D] over cache [B,T,KV,D] (full history).
 
     Mask: key index t attends iff t <= q_pos (cache filled contiguously
     from 0, so index == absolute position). Head counts are derived from
     the array shapes so the same code runs on TP-local shards.
+
+    attn_sparsity: optional AttentionSparsityConfig — WINDOW mode masks
+    pre-softmax, the rest sparsify post-softmax (SURVEY.md §5.7).
     """
     B, S, NH, D = q.shape
     T = k_cache.shape[1]
@@ -183,10 +186,24 @@ def _attention(q, k_cache, v_cache, q_pos, cfg: BitNetConfig):
     # scores [B, KV, G, S, T]
     scores = jnp.einsum("bskgd,btkd->bkgst", qg, k_cache, preferred_element_type=jnp.float32)
     scores = scores * scale
-    key_idx = jnp.arange(T)[None, None, None, None, :]
-    mask = key_idx <= q_pos[:, None, None, :, None]  # [B,1,1,S,T]
+    if attn_sparsity is not None and attn_sparsity.mode == "window":
+        from ..ops.sparse_attention import create_window_mask
+
+        mask = create_window_mask(
+            q_pos, T, attn_sparsity.window_size,
+            attn_sparsity.global_tokens, attn_sparsity.stride,
+        )  # [B,S,T]
+        mask = mask[:, None, None, :, :]
+    else:
+        key_idx = jnp.arange(T)[None, None, None, None, :]
+        mask = key_idx <= q_pos[:, None, None, :, None]  # [B,1,1,S,T]
     scores = jnp.where(mask, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if attn_sparsity is not None:
+        from ..ops.sparse_attention import apply_attention_sparsity
+
+        probs = apply_attention_sparsity(probs, attn_sparsity)
+    probs = probs.astype(v_cache.dtype)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v_cache)
     return out.reshape(B, S, NH, D)
 
@@ -201,6 +218,8 @@ def forward(
     linear_fn: Optional[LinearFn] = None,
     logits_all: bool = True,
     tp_axis: Optional[str] = None,
+    act_sparsity=None,  # ActivationSparsityConfig | None
+    attn_sparsity=None,  # AttentionSparsityConfig | None
 ) -> Tuple[jax.Array, KVCache]:
     """Run S new tokens through the model, updating the KV cache in place.
 
@@ -215,6 +234,10 @@ def forward(
     the reference stubs out at world_size=1 (SURVEY.md §2.3).
     """
     lf = linear_fn or default_linear
+    if act_sparsity is not None:
+        from ..ops.activation_sparsity import make_sparse_linear_fn
+
+        lf = make_sparse_linear_fn(lf, act_sparsity)
     B, S = tokens.shape
     dtype = cfg.dtype
 
@@ -249,12 +272,14 @@ def forward(
         ck = ck.at[batch_idx, positions].set(k)
         cv = cv.at[batch_idx, positions].set(v)
 
-        attn = _attention(q, ck, cv, positions, cfg)  # [B,S,NH_local,D]
+        attn = _attention(q, ck, cv, positions, cfg, attn_sparsity)  # [B,S,NH_local,D]
         attn = attn.reshape(B, S, -1)
         # NOTE (TP): attn_sub_norm is a true RMS over the FULL q_dim; under
         # TP each device holds q_dim/tp of it, so the mean-square is
         # psum-reduced before normalizing.
-        if tp_axis is None:
+        if not cfg.sub_norms:
+            pass  # Llama-family: no sub-norm before o_proj
+        elif tp_axis is None:
             attn = rms_norm(attn, lp["attn_sub"], cfg.rms_norm_eps)
         else:
             af = attn.astype(jnp.float32)
@@ -271,8 +296,13 @@ def forward(
         normed = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
         gate = lf(normed, lp["gate_qw"], lp["gate_scale"])
         up = lf(normed, lp["up_qw"], lp["up_scale"])
-        act = jnp.square(jax.nn.relu(gate)) * up  # ReLU^2, NOT SiLU
-        if tp_axis is None:
+        if cfg.mlp_act == "silu":  # Llama-family ternary conversions
+            act = jax.nn.silu(gate) * up
+        else:
+            act = jnp.square(jax.nn.relu(gate)) * up  # BitNet ReLU^2, NOT SiLU
+        if not cfg.sub_norms:
+            pass  # Llama-family: no sub-norm before down_proj
+        elif tp_axis is None:
             act = rms_norm(act, lp["ffn_sub"], cfg.rms_norm_eps)
         else:
             af = act.astype(jnp.float32)
