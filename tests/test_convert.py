@@ -139,3 +139,40 @@ def test_get_cached_or_convert_local_hit(tmp_path, monkeypatch):
     (out1 / "sentinel").write_text("x")
     out2 = L.get_cached_or_convert(str(src), skip_gcs=True)
     assert out2 == out1 and (out2 / "sentinel").exists()
+
+
+def test_llama_family_convert_and_load(tmp_path):
+    """Naive-ternarized Llama checkpoint (SiLU, no sub-norm tensors,
+    untied lm_head) converts, loads with placeholder sub-norms, and runs."""
+    from safetensors.numpy import save_file
+
+    d = tmp_path / "llama_src"
+    d.mkdir()
+    cfg_json = {
+        **CFG_JSON,
+        "model_type": "llama",
+        "hidden_act": "silu",
+        "tie_word_embeddings": False,
+    }
+    (d / "config.json").write_text(json.dumps(cfg_json))
+    rng = np.random.default_rng(3)
+    t = {
+        "model.embed_tokens.weight": rng.normal(0, 0.02, (256, 128)).astype(np.float32),
+        "lm_head.weight": rng.normal(0, 0.02, (256, 128)).astype(np.float32),
+        "model.norm.weight": np.ones(128, np.float32),
+    }
+    for l in range(2):
+        p = f"model.layers.{l}"
+        for nm, (o, i) in DIMS.items():
+            t[f"{p}.{nm}.weight"] = rng.normal(0, 0.02, (o, i)).astype(np.float32)
+        t[f"{p}.input_layernorm.weight"] = np.ones(128, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(128, np.float32)
+    save_file(t, str(d / "model.safetensors"))
+
+    out = tmp_path / "llama_tern"
+    convert_and_save(d, out, ternarize=True)
+    params, cfg = load_params(out)
+    assert cfg.mlp_act == "silu" and not cfg.sub_norms
+    assert "lm_head" in params
+    la = _logits(params, cfg, [5, 6, 7])
+    assert np.isfinite(la).all()

@@ -122,6 +122,9 @@ class EngineConfig:
     enable_radix_cache: bool = True
     use_pallas: bool = False  # fused Pallas kernels (TPU); jnp/XLA otherwise
     max_queue: int = 256
+    # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
+    # radix-tree bookkeeping; auto-falls back to Python if no toolchain.
+    use_native_runtime: bool = True
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ class Request:
     slot: int = -1
     pages: List[int] = dataclasses.field(default_factory=list)  # owned pages
     matched_nodes: list = dataclasses.field(default_factory=list)
+    matched_pages: List[int] = dataclasses.field(default_factory=list)
     matched_tokens: int = 0
     seq_len: int = 0
     finished: bool = False
@@ -81,8 +82,30 @@ class Engine:
         self.page_size = e.page_size
         self.max_pages_per_seq = -(-e.max_context // e.page_size)
         self.pools = PagedKV.zeros(cfg, e.num_pages, e.page_size, e.kv_dtype)
-        self.allocator = PageAllocator(e.num_pages)
-        self.radix = RadixCache(self.allocator, e.page_size) if e.enable_radix_cache else None
+        # Host bookkeeping hot path: native C++ runtime when it builds,
+        # pure-Python oracle otherwise (same fallback pattern as the
+        # reference's native kernels, kernels/bitnet_patch.py:22-25).
+        self.native_runtime = False
+        if e.use_native_runtime:
+            try:
+                from ..native import NativePageAllocator, NativeRadixCache
+
+                self.allocator = NativePageAllocator(e.num_pages)
+                self.radix = (
+                    NativeRadixCache(self.allocator, e.page_size)
+                    if e.enable_radix_cache
+                    else None
+                )
+                self.native_runtime = True
+            except Exception:
+                pass
+        if not self.native_runtime:
+            self.allocator = PageAllocator(e.num_pages)
+            self.radix = (
+                RadixCache(self.allocator, e.page_size)
+                if e.enable_radix_cache
+                else None
+            )
 
         S = e.max_batch_slots
         self.page_table = np.zeros((S, self.max_pages_per_seq), np.int32)
@@ -258,6 +281,7 @@ class Engine:
         req.slot = slot
         req.pages = own_pages
         req.matched_nodes = nodes
+        req.matched_pages = matched_pages
         req.matched_tokens = matched
         req.seq_len = matched
         all_pages = matched_pages + own_pages
@@ -408,10 +432,13 @@ class Engine:
         seq_tokens = req.prompt_ids + req.output_ids
         full = req.seq_len // self.page_size
         if self.radix is not None and full > 0:
-            all_pages = [n.page for n in req.matched_nodes] + req.pages
+            # matched_pages (not node objects): nodes are opaque handles
+            # under the native C++ runtime
+            all_pages = req.matched_pages + req.pages
             self.radix.insert(seq_tokens[: full * self.page_size], all_pages[:full])
         if self.radix is not None:
             self.radix.unlock(req.matched_nodes)
         self.allocator.release_all(req.pages)
         req.pages = []
         req.matched_nodes = []
+        req.matched_pages = []

@@ -92,10 +92,18 @@ def load_params(model_path: str | Path, cfg: BitNetConfig | None = None, dtype=j
 
     layers: Dict[str, list] = {k: [] for k in list(PROJS) + list(NORMS)}
     scales: Dict[str, list] = {k: [] for k in PROJS}
+    sub_dims = {"attn_sub": cfg.q_dim, "ffn_sub": cfg.intermediate_size}
     for i in range(cfg.num_layers):
         prefix = f"model.layers.{i}"
         for short, sub in NORMS.items():
-            layers[short].append(_to_float(tensors[f"{prefix}.{sub}"]))
+            key = f"{prefix}.{sub}"
+            if key not in tensors and short in sub_dims:
+                # Llama-family ternary conversions have no sub-norms
+                # (cfg.sub_norms False); keep placeholder ones so the
+                # scanned layer pytree stays uniform.
+                layers[short].append(np.ones((sub_dims[short],), np.float32))
+            else:
+                layers[short].append(_to_float(tensors[key]))
         for short, sub in PROJS.items():
             qw, sc = _proj_to_wf(tensors, f"{prefix}.{sub}")
             layers[short].append(qw)
