@@ -1,0 +1,117 @@
+"""GGUF export/read/validate tests (reference tests/test_conversion.py:
+magic bytes, minimum size, missing-file handling; plus full round-trips
+the reference could not run without the BitNet submodule)."""
+
+import numpy as np
+import pytest
+
+from tests.test_convert import _make_model_dir
+from wrinklefree_tpu.convert.gguf import (
+    GGML_F16,
+    GGML_F32,
+    GGML_I2_S,
+    convert_hf_to_gguf,
+    hf_name_to_gguf,
+    read_gguf,
+    validate_gguf,
+    write_gguf,
+)
+from wrinklefree_tpu.ops.ternary import unpack_ternary_np
+
+
+class TestWriter:
+    def test_roundtrip_f32(self, tmp_path):
+        rng = np.random.default_rng(0)
+        t = {
+            "a.weight": (rng.normal(size=(4, 8)).astype(np.float32), GGML_F32),
+            "b.weight": (rng.normal(size=(16,)).astype(np.float16), GGML_F16),
+        }
+        p = write_gguf(tmp_path / "m.gguf", {"general.architecture": "bitnet"}, t)
+        meta, rt = read_gguf(p)
+        assert meta["general.architecture"] == "bitnet"
+        for k, (arr, gt) in t.items():
+            got, gt2 = rt[k]
+            assert gt2 == gt
+            np.testing.assert_array_equal(got, arr)
+
+    def test_metadata_types(self, tmp_path):
+        p = write_gguf(
+            tmp_path / "m.gguf",
+            {"i": 7, "f": 2.5, "s": "hello", "b": True},
+            {"t": (np.zeros((2, 2), np.float32), GGML_F32)},
+        )
+        meta, _ = read_gguf(p)
+        assert meta["i"] == 7 and meta["s"] == "hello" and meta["b"] is True
+        assert abs(meta["f"] - 2.5) < 1e-6
+
+
+class TestValidation:
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            validate_gguf(tmp_path / "nope.gguf")
+
+    def test_too_small(self, tmp_path):
+        f = tmp_path / "small.gguf"
+        f.write_bytes(b"GGUF" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="too small"):
+            validate_gguf(f, min_size_bytes=1024)
+
+    def test_wrong_magic(self, tmp_path):
+        f = tmp_path / "bad.gguf"
+        f.write_bytes(b"NOPE" + b"\x00" * 2048)
+        with pytest.raises(ValueError, match="Invalid GGUF magic"):
+            validate_gguf(f)
+
+    def test_valid_file_stats(self, tmp_path):
+        p = write_gguf(
+            tmp_path / "ok.gguf", {},
+            {"t": (np.zeros((64, 64), np.float32), GGML_F32)},
+        )
+        info = validate_gguf(p)
+        assert info["version"] == 3 and info["n_tensors"] == 1
+
+
+class TestNameMapping:
+    def test_known_names(self):
+        assert hf_name_to_gguf("model.embed_tokens.weight") == "token_embd.weight"
+        assert hf_name_to_gguf("model.norm.weight") == "output_norm.weight"
+        assert (
+            hf_name_to_gguf("model.layers.3.self_attn.q_proj.weight")
+            == "blk.3.attn_q.weight"
+        )
+        assert (
+            hf_name_to_gguf("model.layers.12.mlp.ffn_sub_norm.weight")
+            == "blk.12.ffn_sub_norm.weight"
+        )
+        assert hf_name_to_gguf("rotary.inv_freq") is None
+
+
+class TestHFConversion:
+    def test_i2s_export_roundtrips_exactly(self, tmp_path):
+        src = _make_model_dir(tmp_path, dtype="ternary_float")
+        out = convert_hf_to_gguf(src, tmp_path / "m.gguf", quant_type="i2_s")
+        info = validate_gguf(out)
+        # 2 layers x (7 proj + 7 scales + 4 norms) + embed + final norm
+        assert info["n_tensors"] == 2 * 18 + 2
+        meta, tensors = read_gguf(out)
+        assert meta["general.architecture"] == "bitnet"
+        assert meta["llama.block_count"] == 2
+
+        # dequantized q_proj must equal the source ternary exactly
+        from safetensors.numpy import load_file
+
+        src_w = load_file(str(src / "model.safetensors"))[
+            "model.layers.0.self_attn.q_proj.weight"
+        ]
+        qw, gt = tensors["blk.0.attn_q.weight"]
+        assert gt == GGML_I2_S
+        tern = unpack_ternary_np(qw)  # [K, N] = [in, out]
+        np.testing.assert_array_equal(tern.T.astype(np.float32), src_w)
+
+    def test_f16_export(self, tmp_path):
+        src = _make_model_dir(tmp_path, dtype="ternary_float")
+        out = convert_hf_to_gguf(src, tmp_path / "m16.gguf", quant_type="f16")
+        _, tensors = read_gguf(out)
+        w, gt = tensors["blk.0.attn_q.weight"]
+        assert gt == GGML_F16 and w.dtype == np.float16
+        assert w.shape == (128, 128)  # [out, in]

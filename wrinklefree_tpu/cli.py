@@ -75,8 +75,19 @@ def cmd_chat(args):
 def cmd_convert(args):
     from .convert.convert import convert_and_save
 
-    out = convert_and_save(args.model, args.output, revision=args.revision)
+    out = convert_and_save(
+        args.model, args.output, revision=args.revision,
+        ternarize=getattr(args, "ternarize", False),
+    )
     print(f"converted -> {out}")
+
+
+def cmd_convert_gguf(args):
+    from .convert.gguf import convert_hf_to_gguf, validate_gguf
+
+    out = convert_hf_to_gguf(args.model, args.output, quant_type=args.quant_type)
+    info = validate_gguf(out)
+    print(f"wrote {out} ({info['n_tensors']} tensors, {info['size_bytes']} bytes)")
 
 
 def cmd_validate(args):
@@ -136,10 +147,18 @@ def main(argv=None):
     s.add_argument("--temperature", type=float, default=0.7)
     s.set_defaults(fn=cmd_chat)
 
+    s = sub.add_parser("convert-gguf", help="export HF/packed model to GGUF")
+    s.add_argument("model")
+    s.add_argument("output")
+    s.add_argument("--quant-type", default="i2_s", choices=["i2_s", "f16", "f32"])
+    s.set_defaults(fn=cmd_convert_gguf)
+
     s = sub.add_parser("convert", help="convert HF model to packed cache")
     s.add_argument("model")
     s.add_argument("output")
     s.add_argument("--revision", default=None)
+    s.add_argument("--ternarize", action="store_true",
+                   help="naive FP16->ternary conversion of a dense model")
     s.set_defaults(fn=cmd_convert)
 
     s = sub.add_parser("validate", help="black-box KV-cache validation of a server")

@@ -1,0 +1,293 @@
+"""HF checkpoint -> GGUF export (+ reader/validator).
+
+Capability analog of the reference's GGUF pipeline (reference
+legacy/src/converter/hf_to_gguf.py and gguf_converter.py — which shell out
+to BitNet's setup_env.py or the `gguf` package). This is a self-contained
+GGUF v3 writer/reader with llama.cpp tensor naming (token_embd, blk.N.attn_q,
+...), supporting:
+
+- `f32` / `f16`: dequantized export, loadable by any GGUF tooling.
+- `i2_s`: 2-bit ternary packing, 4 weights/byte with a per-tensor f32
+  scale tensor (`<name>.scale`). NOTE: this is the wf-tpu packing (plane
+  -major, ops/ternary.py), not byte-identical to BitNet.cpp's internal
+  i2_s kernel layout — `read_gguf` round-trips it exactly, and the magic/
+  structure is standard GGUF v3.
+
+Validation mirrors the reference's checks (reference
+tests/test_conversion.py:64-108: existence, minimum size, magic bytes).
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+GGUF_MAGIC = b"GGUF"
+GGUF_VERSION = 3
+ALIGNMENT = 32
+
+# GGML tensor dtypes (ggml.h)
+GGML_F32 = 0
+GGML_F16 = 1
+GGML_I8 = 24
+GGML_I2_S = 36  # BitNet fork's 2-bit ternary id
+
+# GGUF metadata value types
+_U8, _I8T, _U16, _I16, _U32, _I32T, _F32T, _BOOL, _STR, _ARR, _U64, _I64, _F64 = range(13)
+
+
+def _w_str(f, s: str):
+    b = s.encode()
+    f.write(struct.pack("<Q", len(b)))
+    f.write(b)
+
+
+def _w_kv(f, key: str, val):
+    _w_str(f, key)
+    if isinstance(val, bool):
+        f.write(struct.pack("<I", _BOOL) + struct.pack("<?", val))
+    elif isinstance(val, int):
+        f.write(struct.pack("<I", _U32) + struct.pack("<I", val))
+    elif isinstance(val, float):
+        f.write(struct.pack("<I", _F32T) + struct.pack("<f", val))
+    elif isinstance(val, str):
+        f.write(struct.pack("<I", _STR))
+        _w_str(f, val)
+    else:
+        raise TypeError(f"unsupported metadata type for {key}: {type(val)}")
+
+
+def _r_str(f) -> str:
+    (n,) = struct.unpack("<Q", f.read(8))
+    return f.read(n).decode()
+
+
+def _r_kv(f):
+    key = _r_str(f)
+    (vt,) = struct.unpack("<I", f.read(4))
+    if vt == _BOOL:
+        (v,) = struct.unpack("<?", f.read(1))
+    elif vt == _U32:
+        (v,) = struct.unpack("<I", f.read(4))
+    elif vt == _I32T:
+        (v,) = struct.unpack("<i", f.read(4))
+    elif vt == _U64:
+        (v,) = struct.unpack("<Q", f.read(8))
+    elif vt == _F32T:
+        (v,) = struct.unpack("<f", f.read(4))
+    elif vt == _STR:
+        v = _r_str(f)
+    else:
+        raise ValueError(f"unsupported GGUF metadata value type {vt} for {key}")
+    return key, v
+
+
+# llama.cpp tensor naming (what BitNet.cpp's GGUF models use)
+_NAME_MAP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "self_attn.attn_sub_norm.weight": "attn_sub_norm.weight",
+    "mlp.ffn_sub_norm.weight": "ffn_sub_norm.weight",
+}
+
+
+def hf_name_to_gguf(name: str) -> Optional[str]:
+    if name in _NAME_MAP:
+        return _NAME_MAP[name]
+    if name.startswith("model.layers."):
+        rest = name[len("model.layers."):]
+        idx, sub = rest.split(".", 1)
+        mapped = _LAYER_MAP.get(sub)
+        if mapped:
+            return f"blk.{idx}.{mapped}"
+    return None
+
+
+def write_gguf(
+    path: Path | str,
+    metadata: Dict[str, object],
+    tensors: Dict[str, Tuple[np.ndarray, int]],
+) -> Path:
+    """Write a GGUF v3 file. tensors: name -> (array, ggml_type).
+
+    Arrays must already be in the on-disk dtype (f32/f16/uint8 for i2_s).
+    GGUF dims are stored innermost-first (ne[0] = contiguous axis).
+    """
+    path = Path(path)
+    with open(path, "wb") as f:
+        f.write(GGUF_MAGIC)
+        f.write(struct.pack("<I", GGUF_VERSION))
+        f.write(struct.pack("<Q", len(tensors)))
+        meta = {"general.alignment": ALIGNMENT, **metadata}
+        f.write(struct.pack("<Q", len(meta)))
+        for k, v in meta.items():
+            _w_kv(f, k, v)
+
+        # tensor infos
+        offset = 0
+        blobs = []
+        for name, (arr, gtype) in tensors.items():
+            arr = np.ascontiguousarray(arr)
+            _w_str(f, name)
+            dims = arr.shape[::-1]  # GGUF: innermost first
+            f.write(struct.pack("<I", len(dims)))
+            for d in dims:
+                f.write(struct.pack("<Q", d))
+            f.write(struct.pack("<I", gtype))
+            f.write(struct.pack("<Q", offset))
+            data = arr.tobytes()
+            pad = (-len(data)) % ALIGNMENT
+            blobs.append(data + b"\x00" * pad)
+            offset += len(data) + pad
+
+        # align data section start
+        pos = f.tell()
+        f.write(b"\x00" * ((-pos) % ALIGNMENT))
+        for b in blobs:
+            f.write(b)
+    return path
+
+
+def read_gguf(path: Path | str):
+    """Parse a GGUF file -> (metadata, {name: (array, ggml_type)}).
+
+    i2_s tensors come back as their packed uint8 payload (pair with the
+    `<name>.scale` f32 tensor and ops/ternary.unpack to dequantize).
+    """
+    path = Path(path)
+    with open(path, "rb") as f:
+        if f.read(4) != GGUF_MAGIC:
+            raise ValueError("Invalid GGUF magic")
+        (version,) = struct.unpack("<I", f.read(4))
+        if version != GGUF_VERSION:
+            raise ValueError(f"unsupported GGUF version {version}")
+        (n_tensors,) = struct.unpack("<Q", f.read(8))
+        (n_kv,) = struct.unpack("<Q", f.read(8))
+        metadata = dict(_r_kv(f) for _ in range(n_kv))
+
+        infos = []
+        for _ in range(n_tensors):
+            name = _r_str(f)
+            (n_dims,) = struct.unpack("<I", f.read(4))
+            dims = struct.unpack(f"<{n_dims}Q", f.read(8 * n_dims))
+            gtype, = struct.unpack("<I", f.read(4))
+            off, = struct.unpack("<Q", f.read(8))
+            infos.append((name, dims[::-1], gtype, off))
+
+        align = metadata.get("general.alignment", ALIGNMENT)
+        pos = f.tell()
+        data_start = pos + ((-pos) % align)
+
+        dtypes = {GGML_F32: np.float32, GGML_F16: np.float16,
+                  GGML_I8: np.int8, GGML_I2_S: np.uint8}
+        tensors = {}
+        for name, shape, gtype, off in infos:
+            dt = dtypes.get(gtype)
+            if dt is None:
+                raise ValueError(f"unsupported ggml type {gtype} for {name}")
+            count = int(np.prod(shape)) if shape else 1
+            f.seek(data_start + off)
+            arr = np.frombuffer(f.read(count * np.dtype(dt).itemsize), dt)
+            tensors[name] = (arr.reshape(shape), gtype)
+        return metadata, tensors
+
+
+def validate_gguf(path: Path | str, min_size_bytes: int = 1024) -> dict:
+    """Existence / size / magic / header checks (reference
+    tests/test_conversion.py:64-108)."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"GGUF file not found: {path}")
+    size = path.stat().st_size
+    if size < min_size_bytes:
+        raise ValueError(f"GGUF file too small: {size} bytes")
+    with open(path, "rb") as f:
+        if f.read(4) != GGUF_MAGIC:
+            raise ValueError("Invalid GGUF magic")
+        (version,) = struct.unpack("<I", f.read(4))
+        (n_tensors,) = struct.unpack("<Q", f.read(8))
+    return {"size_bytes": size, "version": version, "n_tensors": n_tensors}
+
+
+def convert_hf_to_gguf(
+    model_dir: Path | str,
+    output_path: Path | str,
+    quant_type: str = "i2_s",
+) -> Path:
+    """Convert an HF/wf-tpu model dir to one GGUF file.
+
+    quant_type 'i2_s': ternary projections packed 2-bit (+ .scale tensors);
+    'f16'/'f32': everything dequantized to float.
+    """
+    from ..config import BitNetConfig
+    from ..ops.ternary import unpack_ternary_np
+    from ..models.loader import _load_safetensors_dir, _proj_to_wf, _to_float
+    from .convert import TERNARY_PROJ_SUFFIXES
+
+    model_dir = Path(model_dir)
+    cfg = BitNetConfig.from_hf_config(model_dir)
+    raw = _load_safetensors_dir(model_dir)
+
+    meta = {
+        "general.architecture": "bitnet" if cfg.sub_norms else "llama",
+        "general.name": model_dir.name,
+        "general.file_type": 1 if quant_type != "f32" else 0,
+        "bitnet.quant_type": quant_type,
+        "llama.context_length": cfg.max_position,
+        "llama.embedding_length": cfg.hidden_size,
+        "llama.block_count": cfg.num_layers,
+        "llama.feed_forward_length": cfg.intermediate_size,
+        "llama.attention.head_count": cfg.num_heads,
+        "llama.attention.head_count_kv": cfg.num_kv_heads,
+        "llama.rope.freq_base": float(cfg.rope_theta),
+        "llama.attention.layer_norm_rms_epsilon": float(cfg.rms_norm_eps),
+        "llama.vocab_size": cfg.vocab_size,
+    }
+
+    out: Dict[str, Tuple[np.ndarray, int]] = {}
+    for name in sorted(raw):
+        if name.endswith(".weight_scale") or name.endswith(".qweight"):
+            continue  # handled with their projection below
+        gname = hf_name_to_gguf(name)
+        if gname is None:
+            continue
+        is_proj = any(name.endswith(s) for s in TERNARY_PROJ_SUFFIXES)
+        if is_proj:
+            base = name[: -len(".weight")]
+            qw, scale = _proj_to_wf(raw, base)  # [K/4, N] packed, f32 scale
+            if quant_type == "i2_s":
+                out[gname] = (qw, GGML_I2_S)
+                out[gname + ".scale"] = (np.asarray([scale], np.float32), GGML_F32)
+            else:
+                tern = unpack_ternary_np(qw).astype(np.float32) / max(scale, 1e-9)
+                w = tern.T  # [N, K] -> llama.cpp row-major [out, in]
+                dt = np.float16 if quant_type == "f16" else np.float32
+                out[gname] = (w.astype(dt), GGML_F16 if quant_type == "f16" else GGML_F32)
+        else:
+            w = _to_float(raw[name])
+            if quant_type == "f32":
+                out[gname] = (w.astype(np.float32), GGML_F32)
+            else:
+                out[gname] = (w.astype(np.float16), GGML_F16)
+
+    path = write_gguf(output_path, meta, out)
+    logger.info("wrote GGUF (%s, %d tensors): %s", quant_type, len(out), path)
+    return path
