@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import BitNetConfig, EngineConfig
 from ..kv.paged import PagedKV, paged_forward
-from ..ops.sampling import sample_token
+from ..ops.sampling import per_request_keys, sample_token
 from .page_allocator import PageAllocator
 from .radix_cache import RadixCache
 from .sampling_params import SamplingParams
@@ -53,6 +53,7 @@ class Request:
     matched_pages: List[int] = dataclasses.field(default_factory=list)
     matched_tokens: int = 0
     seq_len: int = 0
+    seed: int = 0  # per-request RNG stream (sampling.seed or derived from rid)
     finished: bool = False
     finish_reason: str = ""
     arrival_t: float = dataclasses.field(default_factory=time.monotonic)
@@ -134,13 +135,15 @@ class Engine:
         cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode(params, pools, tokens, page_table, seq_lens, rng, temps, top_ps):
+        def decode(params, pools, tokens, page_table, seq_lens, seeds, counters,
+                   temps, top_ps):
             new_lens = jnp.ones_like(seq_lens)
             logits, pools = paged_forward(
                 params, cfg, tokens, pools, page_table, seq_lens, new_lens,
                 linear_fn=lf, attention_fn=af,
             )
-            nxt = sample_token(logits, rng, temperature=temps, top_p=top_ps)
+            keys = per_request_keys(seeds, counters)
+            nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)
             return nxt, pools
 
         return decode
@@ -151,12 +154,13 @@ class Engine:
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
-                        rng, temp, top_p):
+                        seeds, counters, temp, top_p):
                 logits, pools = paged_forward(
                     params, cfg, tokens, pools, page_table, seq_len, new_len,
                     linear_fn=lf, attention_fn=af,
                 )
-                nxt = sample_token(logits, rng, temperature=temp, top_p=top_p)
+                keys = per_request_keys(seeds, counters)
+                nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
                 return nxt, pools
 
             self._prefill_jits[bucket] = prefill
@@ -183,6 +187,11 @@ class Engine:
                 f"prompt too long: {len(prompt_ids)} >= max_context {limit}"
             )
         req = Request(next(self._rid), list(prompt_ids), sampling, on_token)
+        req.seed = (
+            sampling.seed
+            if sampling.seed is not None
+            else ((req.rid + 1) * 2654435761) % (2**32)
+        )
         self.waiting.put(req, timeout=5)
         self.stats["requests"] += 1
         return req
@@ -311,7 +320,8 @@ class Engine:
                 pt_dev,
                 jnp.asarray([pos], jnp.int32),
                 jnp.asarray([len(chunk)], jnp.int32),
-                self._next_rng(),
+                jnp.asarray([req.seed], jnp.uint32),
+                jnp.asarray([len(req.output_ids)], jnp.int32),
                 jnp.asarray([req.sampling.temperature], jnp.float32),
                 jnp.asarray([req.sampling.top_p], jnp.float32),
             )
@@ -361,9 +371,14 @@ class Engine:
         S = len(self.slots)
         temps = np.zeros((S,), np.float32)
         top_ps = np.ones((S,), np.float32)
+        seeds = np.zeros((S,), np.uint32)
+        counters = np.zeros((S,), np.int32)
         for i in active:
-            temps[i] = self.slots[i].sampling.temperature
-            top_ps[i] = self.slots[i].sampling.top_p
+            r = self.slots[i]
+            temps[i] = r.sampling.temperature
+            top_ps[i] = r.sampling.top_p
+            seeds[i] = r.seed
+            counters[i] = len(r.output_ids)
 
         nxt, self.pools = self._decode_jit(
             self.params,
@@ -371,7 +386,8 @@ class Engine:
             jnp.asarray(self.last_tokens[:, None]),
             jnp.asarray(self.page_table),
             jnp.asarray(self.seq_lens),
-            self._next_rng(),
+            jnp.asarray(seeds),
+            jnp.asarray(counters),
             jnp.asarray(temps),
             jnp.asarray(top_ps),
         )

@@ -59,6 +59,22 @@ def sample_token(
     if top_k:
         scaled = apply_top_k(scaled, jnp.full(logits.shape[:1], top_k, jnp.int32))
     scaled = apply_top_p(scaled, top_p)
-    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    if rng.ndim == 2 and rng.shape[0] == logits.shape[0]:
+        # per-row keys (per-request seeds): gumbel-max, one stream per row
+        noise = jax.vmap(lambda k, s: jax.random.gumbel(k, s.shape))(rng, scaled)
+        sampled = jnp.argmax(scaled + noise, axis=-1).astype(jnp.int32)
+    else:
+        sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
     return jnp.where(temperature > 0, sampled, greedy)
+
+
+def per_request_keys(seeds: jax.Array, counters: jax.Array) -> jax.Array:
+    """[B] uint32 seeds + [B] int32 token counters -> [B, 2] keys.
+
+    Gives every request its own deterministic stream independent of batch
+    composition/slot placement (so seeded sampling reproduces across
+    continuous-batching schedules)."""
+    return jax.vmap(lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c))(
+        seeds, counters
+    )
