@@ -90,6 +90,16 @@ def cmd_convert_gguf(args):
     print(f"wrote {out} ({info['n_tensors']} tensors, {info['size_bytes']} bytes)")
 
 
+def cmd_validate_model(args):
+    import json as _json
+
+    from .convert.validate import validate_model
+
+    rep = validate_model(args.model)
+    print(_json.dumps(rep, indent=2))
+    sys.exit(0 if rep["valid"] else 1)
+
+
 def cmd_validate(args):
     from .kv.validator import run_kv_cache_validation
 
@@ -160,6 +170,10 @@ def main(argv=None):
     s.add_argument("--ternarize", action="store_true",
                    help="naive FP16->ternary conversion of a dense model")
     s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("validate-model", help="validate a ternary model directory")
+    s.add_argument("model")
+    s.set_defaults(fn=cmd_validate_model)
 
     s = sub.add_parser("validate", help="black-box KV-cache validation of a server")
     s.add_argument("--url", default="http://127.0.0.1:30000")
