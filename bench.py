@@ -35,9 +35,9 @@ def main():
     max_len = prompt_len + 3 * decode_steps + 8  # 3 timing windows
 
     # Default compute path: the XLA-fused dequant-matmul (ternary unpack +
-    # int8 dot fused by XLA) — measured AT this chip's streaming speed of
-    # light (~3.7-4 TB/s effective) at batch 1..32, slightly ahead of the
-    # hand-written Pallas kernel. WF_BENCH_PALLAS=1 selects Pallas.
+    # int8 dot fused by XLA) — at or ahead of the handwritten Pallas
+    # kernel across batch 1..32 on this hardware. WF_BENCH_PALLAS=1
+    # selects Pallas.
     use_pallas = os.environ.get("WF_BENCH_PALLAS", "0") == "1" and (
         jax.devices()[0].platform != "cpu"
     )
@@ -74,21 +74,28 @@ def main():
     toks = jnp.ones((batch, prompt_len), jnp.int32)
     start0 = jnp.zeros((batch,), jnp.int32)
 
+    import numpy as _np0
+
     t0 = time.perf_counter()
     tok, cache = prefill(params, toks, cache, start0)
-    tok.block_until_ready()
+    _ = _np0.asarray(tok)
     ttft_s = time.perf_counter() - t0  # includes compile on first call
     log(f"prefill done in {ttft_s:.1f}s; compiling decode...")
 
     # warmup decode (compile)
+    import numpy as _np1
+
     pos = prompt_len
     tok, cache = decode_step(params, tok, cache, jnp.full((batch,), pos, jnp.int32))
-    tok.block_until_ready()
+    _ = _np1.asarray(tok)
     pos += 1
     log("decode compiled; timing...")
 
-    # best-of-3 timing windows: the tunnel transport adds occasional
-    # multi-ms stalls unrelated to device time
+    # HONEST timing: on remote-tunnel transports block_until_ready can
+    # return before execution completes — only a real device->host fetch
+    # is a reliable completion barrier. Fetch-terminated, best of 3.
+    import numpy as _np
+
     best_dt = float("inf")
     for _rep in range(3):
         t0 = time.perf_counter()
@@ -97,7 +104,7 @@ def main():
                 params, tok, cache, jnp.full((batch,), pos, jnp.int32)
             )
             pos += 1
-        tok.block_until_ready()
+        _ = _np.asarray(tok)  # true completion barrier
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt
 

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Continuous-batching serving benchmark — engine-level, no HTTP.
+
+Exercises BASELINE.json configs 2 and 3: prefill-heavy batches and many
+concurrent streams through the paged-KV engine with radix caching.
+Reports aggregate tok/s, TTFT and latency percentiles.
+
+Usage:
+  python scripts/serving_bench.py --streams 64 --prompt-len 128 --new-tokens 64
+  python scripts/serving_bench.py --streams 8 --prompt-len 4096 --new-tokens 16  # prefill-heavy
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+from wrinklefree_tpu.bench.metrics import BenchmarkMetrics  # noqa: E402
+from wrinklefree_tpu.config import BitNetConfig, EngineConfig  # noqa: E402
+from wrinklefree_tpu.engine import Engine, SamplingParams  # noqa: E402
+from wrinklefree_tpu.models.bitnet import init_params  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--num-pages", type=int, default=4096)
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="tokens of common prefix across streams (radix test)")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    cfg = BitNetConfig.tiny() if args.tiny else BitNetConfig.bitnet_2b()
+    max_ctx = min(cfg.max_position, args.prompt_len + args.new_tokens + 64)
+    ecfg = EngineConfig(
+        max_batch_slots=args.slots,
+        page_size=16,
+        num_pages=args.num_pages,
+        max_context=max_ctx,
+        prefill_buckets=tuple(
+            b for b in (128, 512, 1024, 2048, 4096) if b <= max_ctx
+        ) or (128,),
+    )
+    print(f"init {('tiny' if args.tiny else '2B')} model + engine "
+          f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)
+    params = init_params(cfg, seed=0)
+    eng = Engine(params, cfg, ecfg)
+
+    rng = np.random.default_rng(0)
+    shared = [int(t) for t in rng.integers(1, cfg.vocab_size, args.shared_prefix)]
+    prompts = [
+        shared + [int(t) for t in rng.integers(
+            1, cfg.vocab_size, args.prompt_len - args.shared_prefix)]
+        for _ in range(args.streams)
+    ]
+
+    # warmup: compile prefill buckets + decode
+    print("warmup (compiles)...", file=sys.stderr)
+    eng.generate(prompts[0][: args.prompt_len], SamplingParams(max_new_tokens=2))
+
+    results = [None] * args.streams
+    lat, ttft = [None] * args.streams, [None] * args.streams
+
+    def submit_all():
+        for i, p in enumerate(prompts):
+            t_sub = time.perf_counter()
+
+            def mk(i=i, t_sub=t_sub):
+                def on_token(tok, fin):
+                    if ttft[i] is None:
+                        ttft[i] = time.perf_counter() - t_sub
+                    if fin:
+                        lat[i] = time.perf_counter() - t_sub
+                return on_token
+
+            results[i] = eng.submit(
+                p, SamplingParams(max_new_tokens=args.new_tokens), on_token=mk()
+            )
+
+    t0 = time.perf_counter()
+    threading.Thread(target=submit_all).start()
+    steps = 0
+    while any(r is None or not r.finished for r in results):
+        if not eng.step():
+            time.sleep(0.0005)
+        steps += 1
+    wall = time.perf_counter() - t0
+
+    out_tokens = sum(len(r.output_ids) for r in results)
+    prefill_tokens = eng.stats["prefill_tokens"]
+    m = BenchmarkMetrics.from_latencies(
+        [l for l in lat if l], ttfts_s=[t for t in ttft if t],
+        total_tokens=out_tokens, total_time_s=wall,
+    )
+    report = {
+        "metric": "continuous-batching serving",
+        "streams": args.streams,
+        "prompt_len": args.prompt_len,
+        "new_tokens": args.new_tokens,
+        "slots": args.slots,
+        "decode_tok_s": round(out_tokens / wall, 1),
+        "total_tok_s": round((out_tokens + prefill_tokens) / wall, 1),
+        "ttft_p50_s": round(m.ttft_p50_s, 3),
+        "ttft_p95_s": round(m.ttft_p95_s, 3),
+        "latency_p50_s": round(m.latency_p50_s, 3),
+        "latency_p95_s": round(m.latency_p95_s, 3),
+        "wall_s": round(wall, 2),
+        "radix_hit_tokens": eng.stats["radix_hit_tokens"],
+        "decode_steps": eng.stats["decode_steps"],
+        "native_runtime": eng.native_runtime,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,9 @@ class EngineConfig:
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.
     use_native_runtime: bool = True
+    # Decode steps fused into ONE device program per dispatch: host/tunnel
+    # round-trips are paid once per burst. Streaming granularity = burst.
+    decode_burst: int = 8
 
 
 # ---------------------------------------------------------------------------

@@ -113,12 +113,29 @@ class Engine:
         self.seq_lens = np.zeros((S,), np.int32)
         self.slots: List[Optional[Request]] = [None] * S
         self.last_tokens = np.zeros((S,), np.int32)
+        self.slot_seeds = np.zeros((S,), np.uint32)
+        self.slot_counters = np.zeros((S,), np.int32)
+        self.slot_temps = np.zeros((S,), np.float32)
+        self.slot_tps = np.ones((S,), np.float32)
+        # device-resident copies of the scheduling state (uploaded lazily)
+        self._dstate = None
+        self._dirty = True
 
         self.waiting: "queue.Queue[Request]" = queue.Queue(maxsize=e.max_queue)
         self._rid = itertools.count()
-        self._rng = jax.random.PRNGKey(0)
-        self._step_i = 0
         self._lock = threading.Lock()
+
+        import os as _os
+
+        # in-place Pallas KV writer on TPU for unquantized pools (the XLA
+        # scatter copies the whole pool); WF_KV_WRITE=xla overrides
+        self._kv_write = "xla"
+        if (
+            _os.environ.get("WF_KV_WRITE", "auto") != "xla"
+            and jax.devices()[0].platform == "tpu"
+            and e.kv_dtype in ("bf16", "f32", "fp16")
+        ):
+            self._kv_write = "pallas"
 
         self._decode_jit = self._build_decode()
         self._prefill_jits: Dict[int, Callable] = {}
@@ -132,43 +149,58 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _build_decode(self):
+        """Fused K-step decode burst: a device-side `lax.scan` samples K
+        tokens per slot per dispatch, so tunnel/host round-trips are paid
+        once per K tokens instead of per token (the decode-loop-overhead
+        trap, SURVEY.md §7; measured 100x on a remote-tunnel TPU).
+
+        State arrays live on device between bursts; the host re-uploads
+        them only after scheduling events (admission/finish)."""
         cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
+        kvw = self._kv_write
+        K = self.ecfg.decode_burst
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode(params, pools, tokens, page_table, seq_lens, seeds, counters,
-                   temps, top_ps):
-            new_lens = jnp.ones_like(seq_lens)
-            logits, pools = paged_forward(
-                params, cfg, tokens, pools, page_table, seq_lens, new_lens,
-                linear_fn=lf, attention_fn=af,
-            )
-            keys = per_request_keys(seeds, counters)
-            nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)
-            return nxt, pools
+        def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
+                  counters, temps, top_ps):
+            def one(carry, _):
+                pools, tok, sl, ctr = carry
+                logits, pools = paged_forward(
+                    params, cfg, tok[:, None], pools, page_table, sl,
+                    jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
+                    kv_write=kvw,
+                )
+                keys = per_request_keys(seeds, ctr)
+                nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)
+                return (pools, nxt, sl + 1, ctr + 1), nxt
 
-        return decode
+            (pools, last, sl, ctr), toks = jax.lax.scan(
+                one, (pools, last_tokens, seq_lens, counters), None, length=K
+            )
+            return toks, pools, last, sl, ctr
+
+        return burst
 
     def _prefill_for_bucket(self, bucket: int):
         if bucket not in self._prefill_jits:
             cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
+            kvw = self._kv_write
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
                         seeds, counters, temp, top_p):
                 logits, pools = paged_forward(
                     params, cfg, tokens, pools, page_table, seq_len, new_len,
-                    linear_fn=lf, attention_fn=af,
+                    linear_fn=lf, attention_fn=af, kv_write=kvw,
                 )
                 keys = per_request_keys(seeds, counters)
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
-                return nxt, pools
+                # pad: single-element D2H fetches hit a pathological slow
+                # path over remote-tunnel transports
+                return jnp.pad(nxt, (0, 63)), pools
 
             self._prefill_jits[bucket] = prefill
         return self._prefill_jits[bucket]
-
-    def _next_rng(self):
-        self._step_i += 1
-        return jax.random.fold_in(self._rng, self._step_i)
 
     # ------------------------------------------------------------------
     # public API
@@ -326,7 +358,7 @@ class Engine:
                 jnp.asarray([req.sampling.top_p], jnp.float32),
             )
             pos += len(chunk)
-            first_tok = int(nxt[0])
+            first_tok = int(np.asarray(nxt)[0])
         self.stats["prefill_tokens"] += len(prompt) - matched
 
         req.seq_len = len(prompt)
@@ -335,6 +367,11 @@ class Engine:
         self._emit_token(req, first_tok)
         if not req.finished:
             self.last_tokens[slot] = first_tok
+        self.slot_seeds[slot] = req.seed
+        self.slot_counters[slot] = len(req.output_ids)
+        self.slot_temps[slot] = req.sampling.temperature
+        self.slot_tps[slot] = req.sampling.top_p
+        self._dirty = True
 
     def _pick_bucket(self, n: int) -> int:
         for b in self.ecfg.prefill_buckets:
@@ -342,67 +379,73 @@ class Engine:
                 return b
         return self.ecfg.prefill_buckets[-1]
 
+    def _upload_state(self):
+        self._dstate = (
+            jnp.asarray(self.last_tokens),
+            jnp.asarray(self.page_table),
+            jnp.asarray(self.seq_lens),
+            jnp.asarray(self.slot_seeds),
+            jnp.asarray(self.slot_counters),
+            jnp.asarray(self.slot_temps),
+            jnp.asarray(self.slot_tps),
+        )
+        self._dirty = False
+
     def _decode(self) -> bool:
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return False
+        K = self.ecfg.decode_burst
+        ps = self.page_size
 
-        # page-boundary allocation before the step
+        # make sure pages cover the next K positions per slot
         for i in active:
             req = self.slots[i]
-            if req.seq_len % self.page_size == 0:
-                lp = req.seq_len // self.page_size
-                if lp >= self.max_pages_per_seq:
-                    self._finish(req, "length")
-                    continue
+            lp_lo = req.seq_len // ps
+            lp_hi = min((req.seq_len + K - 1) // ps, self.max_pages_per_seq - 1)
+            for lp in range(lp_lo, lp_hi + 1):
                 if self.page_table[i, lp] == 0:
                     try:
                         (pg,) = self._alloc_pages(1)
                     except MemoryError:
                         self._finish(req, "oom")
-                        continue
+                        break
                     req.pages.append(pg)
                     self.page_table[i, lp] = pg
+                    self._dirty = True
 
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return True
 
-        S = len(self.slots)
-        temps = np.zeros((S,), np.float32)
-        top_ps = np.ones((S,), np.float32)
-        seeds = np.zeros((S,), np.uint32)
-        counters = np.zeros((S,), np.int32)
-        for i in active:
-            r = self.slots[i]
-            temps[i] = r.sampling.temperature
-            top_ps[i] = r.sampling.top_p
-            seeds[i] = r.seed
-            counters[i] = len(r.output_ids)
-
-        nxt, self.pools = self._decode_jit(
-            self.params,
-            self.pools,
-            jnp.asarray(self.last_tokens[:, None]),
-            jnp.asarray(self.page_table),
-            jnp.asarray(self.seq_lens),
-            jnp.asarray(seeds),
-            jnp.asarray(counters),
-            jnp.asarray(temps),
-            jnp.asarray(top_ps),
+        if self._dirty or self._dstate is None:
+            self._upload_state()
+        d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps = self._dstate
+        toks_d, self.pools, d_last, d_sl, d_ctr = self._decode_jit(
+            self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
+            d_temps, d_tps,
         )
-        nxt = np.asarray(nxt)
-        self.stats["decode_steps"] += 1
+        self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps)
+        toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
+        self.stats["decode_steps"] += K
 
+        room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
         for i in active:
             req = self.slots[i]
-            req.seq_len += 1
-            self.seq_lens[i] = req.seq_len
-            tok = int(nxt[i])
-            self.stats["decode_tokens"] += 1
-            self._emit_token(req, tok)
-            if not req.finished:
-                self.last_tokens[i] = tok
+            for k in range(K):
+                if req.finished:
+                    break
+                if req.seq_len >= room_cap:
+                    self._finish(req, "length")
+                    break
+                req.seq_len += 1
+                self.seq_lens[i] = req.seq_len
+                tok = int(toks[k, i])
+                self.stats["decode_tokens"] += 1
+                self.slot_counters[i] += 1
+                self._emit_token(req, tok)
+                if not req.finished:
+                    self.last_tokens[i] = tok
         return True
 
     # ------------------------------------------------------------------
@@ -434,6 +477,7 @@ class Engine:
             self._finish(req, reason)
 
     def _finish(self, req: Request, reason: str):
+        self._dirty = True
         req.finished = True
         req.finish_reason = reason
         req.finish_t = time.monotonic()

@@ -2,24 +2,38 @@
 
 Page-table spec follows the reference's C++ paged cache (reference
 tests/test_kv_cache_cpp.py:21-146: storage [pages, ...], free-list
-allocation, gather by page/slot indices) re-laid-out for TPU:
+allocation, gather by page/slot indices) re-laid-out for TPU with a
+TOKEN-MAJOR pool:
 
-    k_pool, v_pool : [L, P, page_size, KV, D]   (optionally quantized)
-    page_table     : [num_slots, max_pages]  int32 (page ids; 0 = trash)
-    seq_lens       : [num_slots]             int32
+    kv pool    : [P, page_size, 2*Lp, KV*D]  (k-layers then v-layers)
+    page_table : [num_slots, max_pages]  int32 (page ids; 0 = trash)
+    seq_lens   : [num_slots]             int32
+
+Why token-major (vs the reference's layer-major [L, P, ...]): one decode
+token's ENTIRE cache contribution — k and v for every layer — is a single
+contiguous [2*Lp, KV*D] row, so the in-place Pallas writer
+(ops/kv_update_pallas.py) commits a token with ONE aligned DMA per slot
+instead of 2*L scattered ones, and the XLA-scatter fallback touches one
+row per token. The row factorization (2*Lp sublanes x KV*D lanes, L
+padded to Lp so 2*Lp % 8 == 0) satisfies Mosaic's (8,128) DMA alignment
+at ~7% padding instead of the 60% that padding KV heads would cost.
 
 Page 0 is a reserved TRASH page: inactive slots and bucket padding write
 into it, so the jitted step never branches on slot liveness. One
 `paged_forward` covers chunked prefill (S = chunk) and batched decode
 (S = 1); everything is static-shaped for XLA.
 
-This jnp gather implementation is the correctness oracle; the Pallas
-flash-decode kernel (ops/flash_decode.py) reads pages from HBM directly.
+Hard-won performance rules encoded here (measured on v5e-class hardware):
+- NEVER scan-carry or xs-slice the pool: XLA materializes full-pool
+  copies per step (~8x decode latency).
+- NEVER scatter into the pool with `.at[].set` on the hot path: XLA
+  lowers it to a full-pool copy (~112 ms/step on a 2.5 GB pool). The
+  Pallas aliased-DMA writer is the hot path; the scatter remains as the
+  CPU/test oracle and the quantized-mode fallback.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -33,11 +47,14 @@ from ..ops.rope import apply_rope, rope_cos_sin
 from .quantized import KV_DTYPES, dequantize_kv, needs_scale, quantize_kv
 
 
+def _lpad(num_layers: int) -> int:
+    """Layers padded so 2*Lp is a multiple of 8 (DMA sublane tile)."""
+    return -(-num_layers // 4) * 4
+
+
 class PagedKV(NamedTuple):
-    k: jax.Array  # [L, P, ps, KV, D]
-    v: jax.Array
-    k_scale: Optional[jax.Array] = None  # [L, P, ps, KV, 1] (quantized modes)
-    v_scale: Optional[jax.Array] = None
+    kv: jax.Array  # [P, ps, 2*Lp, KV*D] — k rows [0,Lp), v rows [Lp,2Lp)
+    scale: Optional[jax.Array] = None  # [P, ps, 2*Lp, KV] (quantized)
 
     @classmethod
     def zeros(
@@ -47,56 +64,58 @@ class PagedKV(NamedTuple):
         page_size: int,
         kv_dtype: str = "bf16",
     ) -> "PagedKV":
-        shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+        lp = _lpad(cfg.num_layers)
+        shape = (num_pages, page_size, 2 * lp, cfg.num_kv_heads * cfg.head_dim)
         dt = KV_DTYPES[kv_dtype]
-        k = jnp.zeros(shape, dt)
-        v = jnp.zeros(shape, dt)
+        kv = jnp.zeros(shape, dt)
         if needs_scale(kv_dtype):
-            s = jnp.ones(shape[:-1] + (1,), jnp.float32)
-            return cls(k, v, s, s)
-        return cls(k, v, None, None)
+            return cls(
+                kv, jnp.ones(shape[:-1] + (cfg.num_kv_heads,), jnp.float32)
+            )
+        return cls(kv, None)
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.kv.shape[1]
 
     @property
     def kv_dtype_name(self) -> str:
         for name, dt in KV_DTYPES.items():
-            if dt == self.k.dtype:
+            if dt == self.kv.dtype:
                 return name
-        raise ValueError(self.k.dtype)
-
-
-def _write_tokens(pool_l, scale_l, new, page_ids, offsets, kv_dtype):
-    """Scatter new [B,S,KV,D] into pool_l [P,ps,KV,D] at (page_ids, offsets)
-    [B,S]. Returns updated (pool_l, scale_l)."""
-    q, s = quantize_kv(new, kv_dtype)
-    pool_l = pool_l.at[page_ids, offsets].set(q)
-    if scale_l is not None:
-        scale_l = scale_l.at[page_ids, offsets].set(s)
-    return pool_l, scale_l
+        raise ValueError(self.kv.dtype)
 
 
 def _paged_attention_jnp(
-    q, pool_k, pool_v, sk, sv, page_table, q_pos, kv_len, cfg: BitNetConfig
+    q, k_cur, v_cur, kv_rows, scale_rows, layer, token_rows, positions,
+    seq_lens, new_lens, cfg: BitNetConfig
 ):
     """Gather-based paged GQA attention (oracle path).
 
-    q [B,S,NH,D]; pools [P,ps,KV,D]; page_table [B,MP]; q_pos [B,S];
-    kv_len [B] = total valid tokens (including the S just written).
+    q/k_cur/v_cur [B,S,*,D] are the CURRENT chunk (not yet in the pool);
+    kv_rows is the row-flattened pool [P*ps, 2*Lp, KV*D] captured
+    READ-ONLY, token_rows [B, T] the flat row index of every visible
+    history slot. The gather pulls exactly layer `layer`'s k and v rows.
     """
     B, S, NH, D = q.shape
-    ps = pool_k.shape[1]
-    MP = page_table.shape[1]
-    KV = pool_k.shape[2]
+    T = token_rows.shape[1]
+    KV = cfg.num_kv_heads
     G = NH // KV
-    T = MP * ps
+    lp = kv_rows.shape[1] // 2
 
-    k = dequantize_kv(pool_k[page_table], sk[page_table] if sk is not None else None)
-    v = dequantize_kv(pool_v[page_table], sv[page_table] if sv is not None else None)
-    k = k.reshape(B, T, KV, D)
-    v = v.reshape(B, T, KV, D)
+    k_raw = kv_rows[token_rows, layer]  # [B, T, KV*D]
+    v_raw = kv_rows[token_rows, lp + layer]
+    if scale_rows is not None:
+        sk = scale_rows[token_rows, layer][..., :, None]  # [B,T,KV,1]
+        sv = scale_rows[token_rows, lp + layer][..., :, None]
+        k_hist = dequantize_kv(k_raw.reshape(B, T, KV, D), sk)
+        v_hist = dequantize_kv(v_raw.reshape(B, T, KV, D), sv)
+    else:
+        k_hist = dequantize_kv(k_raw.reshape(B, T, KV, D), None)
+        v_hist = dequantize_kv(v_raw.reshape(B, T, KV, D), None)
+
+    k = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
+    v = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
 
     scale = 1.0 / np.sqrt(D)
     qg = q.reshape(B, S, KV, G, D)
@@ -104,10 +123,17 @@ def _paged_attention_jnp(
         jnp.einsum("bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32)
         * scale
     )
-    key_idx = jnp.arange(T)[None, None, None, None, :]
-    mask = key_idx <= q_pos[:, None, None, :, None]
-    mask &= key_idx < kv_len[:, None, None, None, None]
-    scores = jnp.where(mask, scores, -jnp.inf)
+    # history keys: valid iff idx < seq_lens (strictly past)
+    hist_ok = jnp.arange(T)[None, :] < seq_lens[:, None]  # [B,T]
+    # current keys: causal within the chunk and within new_lens
+    cur_idx = jnp.arange(S)
+    cur_ok = (cur_idx[None, None, :] <= cur_idx[None, :, None]) & (
+        cur_idx[None, None, :] < new_lens[:, None, None]
+    )  # [B,S_q,S_k]
+    mask = jnp.concatenate(
+        [jnp.broadcast_to(hist_ok[:, None, :], (B, S, T)), cur_ok], axis=-1
+    )  # [B, S, T+S]
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
     return out.reshape(B, S, NH, D)
@@ -124,6 +150,7 @@ def paged_forward(
     *,
     linear_fn: Optional[LinearFn] = None,
     attention_fn=None,
+    kv_write: str = "xla",  # "pallas" = in-place DMA kernel (TPU, unquantized)
 ) -> Tuple[jax.Array, PagedKV]:
     """Run S new tokens per slot against the paged cache.
 
@@ -156,10 +183,22 @@ def paged_forward(
         0,
     )
     offsets = positions % ps
-    kv_len = seq_lens + new_lens
+
+    L = jax.tree.leaves(params["layers"])[0].shape[0]
+    P = pools.kv.shape[0]
+    kv_rows = pools.kv.reshape((P * ps,) + pools.kv.shape[2:])
+    scale_rows = (
+        pools.scale.reshape((P * ps,) + pools.scale.shape[2:])
+        if pools.scale is not None
+        else None
+    )
+    # flat row index of every history slot: [B, MP*ps]
+    token_rows = (
+        page_table[:, :, None] * ps + jnp.arange(ps)[None, None, :]
+    ).reshape(B, -1)
 
     def layer_step(h, xs):
-        lp, pk, pv, sk, sv = xs
+        lp, l = xs
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
         q = lf(normed, lp["q_qw"], lp["q_scale"]).reshape(B, S, -1, cfg.head_dim)
@@ -167,10 +206,10 @@ def paged_forward(
         v = lf(normed, lp["v_qw"], lp["v_scale"]).reshape(B, S, -1, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
-        pk, sk = _write_tokens(pk, sk, k, page_ids, offsets, kv_dtype)
-        pv, sv = _write_tokens(pv, sv, v, page_ids, offsets, kv_dtype)
-
-        attn = attn_impl(q, pk, pv, sk, sv, page_table, positions, kv_len, cfg)
+        attn = attn_impl(
+            q, k, v, kv_rows, scale_rows, l, token_rows, positions,
+            seq_lens, new_lens, cfg,
+        )
         attn = attn.reshape(B, S, -1)
         attn = rms_norm(attn, lp["attn_sub"], cfg.rms_norm_eps)
         h = h + lf(attn, lp["o_qw"], lp["o_scale"])
@@ -181,10 +220,41 @@ def paged_forward(
         act = jnp.square(jax.nn.relu(gate)) * up
         act = rms_norm(act, lp["ffn_sub"], cfg.rms_norm_eps)
         h = h + lf(act, lp["down_qw"], lp["down_scale"])
-        return h, (pk, pv, sk, sv)
+        return h, (k, v)
 
-    xs = (params["layers"], pools.k, pools.v, pools.k_scale, pools.v_scale)
-    hidden, (nk, nv, nsk, nsv) = jax.lax.scan(layer_step, hidden, xs)
+    xs = (params["layers"], jnp.arange(L))
+    hidden, (k_new, v_new) = jax.lax.scan(layer_step, hidden, xs)
+
+    # Pack each token's full contribution as one row [2*Lp, KV*D]
+    # (k-layers then v-layers; quantization per [D] head-vector first).
+    two_lp = pools.kv.shape[2]
+    lp_pad = two_lp // 2 - L
+    KV = cfg.num_kv_heads
+    kv_new = jnp.stack([k_new, v_new], axis=0)  # [2, L, B, S, KV, D]
+    q_kv, s_kv = quantize_kv(kv_new, kv_dtype)  # scales [2,L,B,S,KV,1]|None
+    q_kv = jnp.pad(q_kv, ((0, 0), (0, lp_pad)) + ((0, 0),) * 4)
+    vals = q_kv.transpose(2, 3, 0, 1, 4, 5).reshape(
+        B, S, two_lp, KV * cfg.head_dim
+    )
+
+    if kv_write == "pallas" and s_kv is None:
+        from ..ops.kv_update_pallas import kv_write_pallas
+
+        out = kv_write_pallas(
+            pools.kv,
+            vals.reshape(B * S, two_lp, KV * cfg.head_dim),
+            page_ids.reshape(-1).astype(jnp.int32),
+            offsets.reshape(-1).astype(jnp.int32),
+        )
+        new_pools = PagedKV(out, None)
+    else:
+        nkv = pools.kv.at[page_ids, offsets].set(vals)
+        nscale = pools.scale
+        if nscale is not None:
+            s_pad = jnp.pad(s_kv, ((0, 0), (0, lp_pad)) + ((0, 0),) * 4)
+            s_vals = s_pad.transpose(2, 3, 0, 1, 4, 5).reshape(B, S, two_lp, KV)
+            nscale = nscale.at[page_ids, offsets].set(s_vals)
+        new_pools = PagedKV(nkv, nscale)
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     # last REAL token per slot
@@ -197,4 +267,4 @@ def paged_forward(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return logits, PagedKV(nk, nv, nsk, nsv)
+    return logits, PagedKV(new_pools.kv, new_pools.scale)
