@@ -215,10 +215,27 @@ def paged_forward(
         h = h + lf(attn, lp["o_qw"], lp["o_scale"])
 
         normed = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        if cfg.num_experts > 0:
+            from ..models.moe import moe_ffn
+
+            experts = {
+                f"{n}_{t}": lp[f"moe_{n}_{t}"]
+                for n in ("gate", "up", "down") for t in ("qw", "scale")
+            }
+            y, _aux = moe_ffn(
+                normed.reshape(B * S, -1), experts, lp["ffn_sub"], lp["router"],
+                top_k=cfg.num_experts_per_tok, eps=cfg.rms_norm_eps,
+            )
+            h = h + y.reshape(B, S, -1).astype(dtype)
+            return h, (k, v)
         gate = lf(normed, lp["gate_qw"], lp["gate_scale"])
         up = lf(normed, lp["up_qw"], lp["up_scale"])
-        act = jnp.square(jax.nn.relu(gate)) * up
-        act = rms_norm(act, lp["ffn_sub"], cfg.rms_norm_eps)
+        if cfg.mlp_act == "silu":
+            act = jax.nn.silu(gate) * up
+        else:
+            act = jnp.square(jax.nn.relu(gate)) * up
+        if cfg.sub_norms:
+            act = rms_norm(act, lp["ffn_sub"], cfg.rms_norm_eps)
         h = h + lf(act, lp["down_qw"], lp["down_scale"])
         return h, (k, v)
 

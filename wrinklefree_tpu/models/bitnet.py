@@ -108,6 +108,27 @@ def init_params(cfg: BitNetConfig, seed: int = 0, dtype=jnp.bfloat16, fast: bool
         layers[f"{name}_qw"] = _stack(qw[name])
         layers[f"{name}_scale"] = jnp.asarray(np.asarray(sc[name]), jnp.float32)
 
+    if cfg.num_experts > 0:
+        # MoE: per-layer expert stacks [L, E, ...] replace the dense MLP
+        E = cfg.num_experts
+        for name in ("gate", "up", "down"):
+            kk, nn_ = dims[name]
+            eqw, esc = [], []
+            for _ in range(cfg.num_layers):
+                lw, ls = [], []
+                for _e in range(E):
+                    w, s = rand_proj(kk, nn_)
+                    lw.append(w)
+                    ls.append(s)
+                eqw.append(np.stack(lw))
+                esc.append(np.asarray(ls, np.float32))
+            layers[f"moe_{name}_qw"] = _stack(eqw)
+            layers[f"moe_{name}_scale"] = jnp.asarray(np.stack(esc))
+            del layers[f"{name}_qw"], layers[f"{name}_scale"]
+        layers["router"] = jnp.asarray(
+            rng.normal(0, 0.02, size=(cfg.num_layers, H, E)).astype(np.float32)
+        )
+
     def rand_embed():
         return jnp.asarray(
             rng.normal(0.0, 0.02, size=(cfg.vocab_size, H)).astype(np.float32), dtype
@@ -150,6 +171,21 @@ def _init_params_on_device(cfg: BitNetConfig, seed: int, dtype):
         layers["post_ln"] = jnp.ones((L, H), dtype)
         layers["attn_sub"] = jnp.ones((L, Q), dtype)
         layers["ffn_sub"] = jnp.ones((L, I), dtype)
+        if cfg.num_experts > 0:
+            E = cfg.num_experts
+            ekeys = jax.random.split(keys[0], 4)
+            for j, name in enumerate(("gate", "up", "down")):
+                kk, nn_ = dims[name]
+                bits = jax.random.bits(ekeys[j], (4, L, E, kk // 4, nn_), dtype=jnp.uint8)
+                enc = bits % 3
+                layers[f"moe_{name}_qw"] = (
+                    enc[0] | (enc[1] << 2) | (enc[2] << 4) | (enc[3] << 6)
+                )
+                layers[f"moe_{name}_scale"] = jnp.full((L, E), 50.0, jnp.float32)
+                del layers[f"{name}_qw"], layers[f"{name}_scale"]
+            layers["router"] = (
+                jax.random.normal(ekeys[3], (L, H, E), jnp.float32) * 0.02
+            )
         embed = (jax.random.normal(keys[-1], (cfg.vocab_size, H), jnp.bfloat16) * 0.02).astype(dtype)
         params = {"embed": embed, "final_norm": jnp.ones((H,), dtype), "layers": layers}
         if not cfg.tie_word_embeddings:
@@ -294,6 +330,22 @@ def forward(
         ).astype(dtype)
 
         normed = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+        if cfg.num_experts > 0:
+            # MoE MLP: ternary experts, top-k routing (models/moe.py)
+            from .moe import moe_ffn
+
+            experts = {
+                f"{n}_qw": lp[f"moe_{n}_qw"] for n in ("gate", "up", "down")
+            }
+            experts.update(
+                {f"{n}_scale": lp[f"moe_{n}_scale"] for n in ("gate", "up", "down")}
+            )
+            y, _aux = moe_ffn(
+                normed.reshape(B * S, -1), experts, lp["ffn_sub"], lp["router"],
+                top_k=cfg.num_experts_per_tok, eps=cfg.rms_norm_eps,
+            )
+            h = h + y.reshape(B, S, -1).astype(dtype)
+            return h, (ck, cv)
         gate = lf(normed, lp["gate_qw"], lp["gate_scale"])
         up = lf(normed, lp["up_qw"], lp["up_scale"])
         if cfg.mlp_act == "silu":  # Llama-family ternary conversions
