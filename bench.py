@@ -34,11 +34,11 @@ def main():
     batch = int(os.environ.get("WF_BENCH_BATCH", "1"))
     max_len = prompt_len + 3 * decode_steps + 8  # 3 timing windows
 
-    # Default compute path: the XLA-fused dequant-matmul (ternary unpack +
-    # int8 dot fused by XLA) — at or ahead of the handwritten Pallas
-    # kernel across batch 1..32 on this hardware. WF_BENCH_PALLAS=1
-    # selects Pallas.
-    use_pallas = os.environ.get("WF_BENCH_PALLAS", "0") == "1" and (
+    # Default compute path on TPU: the fused Pallas ternary GEMV/GEMM —
+    # 2.2x the XLA-fused unpack+dot at batch 1 under honest (fetch
+    # -terminated) timing. WF_BENCH_PALLAS=0 selects the XLA path.
+    default_pallas = "1" if batch <= 4 else "0"  # pallas wins small-batch
+    use_pallas = os.environ.get("WF_BENCH_PALLAS", default_pallas) == "1" and (
         jax.devices()[0].platform != "cpu"
     )
     linear_fn = None
@@ -50,6 +50,11 @@ def main():
     log("initializing params...")
     t0 = time.perf_counter()
     params = init_params(cfg, seed=0)
+    int8_logits = os.environ.get("WF_BENCH_INT8_LOGITS", "0") == "1"
+    if int8_logits:
+        from wrinklefree_tpu.models.bitnet import quantize_lm_head
+
+        params = quantize_lm_head(params, cfg)
     params = jax.device_put(params)
     init_s = time.perf_counter() - t0
     log(f"params ready in {init_s:.1f}s; compiling prefill...")
@@ -118,6 +123,7 @@ def main():
         "baseline_desc": "BitNet.cpp CLI decode, Ryzen 7 7700 AVX512 (notebook.md:17-23)",
         "platform": jax.devices()[0].platform,
         "pallas": bool(use_pallas),
+        "int8_logits": int8_logits,
         "ms_per_token": round(dt / decode_steps * 1000, 3),
         "prefill_first_call_s": round(ttft_s, 2),
         "param_init_s": round(init_s, 1),

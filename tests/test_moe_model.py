@@ -121,3 +121,28 @@ class TestMoEUnderBatching:
         for t in ts:
             t.join(timeout=120)
         assert [r.output_ids for r in results] == seq
+
+
+class TestInt8Logits:
+    def test_quality_and_engine(self):
+        from wrinklefree_tpu.models.bitnet import quantize_lm_head
+
+        cfg = BitNetConfig.tiny()
+        params = init_params(cfg, seed=0)
+        exact = _logits(params, cfg, [1, 2, 3, 4])
+        q = quantize_lm_head(params, cfg)
+        approx = _logits(q, cfg, [1, 2, 3, 4])
+        a, b = exact.ravel(), approx.ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos >= 0.999, cos
+        # greedy choice at the last position should be preserved
+        assert exact[0, -1].argmax() == approx[0, -1].argmax()
+
+        eng = Engine(
+            params, cfg,
+            EngineConfig(max_batch_slots=2, page_size=8, num_pages=64,
+                         max_context=64, prefill_buckets=(8, 16),
+                         int8_logits=True),
+        )
+        out = eng.generate([1, 5, 9], SamplingParams(max_new_tokens=4))
+        assert len(out.output_ids) == 4

@@ -120,7 +120,10 @@ class EngineConfig:
     prefill_buckets: tuple = (32, 128, 512, 2048, 4096)
     kv_dtype: str = "bf16"  # bf16 | int8 | fp8_e4m3 | fp8_e5m2
     enable_radix_cache: bool = True
-    use_pallas: bool = False  # fused Pallas kernels (TPU); jnp/XLA otherwise
+    # Fused Pallas ternary matmul: None = auto (on for TPU — measured 2.2x
+    # the XLA-fused path at batch 1 with honest timing); False forces the
+    # jnp/XLA oracle path.
+    use_pallas: "bool | None" = None
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.
@@ -128,6 +131,10 @@ class EngineConfig:
     # Decode steps fused into ONE device program per dispatch: host/tunnel
     # round-trips are paid once per burst. Streaming granularity = burst.
     decode_burst: int = 8
+    # int8-quantize the output head (models/bitnet.quantize_lm_head):
+    # halves the dominant logits-matmul HBM stream at small batch;
+    # approximate (per-row absmax) — off by default for exactness.
+    int8_logits: bool = False
 
 
 # ---------------------------------------------------------------------------

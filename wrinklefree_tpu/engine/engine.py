@@ -75,7 +75,24 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg or EngineConfig()
+        if self.ecfg.int8_logits:
+            from ..models.bitnet import quantize_lm_head
+
+            self.params = quantize_lm_head(self.params, cfg)
         self.eos_token_id = eos_token_id
+        use_pallas = self.ecfg.use_pallas
+        if use_pallas is None:
+            # measured: the Pallas ternary GEMV wins ~2.2x at batch 1-4 but
+            # the XLA-fused path wins at the engine's batched decode
+            # (batch = slots); auto picks by slot count
+            use_pallas = (
+                jax.devices()[0].platform == "tpu"
+                and self.ecfg.max_batch_slots <= 4
+            )
+        if linear_fn is None and use_pallas:
+            from ..ops.ternary_pallas import make_pallas_linear
+
+            linear_fn = make_pallas_linear()
         self._linear_fn = linear_fn
         self._attention_fn = attention_fn
 

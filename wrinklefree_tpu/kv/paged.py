@@ -278,10 +278,7 @@ def paged_forward(
     last_idx = jnp.clip(new_lens - 1, 0, S - 1)
     hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
 
-    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jax.lax.dot_general(
-        hidden, head,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    from ..models.bitnet import compute_logits
+
+    logits = compute_logits(hidden, params, cfg)
     return logits, PagedKV(new_pools.kv, new_pools.scale)

@@ -197,6 +197,45 @@ def _init_params_on_device(cfg: BitNetConfig, seed: int, dtype):
     return build(key)
 
 
+def quantize_lm_head(params, cfg: BitNetConfig):
+    """Optional int8 per-row quantization of the output head.
+
+    At batch-1 decode the tied-embedding logits matmul reads the whole
+    [V, H] bf16 head (0.66 GB for the 2B model — more than the packed
+    ternary weights); int8 halves that stream. Adds `lm_head_q` (int8)
+    + `lm_head_s` ([V] f32) — `compute_logits` then prefers them.
+    Approximate (per-row absmax symmetric); keep off where exact HF
+    logits are required.
+    """
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    hf = jnp.asarray(head, jnp.float32)
+    absmax = jnp.clip(jnp.max(jnp.abs(hf), axis=1, keepdims=True), 1e-8, None)
+    q = jnp.clip(jnp.round(hf / absmax * 127.0), -127, 127).astype(jnp.int8)
+    out = dict(params)
+    out["lm_head_q"] = q
+    out["lm_head_s"] = (absmax[:, 0] / 127.0).astype(jnp.float32)
+    return out
+
+
+def compute_logits(hidden, params, cfg: BitNetConfig):
+    """hidden [..., H] -> logits [..., V] f32 (int8 head when present)."""
+    if "lm_head_q" in params:
+        logits = jax.lax.dot_general(
+            hidden,
+            params["lm_head_q"].astype(cfg.dtype),  # convert fused into the dot
+            dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * params["lm_head_s"]
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    return jax.lax.dot_general(
+        hidden,
+        head,
+        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward pass
 # ---------------------------------------------------------------------------
@@ -373,13 +412,7 @@ def forward(
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     if not logits_all:
         hidden = hidden[:, -1]
-    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jax.lax.dot_general(
-        hidden,
-        head,
-        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    logits = compute_logits(hidden, params, cfg)
     if tp_axis is not None:
         # head is vocab-sharded: gather the local [.., V/tp] logits
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1, tiled=True)

@@ -74,9 +74,17 @@ def _matmul_int_kernel(x_ref, w_ref, o_ref, *, dot_dtype):
 
 def _pick_tiles(b: int, k: int, n: int):
     """Block sizes: favor streaming the full K per tile (weights visited
-    once), modest N tiles for VMEM, B padded to the int8 sublane tile."""
+    once), modest N tiles for VMEM, B padded to the int8 sublane tile.
+    WF_PALLAS_TN overrides the N tile for tuning."""
+    import os
+
     tb = min(_round_up(b, 32), 256)
-    tn = 256 if n % 256 == 0 else (128 if n % 128 == 0 else n)
+    want = int(os.environ.get("WF_PALLAS_TN", "256"))
+    tn = n
+    for cand in (want, 512, 256, 128):
+        if n % cand == 0:
+            tn = cand
+            break
     return tb, tn
 
 
