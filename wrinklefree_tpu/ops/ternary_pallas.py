@@ -179,7 +179,15 @@ def ternary_linear_pallas(
     )
 
 
-def make_pallas_linear(dot_dtype=jnp.int8, interpret: bool = False):
+def make_pallas_linear(dot_dtype=None, interpret: bool = False):
+    if dot_dtype is None:
+        import os
+
+        dot_dtype = (
+            jnp.bfloat16
+            if os.environ.get("WF_PALLAS_DOT", "int8") == "bf16"
+            else jnp.int8
+        )
     def linear_fn(x, qweight, scale, out_dtype=jnp.bfloat16, quant_axis=None):
         return ternary_linear_pallas(
             x, qweight, scale, out_dtype=out_dtype, dot_dtype=dot_dtype,
