@@ -28,7 +28,12 @@ def main():
     from wrinklefree_tpu.config import BitNetConfig
     from wrinklefree_tpu.models.bitnet import KVCache, forward, init_params
 
-    cfg = BitNetConfig.bitnet_2b()
+    model = os.environ.get("WF_BENCH_MODEL", "bitnet2b")
+    cfg = (
+        BitNetConfig.llama3_8b_ternary()
+        if model == "llama8b"
+        else BitNetConfig.bitnet_2b()
+    )
     prompt_len = int(os.environ.get("WF_BENCH_PROMPT", "64"))
     decode_steps = int(os.environ.get("WF_BENCH_STEPS", "64"))
     batch = int(os.environ.get("WF_BENCH_BATCH", "1"))
@@ -115,7 +120,8 @@ def main():
 
     toks_per_s = decode_steps * batch / dt
     result = {
-        "metric": "bitnet-2b ternary decode throughput (batch %d, greedy)" % batch,
+        "metric": "%s ternary decode throughput (batch %d, greedy)"
+        % ("llama-3-8b" if model == "llama8b" else "bitnet-2b", batch),
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / BASELINE_TOKS, 2),

@@ -86,3 +86,47 @@ class TestFlashPrefill:
                                        interpret=INTERPRET).astype(jnp.float32))
         want = np.asarray(gqa_attention_reference(q, k, v, 0).astype(jnp.float32))
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+class TestFlashPagedPrefill:
+    def test_matches_paged_oracle(self):
+        """flash_paged_prefill == _paged_attention_jnp on a gathered
+        history + chunk, incl. garbage history slots beyond seq_len and
+        bucket padding beyond new_len."""
+        import jax
+        from wrinklefree_tpu.config import BitNetConfig
+        from wrinklefree_tpu.kv.paged import _paged_attention_jnp
+        from wrinklefree_tpu.ops.flash_attention import flash_paged_prefill
+
+        cfg = BitNetConfig.tiny()
+        KV, D, NH = cfg.num_kv_heads, cfg.head_dim, cfg.num_heads
+        B, S, T = 1, 128, 128  # chunk 128 over a 128-slot history
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(0, 1, (B, S, NH, D)), jnp.float32)
+        k_cur = jnp.asarray(rng.normal(0, 1, (B, S, KV, D)), jnp.float32)
+        v_cur = jnp.asarray(rng.normal(0, 1, (B, S, KV, D)), jnp.float32)
+        # history rows: valid below seq_len, GARBAGE above (must be masked)
+        hist = jnp.asarray(rng.normal(0, 1, (B, T, 2, KV, D)), jnp.float32)
+        seq_lens = jnp.asarray([50], jnp.int32)
+        new_lens = jnp.asarray([100], jnp.int32)  # 28 padded positions
+
+        # oracle via kv_rows layout [rows, 2*Lp, KV*D], layer 0, Lp=1
+        kv_rows = hist.transpose(1, 2, 0, 3, 4).reshape(T, 2, KV * D)
+        token_rows = jnp.arange(T)[None, :]
+        ref = _paged_attention_jnp(
+            q, k_cur, v_cur, kv_rows, None, 0, token_rows,
+            seq_lens[:, None] + jnp.arange(S)[None, :], seq_lens, new_lens, cfg,
+        )
+
+        k_full = jnp.concatenate([hist[:, :, 0], k_cur], axis=1)
+        v_full = jnp.concatenate([hist[:, :, 1], v_cur], axis=1)
+        got = flash_paged_prefill(
+            q, k_full, v_full, seq_lens[0], new_lens[0],
+            hist_len=T, block_q=128, block_k=128, interpret=True,
+        )
+        # padded queries (>= new_len) produce garbage in both paths;
+        # compare only real rows
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :100], np.asarray(ref)[:, :100],
+            rtol=2e-5, atol=2e-5,
+        )

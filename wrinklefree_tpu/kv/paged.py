@@ -108,11 +108,12 @@ def _paged_attention_jnp(
     if scale_rows is not None:
         sk = scale_rows[token_rows, layer][..., :, None]  # [B,T,KV,1]
         sv = scale_rows[token_rows, lp + layer][..., :, None]
-        k_hist = dequantize_kv(k_raw.reshape(B, T, KV, D), sk)
-        v_hist = dequantize_kv(v_raw.reshape(B, T, KV, D), sv)
+        k_hist = dequantize_kv(k_raw.reshape(B, T, KV, D), sk, out_dtype=q.dtype)
+        v_hist = dequantize_kv(v_raw.reshape(B, T, KV, D), sv, out_dtype=q.dtype)
     else:
-        k_hist = dequantize_kv(k_raw.reshape(B, T, KV, D), None)
-        v_hist = dequantize_kv(v_raw.reshape(B, T, KV, D), None)
+        # compute in query precision (identity for bf16 pools)
+        k_hist = k_raw.reshape(B, T, KV, D).astype(q.dtype)
+        v_hist = v_raw.reshape(B, T, KV, D).astype(q.dtype)
 
     k = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
     v = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
@@ -139,6 +140,31 @@ def _paged_attention_jnp(
     return out.reshape(B, S, NH, D)
 
 
+def _paged_attention_flash(
+    q, k_cur, v_cur, kv_rows, scale_rows, layer, token_rows, positions,
+    seq_lens, new_lens, cfg: BitNetConfig
+):
+    """Flash (online-softmax) paged prefill attention — same contract as
+    `_paged_attention_jnp` but never materializes the [S, T] scores.
+    Selected for single-request prefill chunks on TPU (B=1, S>=128,
+    unquantized pools)."""
+    from ..ops.flash_attention import flash_paged_prefill
+
+    B, S, NH, D = q.shape
+    T = token_rows.shape[1]
+    KV = cfg.num_kv_heads
+    lp = kv_rows.shape[1] // 2
+    k_hist = kv_rows[token_rows, layer].reshape(B, T, KV, D)
+    v_hist = kv_rows[token_rows, lp + layer].reshape(B, T, KV, D)
+    k_full = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
+    v_full = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
+    out = flash_paged_prefill(
+        q.astype(k_full.dtype), k_full, v_full,
+        seq_lens[0], new_lens[0], hist_len=T,
+    )
+    return out.astype(q.dtype)
+
+
 def paged_forward(
     params,
     cfg: BitNetConfig,
@@ -159,7 +185,6 @@ def paged_forward(
     (B=1..n, S=bucket, new_lens=true chunk length).
     """
     lf = linear_fn or default_linear
-    attn_impl = attention_fn or _paged_attention_jnp
     B, S = tokens.shape
     ps = pools.page_size
     kv_dtype = pools.kv_dtype_name
@@ -170,6 +195,18 @@ def paged_forward(
 
     positions = seq_lens[:, None] + jnp.arange(S)[None, :]  # [B,S]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype)
+
+    if attention_fn is not None:
+        attn_impl = attention_fn
+    else:
+        hist_tokens = page_table.shape[1] * ps
+        use_flash = (
+            kv_write == "pallas"  # TPU + unquantized pools proxy
+            and B == 1
+            and S >= 128
+            and (hist_tokens + S) % 128 == 0
+        )
+        attn_impl = _paged_attention_flash if use_flash else _paged_attention_jnp
 
     # page/offset for each new token; padding beyond the allocated range
     # must land in the trash page (page_table stores 0 there already).
