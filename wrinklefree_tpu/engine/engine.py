@@ -71,10 +71,27 @@ class Engine:
         eos_token_id: Optional[int] = None,
         linear_fn=None,
         attention_fn=None,
+        mesh=None,
     ):
+        """With ``mesh`` (axes ('data','model'), data=1) the engine runs
+        tensor-parallel: params are TP-repacked/sharded and every jitted
+        program is a shard_map over the mesh (BASELINE config 4 — e.g.
+        Llama-3-8B ternary TP on one host)."""
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg or EngineConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import repack_params_for_tp, shard_params
+
+            tp = mesh.shape["model"]
+            if cfg.num_experts > 0:
+                raise NotImplementedError("TP engine + MoE: use parallel/expert.py EP")
+            if self.ecfg.int8_logits:
+                raise NotImplementedError("TP engine + int8_logits")
+            if cfg.num_kv_heads % tp or cfg.num_heads % tp:
+                raise ValueError(f"heads ({cfg.num_heads}/{cfg.num_kv_heads}) not divisible by tp={tp}")
+            self.params = shard_params(repack_params_for_tp(params, tp), mesh)
         if self.ecfg.int8_logits:
             from ..models.bitnet import quantize_lm_head
 
@@ -100,6 +117,18 @@ class Engine:
         self.page_size = e.page_size
         self.max_pages_per_seq = -(-e.max_context // e.page_size)
         self.pools = PagedKV.zeros(cfg, e.num_pages, e.page_size, e.kv_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            ps_spec = self._pool_spec()
+            self.pools = PagedKV(
+                jax.device_put(self.pools.kv, NamedSharding(mesh, ps_spec.kv)),
+                None
+                if self.pools.scale is None
+                else jax.device_put(
+                    self.pools.scale, NamedSharding(mesh, ps_spec.scale)
+                ),
+            )
         # Host bookkeeping hot path: native C++ runtime when it builds,
         # pure-Python oracle otherwise (same fallback pattern as the
         # reference's native kernels, kernels/bitnet_patch.py:22-25).
@@ -165,6 +194,13 @@ class Engine:
     # jitted programs
     # ------------------------------------------------------------------
 
+    def _pool_spec(self):
+        """PagedKV PartitionSpecs: KV-head lane axis sharded over 'model'."""
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(None, None, None, "model")
+        return PagedKV(spec, None if self.pools.scale is None else spec)
+
     def _build_decode(self):
         """Fused K-step decode burst: a device-side `lax.scan` samples K
         tokens per slot per dispatch, so tunnel/host round-trips are paid
@@ -176,8 +212,8 @@ class Engine:
         cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
         kvw = self._kv_write
         K = self.ecfg.decode_burst
+        tp_axis = "model" if self.mesh is not None else None
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps):
             def one(carry, _):
@@ -185,7 +221,7 @@ class Engine:
                 logits, pools = paged_forward(
                     params, cfg, tok[:, None], pools, page_table, sl,
                     jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
-                    kv_write=kvw,
+                    kv_write=kvw, tp_axis=tp_axis,
                 )
                 keys = per_request_keys(seeds, ctr)
                 nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)
@@ -196,19 +232,32 @@ class Engine:
             )
             return toks, pools, last, sl, ctr
 
-        return burst
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.sharding import param_partition_specs
+
+            pool_spec = self._pool_spec()
+            rep7 = tuple(P() for _ in range(7))
+            burst = jax.shard_map(
+                burst, mesh=self.mesh,
+                in_specs=(param_partition_specs(self.params), pool_spec) + rep7,
+                out_specs=(P(), pool_spec, P(), P(), P()),
+                check_vma=False,
+            )
+        return functools.partial(jax.jit, donate_argnums=(1,))(burst)
 
     def _prefill_for_bucket(self, bucket: int):
         if bucket not in self._prefill_jits:
             cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
             kvw = self._kv_write
+            tp_axis = "model" if self.mesh is not None else None
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
                         seeds, counters, temp, top_p):
                 logits, pools = paged_forward(
                     params, cfg, tokens, pools, page_table, seq_len, new_len,
-                    linear_fn=lf, attention_fn=af, kv_write=kvw,
+                    linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,
                 )
                 keys = per_request_keys(seeds, counters)
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
@@ -216,7 +265,22 @@ class Engine:
                 # path over remote-tunnel transports
                 return jnp.pad(nxt, (0, 63)), pools
 
-            self._prefill_jits[bucket] = prefill
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharding import param_partition_specs
+
+                pool_spec = self._pool_spec()
+                rep8 = tuple(P() for _ in range(8))
+                prefill = jax.shard_map(
+                    prefill, mesh=self.mesh,
+                    in_specs=(param_partition_specs(self.params), pool_spec) + rep8,
+                    out_specs=(P(), pool_spec),
+                    check_vma=False,
+                )
+            self._prefill_jits[bucket] = functools.partial(
+                jax.jit, donate_argnums=(1,)
+            )(prefill)
         return self._prefill_jits[bucket]
 
     # ------------------------------------------------------------------

@@ -99,7 +99,7 @@ def _paged_attention_jnp(
     """
     B, S, NH, D = q.shape
     T = token_rows.shape[1]
-    KV = cfg.num_kv_heads
+    KV = k_cur.shape[2]  # LOCAL kv heads (may be a TP shard)
     G = NH // KV
     lp = kv_rows.shape[1] // 2
 
@@ -152,7 +152,7 @@ def _paged_attention_flash(
 
     B, S, NH, D = q.shape
     T = token_rows.shape[1]
-    KV = cfg.num_kv_heads
+    KV = k_cur.shape[2]  # LOCAL kv heads (may be a TP shard)
     lp = kv_rows.shape[1] // 2
     k_hist = kv_rows[token_rows, layer].reshape(B, T, KV, D)
     v_hist = kv_rows[token_rows, lp + layer].reshape(B, T, KV, D)
@@ -177,12 +177,18 @@ def paged_forward(
     linear_fn: Optional[LinearFn] = None,
     attention_fn=None,
     kv_write: str = "xla",  # "pallas" = in-place DMA kernel (TPU, unquantized)
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, PagedKV]:
     """Run S new tokens per slot against the paged cache.
 
     Returns (last-real-token logits [B, V] float32, updated pools).
     Covers batched decode (S=1, new_lens=1) and chunked prefill
     (B=1..n, S=bucket, new_lens=true chunk length).
+
+    With ``tp_axis`` set this is the PER-DEVICE program of a shard_map
+    tensor-parallel engine (parallel/sharding.py layout): q/k/v/gate/up
+    column-sharded, o/down row-sharded (f32 psum over ICI), tied embedding
+    vocab-sharded, KV pools sharded on the kv-head lane axis.
     """
     lf = linear_fn or default_linear
     B, S = tokens.shape
@@ -191,7 +197,15 @@ def paged_forward(
     dtype = cfg.dtype
 
     embed = params["embed"]
-    hidden = embed[tokens].astype(dtype)
+    if tp_axis is None:
+        hidden = embed[tokens].astype(dtype)
+    else:
+        v_local = embed.shape[0]
+        v_start = jax.lax.axis_index(tp_axis) * v_local
+        local = tokens - v_start
+        ok = (local >= 0) & (local < v_local)
+        rows_e = embed[jnp.clip(local, 0, v_local - 1)].astype(dtype)
+        hidden = jax.lax.psum(jnp.where(ok[..., None], rows_e, 0), tp_axis)
 
     positions = seq_lens[:, None] + jnp.arange(S)[None, :]  # [B,S]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype)
@@ -248,8 +262,20 @@ def paged_forward(
             seq_lens, new_lens, cfg,
         )
         attn = attn.reshape(B, S, -1)
-        attn = rms_norm(attn, lp["attn_sub"], cfg.rms_norm_eps)
-        h = h + lf(attn, lp["o_qw"], lp["o_scale"])
+        if tp_axis is None:
+            attn = rms_norm(attn, lp["attn_sub"], cfg.rms_norm_eps)
+            h = h + lf(attn, lp["o_qw"], lp["o_scale"])
+        else:
+            # sub-norm over the FULL q_dim: psum the mean-square
+            af = attn.astype(jnp.float32)
+            ms = jax.lax.psum(jnp.sum(af * af, axis=-1, keepdims=True), tp_axis)
+            var = ms / cfg.q_dim
+            attn = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(attn.dtype) * lp["attn_sub"]
+            h = h + jax.lax.psum(
+                lf(attn, lp["o_qw"], lp["o_scale"], quant_axis=tp_axis,
+                   out_dtype=jnp.float32),
+                tp_axis,
+            ).astype(dtype)
 
         normed = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
         if cfg.num_experts > 0:
@@ -271,9 +297,23 @@ def paged_forward(
             act = jax.nn.silu(gate) * up
         else:
             act = jnp.square(jax.nn.relu(gate)) * up
-        if cfg.sub_norms:
+        if not cfg.sub_norms:
+            pass
+        elif tp_axis is None:
             act = rms_norm(act, lp["ffn_sub"], cfg.rms_norm_eps)
-        h = h + lf(act, lp["down_qw"], lp["down_scale"])
+        else:
+            af = act.astype(jnp.float32)
+            ms = jax.lax.psum(jnp.sum(af * af, axis=-1, keepdims=True), tp_axis)
+            var = ms / cfg.intermediate_size
+            act = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(act.dtype) * lp["ffn_sub"]
+        if tp_axis is None:
+            h = h + lf(act, lp["down_qw"], lp["down_scale"])
+        else:
+            h = h + jax.lax.psum(
+                lf(act, lp["down_qw"], lp["down_scale"], quant_axis=tp_axis,
+                   out_dtype=jnp.float32),
+                tp_axis,
+            ).astype(dtype)
         return h, (k, v)
 
     xs = (params["layers"], jnp.arange(L))
@@ -283,7 +323,7 @@ def paged_forward(
     # (k-layers then v-layers; quantization per [D] head-vector first).
     two_lp = pools.kv.shape[2]
     lp_pad = two_lp // 2 - L
-    KV = cfg.num_kv_heads
+    KV = k_new.shape[-2]  # LOCAL kv heads under TP
     kv_new = jnp.stack([k_new, v_new], axis=0)  # [2, L, B, S, KV, D]
     q_kv, s_kv = quantize_kv(kv_new, kv_dtype)  # scales [2,L,B,S,KV,1]|None
     q_kv = jnp.pad(q_kv, ((0, 0), (0, lp_pad)) + ((0, 0),) * 4)
@@ -318,4 +358,7 @@ def paged_forward(
     from ..models.bitnet import compute_logits
 
     logits = compute_logits(hidden, params, cfg)
+    if tp_axis is not None:
+        # head is vocab-sharded: gather the local [., V/tp] logits
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1, tiled=True)
     return logits, PagedKV(new_pools.kv, new_pools.scale)
