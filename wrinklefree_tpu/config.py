@@ -183,6 +183,10 @@ def engine_config_from_yaml(path: Path | str = "serving/default.yaml") -> "Engin
         kw["enable_radix_cache"] = bool(doc["radix_cache"])
     if "use_pallas" in doc and doc["use_pallas"] != "auto":
         kw["use_pallas"] = bool(doc["use_pallas"])
+    if "decode_burst" in doc:
+        kw["decode_burst"] = int(doc["decode_burst"])
+    if "int8_logits" in doc:
+        kw["int8_logits"] = bool(doc["int8_logits"])
     return EngineConfig(**kw)
 
 

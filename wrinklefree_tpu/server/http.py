@@ -292,19 +292,18 @@ def create_server(
     tiny: bool = False,
     engine_config: Optional[EngineConfig] = None,
     use_pallas: Optional[bool] = None,
+    tp: int = 1,
 ) -> InferenceServer:
-    import jax
-
+    """tp > 1 runs the engine tensor-parallel over the first tp devices
+    (parallel/sharding.py layout)."""
     from ..models.bitnet import init_params
     from ..models.loader import load_params, load_tokenizer
 
-    linear_fn = None
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform not in ("cpu",)
-    if use_pallas:
-        from ..ops.ternary_pallas import make_pallas_linear
+    mesh = None
+    if tp > 1:
+        from ..parallel.sharding import make_mesh
 
-        linear_fn = make_pallas_linear()
+        mesh = make_mesh(1, tp)
 
     if tiny:
         cfg = BitNetConfig.tiny()
@@ -315,7 +314,6 @@ def create_server(
             prefill_buckets=(16, 64, 128),
         )
         name = "wrinklefree-tiny-test"
-        linear_fn = None
     else:
         assert model_path, "--model required unless --tiny"
         params, cfg = load_params(model_path)
@@ -323,8 +321,12 @@ def create_server(
         ecfg = engine_config or EngineConfig()
         name = str(model_path)
 
+    if use_pallas is not None and engine_config is None:
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(ecfg, use_pallas=use_pallas)
     eos = getattr(tokenizer, "eos_token_id", None)
-    engine = Engine(params, cfg, ecfg, eos_token_id=eos, linear_fn=linear_fn)
+    engine = Engine(params, cfg, ecfg, eos_token_id=eos, mesh=mesh)
     return InferenceServer(engine, tokenizer, name)
 
 
@@ -342,6 +344,8 @@ def main(argv=None):
                    choices=["bf16", "fp16", "f32", "int8", "fp8_e4m3", "fp8_e5m2"])
     p.add_argument("--no-radix", action="store_true")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over local devices")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -357,7 +361,7 @@ def main(argv=None):
         )
     server = create_server(
         args.model, tiny=args.tiny, engine_config=ecfg,
-        use_pallas=False if args.no_pallas else None,
+        use_pallas=False if args.no_pallas else None, tp=args.tp,
     )
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
