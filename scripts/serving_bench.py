@@ -34,11 +34,17 @@ def main():
     ap.add_argument("--shared-prefix", type=int, default=0,
                     help="tokens of common prefix across streams (radix test)")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--model", default="bitnet2b", choices=["bitnet2b", "llama8b"])
     args = ap.parse_args()
 
     import numpy as np
 
-    cfg = BitNetConfig.tiny() if args.tiny else BitNetConfig.bitnet_2b()
+    if args.tiny:
+        cfg = BitNetConfig.tiny()
+    elif args.model == "llama8b":
+        cfg = BitNetConfig.llama3_8b_ternary()
+    else:
+        cfg = BitNetConfig.bitnet_2b()
     max_ctx = min(cfg.max_position, args.prompt_len + args.new_tokens + 64)
     ecfg = EngineConfig(
         max_batch_slots=args.slots,
@@ -49,7 +55,7 @@ def main():
             b for b in (128, 512, 1024, 2048, 4096) if b <= max_ctx
         ) or (128,),
     )
-    print(f"init {('tiny' if args.tiny else '2B')} model + engine "
+    print(f"init {('tiny' if args.tiny else args.model)} model + engine "
           f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)
     params = init_params(cfg, seed=0)
     eng = Engine(params, cfg, ecfg)
@@ -102,6 +108,7 @@ def main():
     )
     report = {
         "metric": "continuous-batching serving",
+        "model": "tiny" if args.tiny else args.model,
         "streams": args.streams,
         "prompt_len": args.prompt_len,
         "new_tokens": args.new_tokens,
