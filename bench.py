@@ -37,7 +37,7 @@ def main():
     prompt_len = int(os.environ.get("WF_BENCH_PROMPT", "64"))
     decode_steps = int(os.environ.get("WF_BENCH_STEPS", "64"))
     batch = int(os.environ.get("WF_BENCH_BATCH", "1"))
-    max_len = prompt_len + 3 * decode_steps + 8  # 3 timing windows
+    max_len = prompt_len + 4 * decode_steps + 8  # warm + 3 timing windows
 
     # Default compute path on TPU: the fused Pallas ternary GEMV/GEMM —
     # 2.2x the XLA-fused unpack+dot at batch 1 under honest (fetch
@@ -48,9 +48,9 @@ def main():
     )
     linear_fn = None
     if use_pallas:
-        from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear
+        from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
 
-        linear_fn = make_pallas_linear()
+        linear_fn = make_pallas_linear_stacked()
 
     log("initializing params...")
     t0 = time.perf_counter()
@@ -72,6 +72,29 @@ def main():
             params, cfg, tok, cache, start, logits_all=False, linear_fn=linear_fn
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
+
+    # The whole timing window is ONE dispatched program (lax.scan over
+    # decode steps): on the axon tunnel every dispatch->fetch round trip
+    # costs ~30 ms REGARDLESS of the work inside (scripts/kernel_lab5.py:
+    # trivial jit+fetch 29.5 ms; dense 2560^2 matmul slope 15 us =
+    # 875 GB/s), so a per-step dispatch loop measures transport, not the
+    # chip. Production decode is device-resident too (engine decode
+    # bursts), so this is the honest model-throughput measurement.
+    @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("steps",))
+    def decode_window(params, tok, cache, start, steps):
+        def step(carry, _):
+            tok, cache, pos = carry
+            logits, cache = forward(
+                params, cfg, tok, cache, pos, logits_all=False,
+                linear_fn=linear_fn,
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, cache, pos + 1), nxt[:, 0]
+
+        (tok, cache, _), toks = jax.lax.scan(
+            step, (tok, cache, start), None, length=steps
+        )
+        return toks, tok, cache
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def prefill(params, toks, cache, start):
@@ -99,23 +122,29 @@ def main():
     tok, cache = decode_step(params, tok, cache, jnp.full((batch,), pos, jnp.int32))
     _ = _np1.asarray(tok)
     pos += 1
-    log("decode compiled; timing...")
+    log("decode compiled; compiling fused window...")
 
-    # HONEST timing: on remote-tunnel transports block_until_ready can
-    # return before execution completes — only a real device->host fetch
-    # is a reliable completion barrier. Fetch-terminated, best of 3.
+    # HONEST timing: fetch-terminated (block_until_ready can return
+    # before execution completes on remote-tunnel transports), with the
+    # whole window fused into one dispatch (see decode_window). Best of 3.
     import numpy as _np
+
+    toks_w, tok, cache = decode_window(
+        params, tok, cache, jnp.full((batch,), pos, jnp.int32), decode_steps
+    )
+    _ = _np.asarray(toks_w)  # compile + warm
+    pos += decode_steps
+    log("window compiled; timing...")
 
     best_dt = float("inf")
     for _rep in range(3):
         t0 = time.perf_counter()
-        for _ in range(decode_steps):
-            tok, cache = decode_step(
-                params, tok, cache, jnp.full((batch,), pos, jnp.int32)
-            )
-            pos += 1
-        _ = _np.asarray(tok)  # true completion barrier
+        toks_w, tok, cache = decode_window(
+            params, tok, cache, jnp.full((batch,), pos, jnp.int32), decode_steps
+        )
+        _ = _np.asarray(toks_w)  # true completion barrier
         best_dt = min(best_dt, time.perf_counter() - t0)
+        pos += decode_steps
     dt = best_dt
 
     toks_per_s = decode_steps * batch / dt
@@ -131,6 +160,7 @@ def main():
         "pallas": bool(use_pallas),
         "int8_logits": int8_logits,
         "ms_per_token": round(dt / decode_steps * 1000, 3),
+        "fused_window_steps": decode_steps,
         "prefill_first_call_s": round(ttft_s, 2),
         "param_init_s": round(init_s, 1),
     }

@@ -1,0 +1,134 @@
+"""Dual (layer-major + staging) KV layout vs the token-major oracle.
+
+The dual layout (kv/paged.py) keeps a layer-major main pool for
+page-contiguous reads plus a token-major staging page per slot; pages
+are transposed into the main pool when they fill. These tests pin the
+invariant that the layout is OBSERVATIONALLY IDENTICAL to the
+token-major layout: same greedy tokens, same logits, across chunk
+boundaries, page flushes, radix reuse, and slot reuse.
+
+(Analog of the reference's paged-cache semantics tests,
+reference tests/test_kv_cache_cpp.py:21-146.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wrinklefree_tpu.config import BitNetConfig, EngineConfig
+from wrinklefree_tpu.engine import Engine, SamplingParams
+from wrinklefree_tpu.kv.paged import PagedKV, paged_forward
+from wrinklefree_tpu.models.bitnet import init_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = BitNetConfig.tiny()
+    return cfg, init_params(cfg, seed=0)
+
+
+def _engine(cfg, params, layout, **kw):
+    base = dict(
+        max_batch_slots=4, page_size=8, num_pages=64, max_context=64,
+        prefill_buckets=(8, 16, 32), kv_layout=layout,
+    )
+    base.update(kw)
+    return Engine(params, cfg, EngineConfig(**base))
+
+
+def test_dual_matches_token_greedy(tiny):
+    cfg, params = tiny
+    prompts = [
+        list(range(1, 6)),        # mid-page prompt end
+        list(range(2, 15)),       # crosses a page in prefill
+        list(range(3, 12)),
+        [7, 7, 7],                # tiny
+        list(range(1, 25)),       # multi-bucket chunked prefill
+    ]
+    outs = {}
+    for layout in ("token", "layer"):
+        eng = _engine(cfg, params, layout)
+        rs = [
+            eng.generate(p, SamplingParams(max_new_tokens=20, temperature=0.0))
+            for p in prompts
+        ]
+        outs[layout] = [(r.output_ids, r.finish_reason) for r in rs]
+    assert outs["token"] == outs["layer"]
+
+
+def test_dual_radix_reuse_matches(tiny):
+    cfg, params = tiny
+    shared = list(range(1, 17))  # two full pages
+    outs = {}
+    for layout in ("token", "layer"):
+        eng = _engine(cfg, params, layout)
+        a = eng.generate(shared + [20], SamplingParams(max_new_tokens=8, temperature=0.0))
+        hits0 = eng.stats["radix_hit_tokens"]
+        b = eng.generate(shared + [21], SamplingParams(max_new_tokens=8, temperature=0.0))
+        assert eng.stats["radix_hit_tokens"] > hits0, "radix should hit"
+        outs[layout] = (a.output_ids, b.output_ids)
+    assert outs["token"] == outs["layer"]
+
+
+def test_dual_slot_reuse_and_concurrency(tiny):
+    cfg, params = tiny
+    outs = {}
+    for layout in ("token", "layer"):
+        eng = _engine(cfg, params, layout)
+        reqs = [
+            eng.submit(list(range(i + 1, i + 7)), SamplingParams(max_new_tokens=10, temperature=0.0))
+            for i in range(8)  # 8 requests over 4 slots -> slot reuse
+        ]
+        while any(not r.finished for r in reqs):
+            eng.step()
+        outs[layout] = [r.output_ids for r in reqs]
+    assert outs["token"] == outs["layer"]
+
+
+def test_dual_bucket_rounding(tiny):
+    cfg, params = tiny
+    eng = _engine(cfg, params, "layer", prefill_buckets=(5, 12, 30))
+    assert all(b % eng.page_size == 0 for b in eng.ecfg.prefill_buckets)
+    r = eng.generate(list(range(1, 14)), SamplingParams(max_new_tokens=4, temperature=0.0))
+    assert len(r.output_ids) == 4
+
+
+def test_dual_rejects_quantized():
+    cfg = BitNetConfig.tiny()
+    params = init_params(cfg, seed=0)
+    with pytest.raises(ValueError):
+        _engine(cfg, params, "layer", kv_dtype="int8")
+
+
+def test_paged_forward_dual_logits_match(tiny):
+    """Direct paged_forward parity: one prefill chunk + two decode steps,
+    token vs dual pools, logits allclose at every step."""
+    cfg, params = tiny
+    ps, MP, P = 8, 4, 16
+    tok_pools = PagedKV.zeros(cfg, P, ps)
+    dual_pools = PagedKV.zeros_dual(cfg, P, ps, num_slots=2)
+    pt = jnp.asarray([[1, 2, 3, 0]], jnp.int32)
+    toks = jnp.asarray([list(range(1, 9))], jnp.int32)  # full bucket of 8
+
+    lo_t, tok_pools = paged_forward(
+        params, cfg, toks, tok_pools, pt, jnp.asarray([0]), jnp.asarray([8]))
+    lo_d, dual_pools = paged_forward(
+        params, cfg, toks, dual_pools, pt, jnp.asarray([0]), jnp.asarray([8]),
+        slot_ids=jnp.asarray([0], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lo_t), np.asarray(lo_d), rtol=2e-2, atol=2e-2)
+
+    sl = 8
+    tok = jnp.asarray([[9]], jnp.int32)
+    for step in range(10):  # crosses a page boundary at sl=16
+        lo_t, tok_pools = paged_forward(
+            params, cfg, tok, tok_pools, pt, jnp.asarray([sl]), jnp.asarray([1]))
+        lo_d, dual_pools = paged_forward(
+            params, cfg, tok, dual_pools, pt, jnp.asarray([sl]), jnp.asarray([1]),
+            slot_ids=jnp.asarray([0], jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(lo_t), np.asarray(lo_d), rtol=2e-2, atol=2e-2,
+            err_msg=f"decode step {step} (sl={sl})")
+        nxt = int(np.asarray(jnp.argmax(lo_t, -1))[0])
+        assert nxt == int(np.asarray(jnp.argmax(lo_d, -1))[0])
+        tok = jnp.asarray([[nxt]], jnp.int32)
+        sl += 1

@@ -130,3 +130,53 @@ class TestFlashPagedPrefill:
             np.asarray(got)[:, :100], np.asarray(ref)[:, :100],
             rtol=2e-5, atol=2e-5,
         )
+
+
+# ---------------------------------------------------------------------------
+# Stacked-weights kernel (layer selected by scalar prefetch, no slice copy)
+# ---------------------------------------------------------------------------
+
+
+def test_stacked_matmul_matches_oracle_per_layer():
+    from wrinklefree_tpu.ops.ternary_pallas import ternary_matmul_pallas_stacked
+
+    rng = np.random.default_rng(3)
+    L, K, N = 3, 128, 256
+    ws = rng.integers(-1, 2, size=(L, K, N)).astype(np.int8)
+    qw = jnp.stack([T.pack_ternary(jnp.asarray(ws[i])) for i in range(L)])
+    scales = jnp.asarray(rng.uniform(0.5, 2.0, (L,)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.float32)
+    x_q, sx = T.quantize_activations(x)
+    for layer in range(L):
+        got = ternary_matmul_pallas_stacked(
+            x_q, qw, layer, sx, scales, out_dtype=jnp.float32, interpret=True
+        )
+        ref = (
+            x_q.astype(jnp.int32) @ jnp.asarray(ws[layer], jnp.int32)
+        ).astype(jnp.float32) / (sx * scales[layer])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_stacked_linear_fn_model_equivalence():
+    """Full model forward with the stacked linear_fn == default XLA path."""
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.models.bitnet import KVCache, forward, init_params
+    from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
+
+    cfg = BitNetConfig.tiny()
+    params = init_params(cfg, seed=0)
+    cache0 = KVCache.zeros(cfg, 1, 16)
+    toks = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    start = jnp.zeros((1,), jnp.int32)
+    ref, _ = forward(params, cfg, toks, cache0, start)
+    cache1 = KVCache.zeros(cfg, 1, 16)
+    got, _ = forward(
+        params, cfg, toks, cache1, start,
+        linear_fn=make_pallas_linear_stacked(interpret=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+    assert np.array_equal(
+        np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
+    )

@@ -131,6 +131,11 @@ class EngineConfig:
     # Decode steps fused into ONE device program per dispatch: host/tunnel
     # round-trips are paid once per burst. Streaming granularity = burst.
     decode_burst: int = 8
+    # KV pool layout: "token" (one row per token; O(1)-DMA writes,
+    # strided per-layer reads), "layer" (dual: layer-major main pool with
+    # page-contiguous reads + token-major staging page per slot), or
+    # "auto" (layer on TPU with unquantized KV, token otherwise).
+    kv_layout: str = "auto"
     # int8-quantize the output head (models/bitnet.quantize_lm_head):
     # halves the dominant logits-matmul HBM stream at small batch;
     # approximate (per-row absmax) — off by default for exactness.

@@ -107,16 +107,49 @@ class Engine:
                 and self.ecfg.max_batch_slots <= 4
             )
         if linear_fn is None and use_pallas:
-            from ..ops.ternary_pallas import make_pallas_linear
+            from ..ops.ternary_pallas import make_pallas_linear_stacked
 
-            linear_fn = make_pallas_linear()
+            linear_fn = make_pallas_linear_stacked()
         self._linear_fn = linear_fn
         self._attention_fn = attention_fn
 
         e = self.ecfg
         self.page_size = e.page_size
         self.max_pages_per_seq = -(-e.max_context // e.page_size)
-        self.pools = PagedKV.zeros(cfg, e.num_pages, e.page_size, e.kv_dtype)
+
+        import os as _os
+
+        # in-place Pallas KV writer on TPU for unquantized pools (the XLA
+        # scatter copies the whole pool); WF_KV_WRITE=xla overrides
+        self._kv_write = "xla"
+        if (
+            _os.environ.get("WF_KV_WRITE", "auto") != "xla"
+            and jax.devices()[0].platform == "tpu"
+            and e.kv_dtype in ("bf16", "f32", "fp16")
+        ):
+            self._kv_write = "pallas"
+
+        layout = e.kv_layout
+        if layout == "auto":
+            layout = "layer" if self._kv_write == "pallas" else "token"
+        self.kv_layout = layout
+        if layout == "layer":
+            if e.kv_dtype not in ("bf16", "f32", "fp16"):
+                raise ValueError("kv_layout='layer' requires unquantized kv_dtype")
+            # prefill chunks must start page-aligned: buckets become
+            # multiples of page_size (paged._dual_write contract)
+            ps = e.page_size
+            self.ecfg = e = dataclasses.replace(
+                e,
+                prefill_buckets=tuple(
+                    sorted({-(-b // ps) * ps for b in e.prefill_buckets})
+                ),
+            )
+            self.pools = PagedKV.zeros_dual(
+                cfg, e.num_pages, e.page_size, e.max_batch_slots, e.kv_dtype
+            )
+        else:
+            self.pools = PagedKV.zeros(cfg, e.num_pages, e.page_size, e.kv_dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -127,6 +160,11 @@ class Engine:
                 if self.pools.scale is None
                 else jax.device_put(
                     self.pools.scale, NamedSharding(mesh, ps_spec.scale)
+                ),
+                None
+                if self.pools.staging is None
+                else jax.device_put(
+                    self.pools.staging, NamedSharding(mesh, ps_spec.staging)
                 ),
             )
         # Host bookkeeping hot path: native C++ runtime when it builds,
@@ -171,18 +209,6 @@ class Engine:
         self._rid = itertools.count()
         self._lock = threading.Lock()
 
-        import os as _os
-
-        # in-place Pallas KV writer on TPU for unquantized pools (the XLA
-        # scatter copies the whole pool); WF_KV_WRITE=xla overrides
-        self._kv_write = "xla"
-        if (
-            _os.environ.get("WF_KV_WRITE", "auto") != "xla"
-            and jax.devices()[0].platform == "tpu"
-            and e.kv_dtype in ("bf16", "f32", "fp16")
-        ):
-            self._kv_write = "pallas"
-
         self._decode_jit = self._build_decode()
         self._prefill_jits: Dict[int, Callable] = {}
 
@@ -199,7 +225,11 @@ class Engine:
         from jax.sharding import PartitionSpec as P
 
         spec = P(None, None, None, "model")
-        return PagedKV(spec, None if self.pools.scale is None else spec)
+        return PagedKV(
+            spec,
+            None if self.pools.scale is None else spec,
+            None if self.pools.staging is None else spec,
+        )
 
     def _build_decode(self):
         """Fused K-step decode burst: a device-side `lax.scan` samples K
@@ -254,10 +284,11 @@ class Engine:
             tp_axis = "model" if self.mesh is not None else None
 
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
-                        seeds, counters, temp, top_p):
+                        seeds, counters, temp, top_p, slot_ids):
                 logits, pools = paged_forward(
                     params, cfg, tokens, pools, page_table, seq_len, new_len,
                     linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,
+                    slot_ids=slot_ids,
                 )
                 keys = per_request_keys(seeds, counters)
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
@@ -271,10 +302,10 @@ class Engine:
                 from ..parallel.sharding import param_partition_specs
 
                 pool_spec = self._pool_spec()
-                rep8 = tuple(P() for _ in range(8))
+                rep9 = tuple(P() for _ in range(9))
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
-                    in_specs=(param_partition_specs(self.params), pool_spec) + rep8,
+                    in_specs=(param_partition_specs(self.params), pool_spec) + rep9,
                     out_specs=(P(), pool_spec),
                     check_vma=False,
                 )
@@ -437,6 +468,7 @@ class Engine:
                 jnp.asarray([len(req.output_ids)], jnp.int32),
                 jnp.asarray([req.sampling.temperature], jnp.float32),
                 jnp.asarray([req.sampling.top_p], jnp.float32),
+                jnp.asarray([slot], jnp.int32),
             )
             pos += len(chunk)
             first_tok = int(np.asarray(nxt)[0])

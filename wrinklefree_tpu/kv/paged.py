@@ -53,8 +53,27 @@ def _lpad(num_layers: int) -> int:
 
 
 class PagedKV(NamedTuple):
-    kv: jax.Array  # [P, ps, 2*Lp, KV*D] — k rows [0,Lp), v rows [Lp,2Lp)
-    scale: Optional[jax.Array] = None  # [P, ps, 2*Lp, KV] (quantized)
+    """Paged KV pools. Two layouts:
+
+    token-major (default): kv [P, ps, 2*Lp, KV*D], staging is None.
+      One token's whole cache contribution is a contiguous row — O(1)
+      aligned DMAs per written token — but a per-layer history READ
+      gathers [KV*D]-sized strided slices (1.3 KB each), which caps
+      decode-attention bandwidth.
+
+    dual / layer-major: kv [P, 2*Lp, ps, KV*D] (read-optimized: layer
+      l's keys for a page are ONE contiguous [ps, KV*D] block, k at row
+      l, v at row Lp+l) plus a token-major ``staging`` pool
+      [NS+1, ps, 2*Lp, KV*D] holding each slot's current partial page
+      (written with the O(1) row DMA; slot NS is trash). When a page
+      completes, `ops.kv_update_pallas.page_flush_pallas` transposes the
+      staging page into the main pool in place. Combines O(1)-DMA writes
+      with page-granular (20 KB+) contiguous reads.
+    """
+
+    kv: jax.Array
+    scale: Optional[jax.Array] = None  # [P, ps, 2*Lp, KV] (quantized, token-major only)
+    staging: Optional[jax.Array] = None  # dual layout only
 
     @classmethod
     def zeros(
@@ -74,9 +93,33 @@ class PagedKV(NamedTuple):
             )
         return cls(kv, None)
 
+    @classmethod
+    def zeros_dual(
+        cls,
+        cfg: BitNetConfig,
+        num_pages: int,
+        page_size: int,
+        num_slots: int,
+        kv_dtype: str = "bf16",
+    ) -> "PagedKV":
+        if needs_scale(kv_dtype):
+            raise ValueError("dual KV layout requires an unquantized kv_dtype")
+        if page_size % 8:
+            raise ValueError("dual KV layout needs page_size % 8 == 0")
+        lp = _lpad(cfg.num_layers)
+        kvd = cfg.num_kv_heads * cfg.head_dim
+        dt = KV_DTYPES[kv_dtype]
+        kv = jnp.zeros((num_pages, 2 * lp, page_size, kvd), dt)
+        staging = jnp.zeros((num_slots + 1, page_size, 2 * lp, kvd), dt)
+        return cls(kv, None, staging)
+
+    @property
+    def dual(self) -> bool:
+        return self.staging is not None
+
     @property
     def page_size(self) -> int:
-        return self.kv.shape[1]
+        return self.kv.shape[2] if self.dual else self.kv.shape[1]
 
     @property
     def kv_dtype_name(self) -> str:
@@ -115,6 +158,20 @@ def _paged_attention_jnp(
         k_hist = k_raw.reshape(B, T, KV, D).astype(q.dtype)
         v_hist = v_raw.reshape(B, T, KV, D).astype(q.dtype)
 
+    hist_ok = jnp.arange(T)[None, :] < seq_lens[:, None]  # [B,T]
+    return _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens)
+
+
+def _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens):
+    """Shared masked-softmax GQA over [history ++ current chunk].
+
+    q [B,S,NH,D]; k/v_cur [B,S,KV,D]; k/v_hist [B,T,KV,D];
+    hist_ok [B,T] marks valid history slots; current keys are causal
+    within the chunk and limited to new_lens real tokens."""
+    B, S, NH, D = q.shape
+    KV = k_cur.shape[2]
+    G = NH // KV
+    T = k_hist.shape[1]
     k = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
     v = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
 
@@ -124,8 +181,6 @@ def _paged_attention_jnp(
         jnp.einsum("bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32)
         * scale
     )
-    # history keys: valid iff idx < seq_lens (strictly past)
-    hist_ok = jnp.arange(T)[None, :] < seq_lens[:, None]  # [B,T]
     # current keys: causal within the chunk and within new_lens
     cur_idx = jnp.arange(S)
     cur_ok = (cur_idx[None, None, :] <= cur_idx[None, :, None]) & (
@@ -138,6 +193,45 @@ def _paged_attention_jnp(
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
     return out.reshape(B, S, NH, D)
+
+
+def _paged_attention_dual(
+    q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
+    cfg: BitNetConfig,
+):
+    """History attention over the layer-major main pool + staging page.
+
+    main [P, 2Lp, ps, KVD]: layer `layer`'s keys for one page are ONE
+    contiguous [ps, KVD] block (k at row `layer`, v at `Lp+layer`), so
+    the XLA gather below moves 20 KB+ contiguous chunks instead of the
+    token-major layout's 1.3 KB strided slices (~6x decode-attention
+    bandwidth measured at serving batch sizes).
+    staging_b [B, ps, 2Lp, KVD]: this batch's partial pages, token-major.
+    Valid history = (seq_lens // ps) full pages + (seq_lens % ps)
+    staging tokens.
+    """
+    B, S, NH, D = q.shape
+    KV = k_cur.shape[2]
+    lp = main.shape[1] // 2
+    ps = main.shape[2]
+    MP = page_table.shape[1]
+
+    k_pages = main[page_table, layer]  # [B, MP, ps, KVD] page-contiguous
+    v_pages = main[page_table, lp + layer]
+    k_main = k_pages.reshape(B, MP * ps, KV, D)
+    v_main = v_pages.reshape(B, MP * ps, KV, D)
+    k_stage = staging_b[:, :, layer].reshape(B, ps, KV, D)
+    v_stage = staging_b[:, :, lp + layer].reshape(B, ps, KV, D)
+
+    full_tokens = (seq_lens // ps) * ps  # tokens committed to main
+    off = seq_lens - full_tokens  # tokens in staging
+    main_ok = jnp.arange(MP * ps)[None, :] < full_tokens[:, None]
+    stage_ok = jnp.arange(ps)[None, :] < off[:, None]
+
+    k_hist = jnp.concatenate([k_main, k_stage], axis=1).astype(q.dtype)
+    v_hist = jnp.concatenate([v_main, v_stage], axis=1).astype(q.dtype)
+    hist_ok = jnp.concatenate([main_ok, stage_ok], axis=1)
+    return _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens)
 
 
 def _paged_attention_flash(
@@ -165,6 +259,134 @@ def _paged_attention_flash(
     return out.astype(q.dtype)
 
 
+def _paged_attention_dual_flash(
+    q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
+    cfg: BitNetConfig,
+):
+    """Flash (online-softmax) prefill over the dual layout. Prefill
+    chunks always start page-aligned (engine guarantees buckets are
+    multiples of page_size), so staging is empty and valid history is
+    exactly the seq_lens-token prefix of the gathered main pages."""
+    from ..ops.flash_attention import flash_paged_prefill
+
+    B, S, NH, D = q.shape
+    KV = k_cur.shape[2]
+    lp = main.shape[1] // 2
+    ps = main.shape[2]
+    MP = page_table.shape[1]
+    T = MP * ps
+    k_hist = main[page_table, layer].reshape(B, T, KV, D)
+    v_hist = main[page_table, lp + layer].reshape(B, T, KV, D)
+    k_full = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
+    v_full = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
+    out = flash_paged_prefill(
+        q.astype(k_full.dtype), k_full, v_full,
+        seq_lens[0], new_lens[0], hist_len=T,
+    )
+    return out.astype(q.dtype)
+
+
+def _dual_write(
+    pools: PagedKV,
+    vals: jax.Array,  # [B, S, 2Lp, KVD] token rows (k-layers then v-layers)
+    page_table: jax.Array,  # [B, MP]
+    seq_lens: jax.Array,  # [B] tokens already cached (page-aligned if S > 1)
+    new_lens: jax.Array,  # [B] real tokens in this chunk
+    slot_ids: Optional[jax.Array],
+    use_pallas: bool,
+) -> PagedKV:
+    """Commit S new tokens to the dual-layout pools.
+
+    Decode (S == 1): the token row goes to the slot's staging page; when
+    that fills, the whole page is transposed into the layer-major main
+    pool (one contiguous multi-MB DMA amortized over page_size steps).
+    Prefill (S % ps == 0, page-aligned start): pages fully covered by
+    real tokens are transposed in-register and written page-at-a-time;
+    the partial remainder goes to staging. Padding/incomplete targets
+    resolve to the trash page (main page 0 / staging slot NS).
+    """
+    main, staging = pools.kv, pools.staging
+    B, S, two_lp, kvd = vals.shape
+    P, _, ps, _ = main.shape
+    MP = page_table.shape[1]
+    NS = staging.shape[0] - 1  # last staging slot is trash
+    slots = (
+        jnp.arange(B, dtype=jnp.int32)
+        if slot_ids is None
+        else slot_ids.astype(jnp.int32)
+    )
+
+    if S == 1:
+        off = (seq_lens % ps).astype(jnp.int32)
+        completed = (seq_lens + 1) % ps == 0
+        lpg = jnp.clip(seq_lens // ps, 0, MP - 1)
+        pid_b = jnp.where(
+            completed,
+            jnp.take_along_axis(page_table, lpg[:, None], axis=1)[:, 0],
+            0,
+        ).astype(jnp.int32)
+        if use_pallas:
+            from ..ops.kv_update_pallas import kv_write_pallas, page_flush_pallas
+
+            staging = kv_write_pallas(staging, vals[:, 0], slots, off)
+            pids = jnp.zeros((NS + 1,), jnp.int32).at[slots].set(pid_b)
+            main = page_flush_pallas(main, staging, pids)
+        else:
+            staging = staging.at[slots, off].set(vals[:, 0])
+            # pid 0 for non-completed slots: garbage lands in the trash page
+            flushed = jnp.swapaxes(staging[slots], 1, 2)  # [B, 2Lp, ps, KVD]
+            main = main.at[pid_b].set(flushed)
+        return PagedKV(main, None, staging)
+
+    if S % ps:
+        raise ValueError(
+            f"dual KV layout requires prefill chunks that are multiples of "
+            f"page_size ({ps}); got S={S}"
+        )
+    npg = S // ps
+    pages = vals.reshape(B, npg, ps, two_lp, kvd).transpose(0, 1, 3, 2, 4)
+    j = jnp.arange(npg, dtype=jnp.int32)[None, :]
+    logical = seq_lens[:, None] // ps + j
+    full = ((j + 1) * ps <= new_lens[:, None]) & (logical < MP)
+    pid = jnp.where(
+        full,
+        jnp.take_along_axis(page_table, jnp.clip(logical, 0, MP - 1), axis=1),
+        0,
+    ).astype(jnp.int32)  # [B, npg]
+
+    # staging remainder: the (new_lens % ps) tokens of the first non-full page
+    nfull = new_lens // ps
+    idx = nfull[:, None] * ps + jnp.arange(ps)[None, :]  # [B, ps] chunk-relative
+    valid = idx < new_lens[:, None]
+    vals_stage = jnp.take_along_axis(
+        vals, jnp.clip(idx, 0, S - 1)[:, :, None, None], axis=1
+    )  # [B, ps, 2Lp, KVD]
+    srow_slot = jnp.where(valid, slots[:, None], NS).astype(jnp.int32)
+    soff = jnp.broadcast_to(jnp.arange(ps, dtype=jnp.int32)[None, :], (B, ps))
+
+    if use_pallas:
+        from ..ops.kv_update_pallas import kv_write_pallas
+
+        main = kv_write_pallas(
+            main.reshape(P, 1, two_lp, ps * kvd),
+            pages.reshape(B * npg, two_lp, ps * kvd),
+            pid.reshape(-1),
+            jnp.zeros((B * npg,), jnp.int32),
+        ).reshape(P, two_lp, ps, kvd)
+        staging = kv_write_pallas(
+            staging,
+            vals_stage.reshape(B * ps, two_lp, kvd),
+            srow_slot.reshape(-1),
+            soff.reshape(-1),
+        )
+    else:
+        main = main.at[pid.reshape(-1)].set(pages.reshape(B * npg, two_lp, ps, kvd))
+        staging = staging.at[srow_slot.reshape(-1), soff.reshape(-1)].set(
+            vals_stage.reshape(B * ps, two_lp, kvd)
+        )
+    return PagedKV(main, None, staging)
+
+
 def paged_forward(
     params,
     cfg: BitNetConfig,
@@ -178,6 +400,7 @@ def paged_forward(
     attention_fn=None,
     kv_write: str = "xla",  # "pallas" = in-place DMA kernel (TPU, unquantized)
     tp_axis: Optional[str] = None,
+    slot_ids: Optional[jax.Array] = None,  # [B] staging slots (dual layout)
 ) -> Tuple[jax.Array, PagedKV]:
     """Run S new tokens per slot against the paged cache.
 
@@ -210,6 +433,7 @@ def paged_forward(
     positions = seq_lens[:, None] + jnp.arange(S)[None, :]  # [B,S]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype)
 
+    dual = pools.dual
     if attention_fn is not None:
         attn_impl = attention_fn
     else:
@@ -220,51 +444,82 @@ def paged_forward(
             and S >= 128
             and (hist_tokens + S) % 128 == 0
         )
-        attn_impl = _paged_attention_flash if use_flash else _paged_attention_jnp
+        if dual:
+            attn_impl = (
+                _paged_attention_dual_flash if use_flash else _paged_attention_dual
+            )
+        else:
+            attn_impl = _paged_attention_flash if use_flash else _paged_attention_jnp
 
-    # page/offset for each new token; padding beyond the allocated range
-    # must land in the trash page (page_table stores 0 there already).
-    page_slot = positions // ps  # [B,S] logical page index
-    in_range = page_slot < page_table.shape[1]
-    page_ids = jnp.where(
-        in_range,
-        jnp.take_along_axis(
-            page_table, jnp.clip(page_slot, 0, page_table.shape[1] - 1), axis=1
-        ),
-        0,
-    )
-    offsets = positions % ps
+    if not dual:
+        # page/offset for each new token; padding beyond the allocated range
+        # must land in the trash page (page_table stores 0 there already).
+        page_slot = positions // ps  # [B,S] logical page index
+        in_range = page_slot < page_table.shape[1]
+        page_ids = jnp.where(
+            in_range,
+            jnp.take_along_axis(
+                page_table, jnp.clip(page_slot, 0, page_table.shape[1] - 1), axis=1
+            ),
+            0,
+        )
+        offsets = positions % ps
 
     L = jax.tree.leaves(params["layers"])[0].shape[0]
     P = pools.kv.shape[0]
-    kv_rows = pools.kv.reshape((P * ps,) + pools.kv.shape[2:])
-    scale_rows = (
-        pools.scale.reshape((P * ps,) + pools.scale.shape[2:])
-        if pools.scale is not None
-        else None
-    )
-    # flat row index of every history slot: [B, MP*ps]
-    token_rows = (
-        page_table[:, :, None] * ps + jnp.arange(ps)[None, None, :]
-    ).reshape(B, -1)
+    if dual:
+        # this batch's staging pages, sliced once for all layers
+        if slot_ids is None:
+            staging_b = pools.staging[:B]  # decode: slot b == batch row b
+        else:
+            staging_b = pools.staging[slot_ids]
+        hist_args = (pools.kv, staging_b)
+    else:
+        kv_rows = pools.kv.reshape((P * ps,) + pools.kv.shape[2:])
+        scale_rows = (
+            pools.scale.reshape((P * ps,) + pools.scale.shape[2:])
+            if pools.scale is not None
+            else None
+        )
+        # flat row index of every history slot: [B, MP*ps]
+        token_rows = (
+            page_table[:, :, None] * ps + jnp.arange(ps)[None, None, :]
+        ).reshape(B, -1)
+
+    # stacked linear_fns read the whole [L, K4, N] weight stack with a
+    # layer index (no per-layer slice copy before the Pallas call — see
+    # models/bitnet.forward)
+    stacked = getattr(lf, "stacked", False)
+    stack = params["layers"]
+
+    def wlin(x, lp, l, name, **kw):
+        if stacked:
+            return lf(x, stack[name + "_qw"], stack[name + "_scale"], l, **kw)
+        return lf(x, lp[name + "_qw"], lp[name + "_scale"], **kw)
 
     def layer_step(h, xs):
         lp, l = xs
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
-        q = lf(normed, lp["q_qw"], lp["q_scale"]).reshape(B, S, -1, cfg.head_dim)
-        k = lf(normed, lp["k_qw"], lp["k_scale"]).reshape(B, S, -1, cfg.head_dim)
-        v = lf(normed, lp["v_qw"], lp["v_scale"]).reshape(B, S, -1, cfg.head_dim)
+        q = wlin(normed, lp, l, "q").reshape(B, S, -1, cfg.head_dim)
+        k = wlin(normed, lp, l, "k").reshape(B, S, -1, cfg.head_dim)
+        v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
-        attn = attn_impl(
-            q, k, v, kv_rows, scale_rows, l, token_rows, positions,
-            seq_lens, new_lens, cfg,
-        )
+        if dual:
+            attn = attn_impl(
+                q, k, v, hist_args[0], hist_args[1], l, page_table,
+                seq_lens, new_lens, cfg,
+            )
+        else:
+            attn = attn_impl(
+                q, k, v, kv_rows, scale_rows, l, token_rows, positions,
+                seq_lens, new_lens, cfg,
+            )
         attn = attn.reshape(B, S, -1)
         if tp_axis is None:
             attn = rms_norm(attn, lp["attn_sub"], cfg.rms_norm_eps)
-            h = h + lf(attn, lp["o_qw"], lp["o_scale"])
+            h = h + wlin(attn, lp, l, "o")
         else:
             # sub-norm over the FULL q_dim: psum the mean-square
             af = attn.astype(jnp.float32)
@@ -272,8 +527,8 @@ def paged_forward(
             var = ms / cfg.q_dim
             attn = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(attn.dtype) * lp["attn_sub"]
             h = h + jax.lax.psum(
-                lf(attn, lp["o_qw"], lp["o_scale"], quant_axis=tp_axis,
-                   out_dtype=jnp.float32),
+                wlin(attn, lp, l, "o", quant_axis=tp_axis,
+                     out_dtype=jnp.float32),
                 tp_axis,
             ).astype(dtype)
 
@@ -291,8 +546,8 @@ def paged_forward(
             )
             h = h + y.reshape(B, S, -1).astype(dtype)
             return h, (k, v)
-        gate = lf(normed, lp["gate_qw"], lp["gate_scale"])
-        up = lf(normed, lp["up_qw"], lp["up_scale"])
+        gate = wlin(normed, lp, l, "gate")
+        up = wlin(normed, lp, l, "up")
         if cfg.mlp_act == "silu":
             act = jax.nn.silu(gate) * up
         else:
@@ -307,11 +562,11 @@ def paged_forward(
             var = ms / cfg.intermediate_size
             act = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(act.dtype) * lp["ffn_sub"]
         if tp_axis is None:
-            h = h + lf(act, lp["down_qw"], lp["down_scale"])
+            h = h + wlin(act, lp, l, "down")
         else:
             h = h + jax.lax.psum(
-                lf(act, lp["down_qw"], lp["down_scale"], quant_axis=tp_axis,
-                   out_dtype=jnp.float32),
+                wlin(act, lp, l, "down", quant_axis=tp_axis,
+                     out_dtype=jnp.float32),
                 tp_axis,
             ).astype(dtype)
         return h, (k, v)
@@ -321,7 +576,7 @@ def paged_forward(
 
     # Pack each token's full contribution as one row [2*Lp, KV*D]
     # (k-layers then v-layers; quantization per [D] head-vector first).
-    two_lp = pools.kv.shape[2]
+    two_lp = pools.kv.shape[1] if dual else pools.kv.shape[2]
     lp_pad = two_lp // 2 - L
     KV = k_new.shape[-2]  # LOCAL kv heads under TP
     kv_new = jnp.stack([k_new, v_new], axis=0)  # [2, L, B, S, KV, D]
@@ -331,7 +586,12 @@ def paged_forward(
         B, S, two_lp, KV * cfg.head_dim
     )
 
-    if kv_write == "pallas" and s_kv is None:
+    if dual:
+        new_pools = _dual_write(
+            pools, vals, page_table, seq_lens, new_lens, slot_ids,
+            kv_write == "pallas",
+        )
+    elif kv_write == "pallas" and s_kv is None:
         from ..ops.kv_update_pallas import kv_write_pallas
 
         out = kv_write_pallas(
@@ -361,4 +621,4 @@ def paged_forward(
     if tp_axis is not None:
         # head is vocab-sharded: gather the local [., V/tp] logits
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1, tiled=True)
-    return logits, PagedKV(new_pools.kv, new_pools.scale)
+    return logits, new_pools

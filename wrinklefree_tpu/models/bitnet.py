@@ -335,13 +335,25 @@ def forward(
     def maybe_psum(x):
         return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
 
+    # Stacked linear_fns (lf.stacked == True) take the WHOLE [L, K4, N]
+    # weight stack plus a layer index: inside the layer scan this avoids
+    # the per-layer dynamic-slice copy XLA must materialize before a
+    # Pallas custom call (~17 MB x L per token for BitNet-2B).
+    stacked = getattr(lf, "stacked", False)
+    stack = params["layers"]
+
+    def wlin(x, lp, l, name, **kw):
+        if stacked:
+            return lf(x, stack[name + "_qw"], stack[name + "_scale"], l, **kw)
+        return lf(x, lp[name + "_qw"], lp[name + "_scale"], **kw)
+
     def layer_step(h, xs):
-        lp, ck, cv = xs  # ck/cv: [B, T, KV_local, D]
+        lp, ck, cv, l = xs  # ck/cv: [B, T, KV_local, D]
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
-        q = lf(normed, lp["q_qw"], lp["q_scale"]).reshape(B, S, -1, cfg.head_dim)
-        k = lf(normed, lp["k_qw"], lp["k_scale"]).reshape(B, S, -1, cfg.head_dim)
-        v = lf(normed, lp["v_qw"], lp["v_scale"]).reshape(B, S, -1, cfg.head_dim)
+        q = wlin(normed, lp, l, "q").reshape(B, S, -1, cfg.head_dim)
+        k = wlin(normed, lp, l, "k").reshape(B, S, -1, cfg.head_dim)
+        v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
         ck = ck.at[batch_idx, positions].set(k)
@@ -365,7 +377,7 @@ def forward(
         # round through bf16 per shard.
         o_dt = jnp.float32 if tp_axis is not None else dtype
         h = h + maybe_psum(
-            lf(attn, lp["o_qw"], lp["o_scale"], quant_axis=tp_axis, out_dtype=o_dt)
+            wlin(attn, lp, l, "o", quant_axis=tp_axis, out_dtype=o_dt)
         ).astype(dtype)
 
         normed = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
@@ -385,8 +397,8 @@ def forward(
             )
             h = h + y.reshape(B, S, -1).astype(dtype)
             return h, (ck, cv)
-        gate = lf(normed, lp["gate_qw"], lp["gate_scale"])
-        up = lf(normed, lp["up_qw"], lp["up_scale"])
+        gate = wlin(normed, lp, l, "gate")
+        up = wlin(normed, lp, l, "up")
         if cfg.mlp_act == "silu":  # Llama-family ternary conversions
             act = jax.nn.silu(gate) * up
         else:
@@ -401,12 +413,15 @@ def forward(
             var = ms / cfg.intermediate_size
             act = (af * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(act.dtype) * lp["ffn_sub"]
         h = h + maybe_psum(
-            lf(act, lp["down_qw"], lp["down_scale"], quant_axis=tp_axis, out_dtype=o_dt)
+            wlin(act, lp, l, "down", quant_axis=tp_axis, out_dtype=o_dt)
         ).astype(dtype)
         return h, (ck, cv)
 
+    L = jax.tree.leaves(params["layers"])[0].shape[0]
     hidden, (new_k, new_v) = jax.lax.scan(
-        layer_step, hidden, (params["layers"], cache.k, cache.v)
+        layer_step,
+        hidden,
+        (params["layers"], cache.k, cache.v, jnp.arange(L, dtype=jnp.int32)),
     )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)

@@ -156,6 +156,110 @@ def ternary_matmul_pallas(
     return out[:b].reshape(*lead, n)
 
 
+def _matmul_kernel_stacked(l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype):
+    """Like _matmul_kernel but w_ref is a [1, K4, TN] block of the
+    stacked [L, K4, N] weights, selected by the prefetched layer index
+    in the BlockSpec index map (so the layer's weights are DMA'd straight
+    from the stacked HBM array — no per-layer slice copy)."""
+    del l_ref
+    k4 = w_ref.shape[1]
+    w_bytes = w_ref[0].astype(jnp.int32)
+    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[2]), jnp.int32)
+    for j in range(4):
+        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
+        acc += jax.lax.dot_general(
+            x_j,
+            w_j,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+        ).astype(jnp.int32)
+    inv = 1.0 / (sx_ref[:] * sw_ref[0, 0])
+    o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "dot_dtype", "interpret")
+)
+def ternary_matmul_pallas_stacked(
+    x_q: jax.Array,  # [..., K] int8
+    qweight: jax.Array,  # [L, K//4, N] uint8 (stacked layers)
+    layer,  # int32 scalar — which layer's weights to use
+    act_scale: jax.Array,  # [..., 1] f32
+    weight_scale: jax.Array,  # [L] f32 stacked scales
+    *,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused packed-ternary matmul against STACKED per-layer weights.
+
+    Inside a `lax.scan` over layers, passing the scan-sliced weight to a
+    Pallas call forces XLA to materialize a per-layer copy (a custom
+    call cannot fuse a dynamic-slice) — ~17 MB x L x token of pure copy
+    traffic for BitNet-2B. Here the whole stacked array is the kernel
+    operand and the layer index is a prefetched scalar used by the
+    BlockSpec index map, so blocks stream straight from the right layer.
+    """
+    L, k4, n = qweight.shape
+    k = 4 * k4
+    lead = x_q.shape[:-1]
+    x2 = x_q.reshape(-1, k)
+    b = x2.shape[0]
+    tb, tn = _pick_tiles(b, k, n)
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)))
+
+    sx = jnp.broadcast_to(act_scale.reshape(-1, 1).astype(jnp.float32), (b, 1))
+    if b_pad != b:
+        sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)), constant_values=1.0)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    sw = weight_scale.astype(jnp.float32)[lidx[0]].reshape(1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // tb, n // tn),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, k4, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((tb, 1), lambda i, j, l: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda i, j, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_matmul_kernel_stacked, dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * k * n,
+            bytes_accessed=b_pad * k + k4 * n + b_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, x2, qweight, sx, sw)
+    return out[:b].reshape(*lead, n)
+
+
+def ternary_linear_pallas_stacked(
+    x: jax.Array,
+    qweight: jax.Array,  # [L, K4, N]
+    weight_scale: jax.Array,  # [L]
+    layer,
+    *,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+    quant_axis: str | None = None,
+) -> jax.Array:
+    x_q, act_scale = quantize_activations(x, quant_axis=quant_axis)
+    return ternary_matmul_pallas_stacked(
+        x_q, qweight, layer, act_scale, weight_scale,
+        out_dtype=out_dtype, dot_dtype=dot_dtype, interpret=interpret,
+    )
+
+
 def ternary_linear_pallas(
     x: jax.Array,
     qweight: jax.Array,
@@ -177,6 +281,30 @@ def ternary_linear_pallas(
         dot_dtype=dot_dtype,
         interpret=interpret,
     )
+
+
+def make_pallas_linear_stacked(dot_dtype=None, interpret: bool = False):
+    """Stacked-weights linear_fn: signature (x, qw_stack [L,K4,N],
+    scale_stack [L], layer, ...). The .stacked attribute tells the model
+    layer-scan to pass the whole stack + index (no per-layer copies)."""
+    if dot_dtype is None:
+        import os
+
+        dot_dtype = (
+            jnp.bfloat16
+            if os.environ.get("WF_PALLAS_DOT", "int8") == "bf16"
+            else jnp.int8
+        )
+
+    def linear_fn(x, qw_stack, scale_stack, layer, out_dtype=jnp.bfloat16,
+                  quant_axis=None):
+        return ternary_linear_pallas_stacked(
+            x, qw_stack, scale_stack, layer, out_dtype=out_dtype,
+            dot_dtype=dot_dtype, interpret=interpret, quant_axis=quant_axis,
+        )
+
+    linear_fn.stacked = True
+    return linear_fn
 
 
 def make_pallas_linear(dot_dtype=None, interpret: bool = False):
