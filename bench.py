@@ -47,10 +47,12 @@ def main():
         jax.devices()[0].platform != "cpu"
     )
     linear_fn = None
+    fuse = False
     if use_pallas:
         from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
 
         linear_fn = make_pallas_linear_stacked()
+        fuse = os.environ.get("WF_BENCH_FUSE_PROJ", "1") == "1"
 
     log("initializing params...")
     t0 = time.perf_counter()
@@ -60,6 +62,10 @@ def main():
         from wrinklefree_tpu.models.bitnet import quantize_lm_head
 
         params = quantize_lm_head(params, cfg)
+    if fuse:
+        from wrinklefree_tpu.models.bitnet import fuse_projections
+
+        params = fuse_projections(params, cfg)  # 7 -> 4 kernel calls/layer
     params = jax.device_put(params)
     init_s = time.perf_counter() - t0
     log(f"params ready in {init_s:.1f}s; compiling prefill...")

@@ -35,6 +35,9 @@ def main():
                     help="tokens of common prefix across streams (radix test)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--model", default="bitnet2b", choices=["bitnet2b", "llama8b"])
+    ap.add_argument("--kv-layout", default="auto", choices=["auto", "token", "layer"])
+    ap.add_argument("--burst", type=int, default=None)
+    ap.add_argument("--use-pallas", default=None, choices=[None, "0", "1"])
     args = ap.parse_args()
 
     import numpy as np
@@ -54,6 +57,9 @@ def main():
         prefill_buckets=tuple(
             b for b in (128, 512, 1024, 2048, 4096) if b <= max_ctx
         ) or (128,),
+        kv_layout=args.kv_layout,
+        **({"decode_burst": args.burst} if args.burst else {}),
+        **({"use_pallas": args.use_pallas == "1"} if args.use_pallas else {}),
     )
     print(f"init {('tiny' if args.tiny else args.model)} model + engine "
           f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)
@@ -121,7 +127,7 @@ def main():
         "latency_p95_s": round(m.latency_p95_s, 3),
         "wall_s": round(wall, 2),
         "radix_hit_tokens": eng.stats["radix_hit_tokens"],
-        "decode_steps": eng.stats["decode_steps"],
+        "kv_layout": eng.kv_layout, "decode_steps": eng.stats["decode_steps"],
         "native_runtime": eng.native_runtime,
     }
     print(json.dumps(report))

@@ -180,3 +180,54 @@ def test_stacked_linear_fn_model_equivalence():
     assert np.array_equal(
         np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
     )
+
+
+def test_fused_projections_model_equivalence():
+    """fuse_projections (qkv + gate/up concat, per-column scale rows)
+    preserves the forward exactly (same ternary ints, same scales)."""
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.models.bitnet import (
+        KVCache, forward, fuse_projections, init_params,
+    )
+    from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
+
+    cfg = BitNetConfig.tiny()
+    params = init_params(cfg, seed=1)
+    toks = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    start = jnp.zeros((1,), jnp.int32)
+    ref, _ = forward(params, cfg, toks, KVCache.zeros(cfg, 1, 16), start)
+    fparams = fuse_projections(params, cfg)
+    assert "qkv_qw" in fparams["layers"] and "q_qw" not in fparams["layers"]
+    got, _ = forward(
+        fparams, cfg, toks, KVCache.zeros(cfg, 1, 16), start,
+        linear_fn=make_pallas_linear_stacked(interpret=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+    assert np.array_equal(
+        np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
+    )
+
+
+def test_fused_projections_engine_equivalence():
+    """Engine with fused+stacked interpret path == plain engine (greedy)."""
+    from wrinklefree_tpu.config import BitNetConfig, EngineConfig
+    from wrinklefree_tpu.engine import Engine, SamplingParams
+    from wrinklefree_tpu.models.bitnet import fuse_projections, init_params
+    from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
+
+    cfg = BitNetConfig.tiny()
+    params = init_params(cfg, seed=0)
+    base = dict(max_batch_slots=2, page_size=8, num_pages=32, max_context=64,
+                prefill_buckets=(8, 16))
+    ref_eng = Engine(params, cfg, EngineConfig(**base))
+    fused_eng = Engine(
+        fuse_projections(params, cfg), cfg, EngineConfig(**base),
+        linear_fn=make_pallas_linear_stacked(interpret=True),
+    )
+    prompts = [list(range(1, 7)), list(range(2, 12))]
+    for p in prompts:
+        a = ref_eng.generate(p, SamplingParams(max_new_tokens=10, temperature=0.0))
+        b = fused_eng.generate(p, SamplingParams(max_new_tokens=10, temperature=0.0))
+        assert a.output_ids == b.output_ids

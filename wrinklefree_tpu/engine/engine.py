@@ -110,6 +110,13 @@ class Engine:
             from ..ops.ternary_pallas import make_pallas_linear_stacked
 
             linear_fn = make_pallas_linear_stacked()
+            if mesh is None and cfg.num_experts == 0:
+                # 7 -> 4 Pallas calls/layer (per-call fixed cost is a
+                # first-order term at decode); TP shards by head so fused
+                # column groups would split incorrectly — single-device only
+                from ..models.bitnet import fuse_projections
+
+                self.params = fuse_projections(self.params, cfg)
         self._linear_fn = linear_fn
         self._attention_fn = attention_fn
 

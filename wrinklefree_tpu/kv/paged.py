@@ -66,9 +66,9 @@ class PagedKV(NamedTuple):
       l, v at row Lp+l) plus a token-major ``staging`` pool
       [NS+1, ps, 2*Lp, KV*D] holding each slot's current partial page
       (written with the O(1) row DMA; slot NS is trash). When a page
-      completes, `ops.kv_update_pallas.page_flush_pallas` transposes the
-      staging page into the main pool in place. Combines O(1)-DMA writes
-      with page-granular (20 KB+) contiguous reads.
+      completes it is transposed in XLA-land and committed to the main
+      pool with the in-place page writer. Combines O(1)-DMA writes with
+      page-granular (20 KB+) contiguous reads.
     """
 
     kv: jax.Array
@@ -326,11 +326,24 @@ def _dual_write(
             0,
         ).astype(jnp.int32)
         if use_pallas:
-            from ..ops.kv_update_pallas import kv_write_pallas, page_flush_pallas
+            from ..ops.kv_update_pallas import kv_write_pallas
 
             staging = kv_write_pallas(staging, vals[:, 0], slots, off)
-            pids = jnp.zeros((NS + 1,), jnp.int32).at[slots].set(pid_b)
-            main = page_flush_pallas(main, staging, pids)
+            # flush completed pages: XLA transpose of this batch's staging
+            # pages (~MBs — the in-kernel Mosaic transpose does not
+            # legalize for these shapes), then the in-place page writer.
+            # pid 0 for non-completed slots: garbage lands in the trash
+            # page, so the write needs no conditional. Page rows are
+            # viewed as [2Lp*ps, KVD] — merging LEADING dims only, which
+            # is layout-preserving on TPU (merging the minor dims would
+            # relayout-copy the whole multi-GB pool every step).
+            flushed = jnp.swapaxes(staging[slots], 1, 2)  # [B, 2Lp, ps, KVD]
+            main = kv_write_pallas(
+                main.reshape(P, 1, two_lp * ps, kvd),
+                flushed.reshape(B, two_lp * ps, kvd),
+                pid_b,
+                jnp.zeros((B,), jnp.int32),
+            ).reshape(P, two_lp, ps, kvd)
         else:
             staging = staging.at[slots, off].set(vals[:, 0])
             # pid 0 for non-completed slots: garbage lands in the trash page
@@ -367,9 +380,10 @@ def _dual_write(
     if use_pallas:
         from ..ops.kv_update_pallas import kv_write_pallas
 
+        # leading-dims-only reshapes: layout-preserving (see decode path)
         main = kv_write_pallas(
-            main.reshape(P, 1, two_lp, ps * kvd),
-            pages.reshape(B * npg, two_lp, ps * kvd),
+            main.reshape(P, 1, two_lp * ps, kvd),
+            pages.reshape(B * npg, two_lp * ps, kvd),
             pid.reshape(-1),
             jnp.zeros((B * npg,), jnp.int32),
         ).reshape(P, two_lp, ps, kvd)
@@ -491,6 +505,9 @@ def paged_forward(
     # models/bitnet.forward)
     stacked = getattr(lf, "stacked", False)
     stack = params["layers"]
+    fused = "qkv_qw" in stack  # models.bitnet.fuse_projections applied
+    if fused and not stacked:
+        raise ValueError("fused projections require a stacked linear_fn")
 
     def wlin(x, lp, l, name, **kw):
         if stacked:
@@ -501,9 +518,17 @@ def paged_forward(
         lp, l = xs
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
-        q = wlin(normed, lp, l, "q").reshape(B, S, -1, cfg.head_dim)
-        k = wlin(normed, lp, l, "k").reshape(B, S, -1, cfg.head_dim)
-        v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
+        if fused:
+            qkv = wlin(normed, lp, l, "qkv")
+            kvd = cfg.num_kv_heads * cfg.head_dim
+            qd = qkv.shape[-1] - 2 * kvd
+            q = qkv[..., :qd].reshape(B, S, -1, cfg.head_dim)
+            k = qkv[..., qd : qd + kvd].reshape(B, S, -1, cfg.head_dim)
+            v = qkv[..., qd + kvd :].reshape(B, S, -1, cfg.head_dim)
+        else:
+            q = wlin(normed, lp, l, "q").reshape(B, S, -1, cfg.head_dim)
+            k = wlin(normed, lp, l, "k").reshape(B, S, -1, cfg.head_dim)
+            v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
         if dual:
@@ -546,8 +571,13 @@ def paged_forward(
             )
             h = h + y.reshape(B, S, -1).astype(dtype)
             return h, (k, v)
-        gate = wlin(normed, lp, l, "gate")
-        up = wlin(normed, lp, l, "up")
+        if fused and "gateup_qw" in stack:
+            gu = wlin(normed, lp, l, "gateup")
+            inter = gu.shape[-1] // 2
+            gate, up = gu[..., :inter], gu[..., inter:]
+        else:
+            gate = wlin(normed, lp, l, "gate")
+            up = wlin(normed, lp, l, "up")
         if cfg.mlp_act == "silu":
             act = jax.nn.silu(gate) * up
         else:

@@ -217,6 +217,40 @@ def quantize_lm_head(params, cfg: BitNetConfig):
     return out
 
 
+def fuse_projections(params, cfg: BitNetConfig):
+    """Concat q/k/v and gate/up weight stacks along N for the stacked
+    Pallas path: 7 -> 4 kernel calls per layer (each Pallas call carries
+    ~10 us of fixed launch/pipeline cost, so call count is a first-order
+    term at batch-1 decode). Per-tensor scales become per-COLUMN scale
+    rows ([L, N] f32) so each segment keeps its own scale in one call.
+
+    Replaces the q/k/v (and gate/up) entries with "qkv_qw"/"qkv_scale"
+    ("gateup_qw"/"gateup_scale"). Only for the single-device stacked
+    path — under TP, fused column sharding would split segments across
+    devices incorrectly. MoE models fuse q/k/v only.
+    """
+    layers = dict(params["layers"])
+    L = layers["q_qw"].shape[0]
+
+    def row(scale, n):
+        return jnp.broadcast_to(
+            scale.astype(jnp.float32)[:, None], (L, n)
+        )
+
+    def fuse(names, out_name):
+        qws = [layers.pop(f"{nm}_qw") for nm in names]
+        scs = [layers.pop(f"{nm}_scale") for nm in names]
+        layers[f"{out_name}_qw"] = jnp.concatenate(qws, axis=-1)
+        layers[f"{out_name}_scale"] = jnp.concatenate(
+            [row(s, w.shape[-1]) for s, w in zip(scs, qws)], axis=-1
+        )
+
+    fuse(("q", "k", "v"), "qkv")
+    if "gate_qw" in layers:
+        fuse(("gate", "up"), "gateup")
+    return {**params, "layers": layers}
+
+
 def compute_logits(hidden, params, cfg: BitNetConfig):
     """hidden [..., H] -> logits [..., V] f32 (int8 head when present)."""
     if "lm_head_q" in params:
@@ -341,6 +375,9 @@ def forward(
     # Pallas custom call (~17 MB x L per token for BitNet-2B).
     stacked = getattr(lf, "stacked", False)
     stack = params["layers"]
+    fused = "qkv_qw" in stack  # fuse_projections() applied
+    if fused and not stacked:
+        raise ValueError("fused projections require a stacked linear_fn")
 
     def wlin(x, lp, l, name, **kw):
         if stacked:
@@ -351,9 +388,17 @@ def forward(
         lp, ck, cv, l = xs  # ck/cv: [B, T, KV_local, D]
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
-        q = wlin(normed, lp, l, "q").reshape(B, S, -1, cfg.head_dim)
-        k = wlin(normed, lp, l, "k").reshape(B, S, -1, cfg.head_dim)
-        v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
+        if fused:
+            qkv = wlin(normed, lp, l, "qkv")
+            kvd = cfg.num_kv_heads * cfg.head_dim
+            qd = qkv.shape[-1] - 2 * kvd
+            q = qkv[..., :qd].reshape(B, S, -1, cfg.head_dim)
+            k = qkv[..., qd : qd + kvd].reshape(B, S, -1, cfg.head_dim)
+            v = qkv[..., qd + kvd :].reshape(B, S, -1, cfg.head_dim)
+        else:
+            q = wlin(normed, lp, l, "q").reshape(B, S, -1, cfg.head_dim)
+            k = wlin(normed, lp, l, "k").reshape(B, S, -1, cfg.head_dim)
+            v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
         ck = ck.at[batch_idx, positions].set(k)
@@ -397,8 +442,13 @@ def forward(
             )
             h = h + y.reshape(B, S, -1).astype(dtype)
             return h, (ck, cv)
-        gate = wlin(normed, lp, l, "gate")
-        up = wlin(normed, lp, l, "up")
+        if fused and "gateup_qw" in stack:
+            gu = wlin(normed, lp, l, "gateup")
+            inter = gu.shape[-1] // 2
+            gate, up = gu[..., :inter], gu[..., inter:]
+        else:
+            gate = wlin(normed, lp, l, "gate")
+            up = wlin(normed, lp, l, "up")
         if cfg.mlp_act == "silu":  # Llama-family ternary conversions
             act = jax.nn.silu(gate) * up
         else:

@@ -178,10 +178,10 @@ def _paged_flash_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1) + c * tc
         is_hist = cols < hist_len
         rel = cols - hist_len
-        ok = jnp.where(
-            is_hist,
-            cols < kv_valid,
-            (rel <= rows_rel) & (rel < new_len),
+        # pure i1 logic — a select between BOOLEAN branches lowers to an
+        # i8->i1 trunci that current Mosaic rejects
+        ok = (is_hist & (cols < kv_valid)) | (
+            (~is_hist) & (rel <= rows_rel) & (rel < new_len)
         )
         s_ = jnp.where(ok, s_, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s_, axis=-1, keepdims=True))

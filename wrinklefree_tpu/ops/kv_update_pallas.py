@@ -93,62 +93,6 @@ def kv_write_pallas(
     return out.reshape(pool.shape)
 
 
-def _page_flush_kernel(pids_ref, stage_ref, pool_in_ref, pool_out_ref,
-                       sem_in, sem_out, ibuf, obuf):
-    """Flush slot b's completed staging page into the layer-major main
-    pool, transposing token-major [ps, 2Lp, KVD] -> [2Lp, ps, KVD].
-    pids[b] == 0 means "no flush" (page 0 is the trash page and is never
-    a real destination), and the whole body is skipped."""
-    b = pl.program_id(0)
-    pid = pids_ref[b]
-
-    @pl.when(pid != 0)
-    def _():
-        cp_in = pltpu.make_async_copy(stage_ref.at[b], ibuf, sem_in)
-        cp_in.start()
-        cp_in.wait()
-        obuf[:] = jnp.swapaxes(ibuf[:], 0, 1)
-        cp_out = pltpu.make_async_copy(obuf, pool_out_ref.at[pid], sem_out)
-        cp_out.start()
-        cp_out.wait()
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def page_flush_pallas(
-    pool: jax.Array,  # [P, 2Lp, ps, KVD] layer-major main pool
-    staging: jax.Array,  # [NS, ps, 2Lp, KVD] token-major staging pages
-    page_ids: jax.Array,  # [NS] int32 destination page per slot (0 = skip)
-) -> jax.Array:
-    """For each slot with page_ids[b] != 0: pool[page_ids[b]] gets the
-    transposed staging page b. In place (pool donated)."""
-    ns, ps, two_lp, kvd = staging.shape
-    assert pool.shape[1:] == (two_lp, ps, kvd), (pool.shape, staging.shape)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ns,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((ps, two_lp, kvd), pool.dtype),
-            pltpu.VMEM((two_lp, ps, kvd), pool.dtype),
-        ],
-    )
-    return pl.pallas_call(
-        _page_flush_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
-        input_output_aliases={2: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(page_ids.astype(jnp.int32), staging, pool)
-
-
 def paged_kv_update(pool, vals, page_ids, offsets, layer_stride: int):
     """Write [L, B, S, KVp, D] vals into a [L, P, ps, KVp, D] pool in place.
 

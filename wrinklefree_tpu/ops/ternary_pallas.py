@@ -178,6 +178,29 @@ def _matmul_kernel_stacked(l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dt
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
 
 
+def _matmul_kernel_stacked_rowscale(
+    l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype
+):
+    """Stacked kernel with PER-COLUMN weight scales (sw block [1, TN] from
+    a stacked [L, N] row) — lets fused projections (qkv / gate+up) carry
+    each segment's own per-tensor scale in one kernel call."""
+    del l_ref
+    k4 = w_ref.shape[1]
+    w_bytes = w_ref[0].astype(jnp.int32)
+    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[2]), jnp.int32)
+    for j in range(4):
+        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
+        acc += jax.lax.dot_general(
+            x_j,
+            w_j,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+        ).astype(jnp.int32)
+    inv = 1.0 / (sx_ref[:] * sw_ref[:])  # [TB,1] * [1,TN]
+    o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("out_dtype", "dot_dtype", "interpret")
 )
@@ -186,7 +209,7 @@ def ternary_matmul_pallas_stacked(
     qweight: jax.Array,  # [L, K//4, N] uint8 (stacked layers)
     layer,  # int32 scalar — which layer's weights to use
     act_scale: jax.Array,  # [..., 1] f32
-    weight_scale: jax.Array,  # [L] f32 stacked scales
+    weight_scale: jax.Array,  # [L] f32 scalars OR [L, N] f32 column rows
     *,
     out_dtype=jnp.bfloat16,
     dot_dtype=jnp.int8,
@@ -215,7 +238,14 @@ def ternary_matmul_pallas_stacked(
     if b_pad != b:
         sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)), constant_values=1.0)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
-    sw = weight_scale.astype(jnp.float32)[lidx[0]].reshape(1, 1)
+    if weight_scale.ndim == 2:  # [L, N] per-column scales (fused projections)
+        sw = weight_scale.astype(jnp.float32)
+        sw_spec = pl.BlockSpec((1, tn), lambda i, j, l: (l[0], j))
+        kernel = _matmul_kernel_stacked_rowscale
+    else:
+        sw = weight_scale.astype(jnp.float32)[lidx[0]].reshape(1, 1)
+        sw_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        kernel = _matmul_kernel_stacked
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -224,12 +254,12 @@ def ternary_matmul_pallas_stacked(
             pl.BlockSpec((tb, k), lambda i, j, l: (i, 0)),
             pl.BlockSpec((1, k4, tn), lambda i, j, l: (l[0], 0, j)),
             pl.BlockSpec((tb, 1), lambda i, j, l: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            sw_spec,
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda i, j, l: (i, j)),
     )
     out = pl.pallas_call(
-        functools.partial(_matmul_kernel_stacked, dot_dtype=dot_dtype),
+        functools.partial(kernel, dot_dtype=dot_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, n), out_dtype),
         cost_estimate=pl.CostEstimate(
