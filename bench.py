@@ -38,6 +38,9 @@ def main():
     decode_steps = int(os.environ.get("WF_BENCH_STEPS", "64"))
     batch = int(os.environ.get("WF_BENCH_BATCH", "1"))
     max_len = prompt_len + 4 * decode_steps + 8  # warm + 3 timing windows
+    _spec_k = int(os.environ.get("WF_BENCH_SPEC", "0"))
+    if _spec_k:
+        max_len += 4 * 16 * (_spec_k + 1)  # spec windows write k+1/step
 
     # Default compute path on TPU: the fused Pallas ternary GEMV/GEMM —
     # 2.2x the XLA-fused unpack+dot at batch 1 under honest (fetch
@@ -154,6 +157,43 @@ def main():
     dt = best_dt
 
     toks_per_s = decode_steps * batch / dt
+
+    # Optional: speculative (n-gram) decode metric — WF_BENCH_SPEC=<k>.
+    # Reported separately: acceptance depends on output repetitiveness,
+    # so it is a workload-dependent multiplier on the vanilla number.
+    spec_k = int(os.environ.get("WF_BENCH_SPEC", "0"))
+    spec_result = None
+    if spec_k > 0 and batch == 1:
+        from wrinklefree_tpu.models.spec_decode import spec_decode_window
+
+        hist = jnp.zeros((batch, max_len), jnp.int32)
+        hist = hist.at[:, :prompt_len].set(1)
+        hist = hist.at[jnp.arange(batch), pos].set(tok[:, 0])
+        window = 16
+        sargs = dict(steps=window, k=spec_k, linear_fn=linear_fn)
+        last = tok[:, 0]
+        start = jnp.full((batch,), pos, jnp.int32)
+        toks_s, counts, last, cache, start, hist = spec_decode_window(
+            params, cfg, last, cache, start, hist, **sargs
+        )
+        _ = _np.asarray(counts)  # compile + warm
+        best = float("inf")
+        tot_tokens = 0
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            toks_s, counts, last, cache, start, hist = spec_decode_window(
+                params, cfg, last, cache, start, hist, **sargs
+            )
+            c = _np.asarray(counts)
+            dt_s = time.perf_counter() - t0
+            if dt_s < best:
+                best, tot_tokens = dt_s, int(c.sum())
+        spec_result = {
+            "spec_tok_s": round(tot_tokens / best, 2),
+            "spec_accept_per_step": round(tot_tokens / (window * batch), 2),
+            "spec_k": spec_k,
+        }
+
     result = {
         "metric": "%s ternary decode throughput (batch %d, greedy)"
         % ("llama-3-8b" if model == "llama8b" else "bitnet-2b", batch),
@@ -170,6 +210,8 @@ def main():
         "prefill_first_call_s": round(ttft_s, 2),
         "param_init_s": round(init_s, 1),
     }
+    if spec_result:
+        result.update(spec_result)
     print(json.dumps(result))
     return result
 

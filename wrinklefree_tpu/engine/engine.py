@@ -208,8 +208,10 @@ class Engine:
         self.slot_counters = np.zeros((S,), np.int32)
         self.slot_temps = np.zeros((S,), np.float32)
         self.slot_tps = np.ones((S,), np.float32)
-        # device-resident copies of the scheduling state (uploaded lazily)
+        # device-resident copies of the scheduling state (uploaded lazily;
+        # page_table sliced to the active-history bucket)
         self._dstate = None
+        self._mp_bucket = 0
         self._dirty = True
 
         self.waiting: "queue.Queue[Request]" = queue.Queue(maxsize=e.max_queue)
@@ -452,9 +454,12 @@ class Engine:
         self.seq_lens[slot] = matched
         self.slots[slot] = req
 
-        # chunked prefill of the unmatched suffix
+        # chunked prefill of the unmatched suffix; page table sliced to
+        # the bucket covering the whole prompt (history gathers scale
+        # with table width)
         to_run = prompt[matched:]
-        pt_dev = jnp.asarray(self.page_table[slot : slot + 1])
+        mp_pre = self._pages_bucket(len(prompt) + 1)
+        pt_dev = jnp.asarray(self.page_table[slot : slot + 1, :mp_pre])
         pos = matched
         first_tok = None
         while to_run:
@@ -499,17 +504,29 @@ class Engine:
                 return b
         return self.ecfg.prefill_buckets[-1]
 
-    def _upload_state(self):
+    def _upload_state(self, mp: int):
         self._dstate = (
             jnp.asarray(self.last_tokens),
-            jnp.asarray(self.page_table),
+            jnp.asarray(self.page_table[:, :mp]),
             jnp.asarray(self.seq_lens),
             jnp.asarray(self.slot_seeds),
             jnp.asarray(self.slot_counters),
             jnp.asarray(self.slot_temps),
             jnp.asarray(self.slot_tps),
         )
+        self._mp_bucket = mp
         self._dirty = False
+
+    def _pages_bucket(self, tokens_needed: int) -> int:
+        """Page-table width covering `tokens_needed`, rounded to the next
+        power of two (few jit variants) — attention gathers history for
+        every table column, so a 4K-context table would read 256 pages
+        per slot even for 50-token sequences."""
+        need = -(-tokens_needed // self.page_size) + 1
+        mp = 8  # >= 8 keeps hist a 128-multiple (flash-prefill tiling)
+        while mp < need:
+            mp *= 2
+        return min(mp, self.max_pages_per_seq)
 
     def _decode(self) -> bool:
         active = [i for i, r in enumerate(self.slots) if r is not None]
@@ -538,8 +555,10 @@ class Engine:
         if not active:
             return True
 
-        if self._dirty or self._dstate is None:
-            self._upload_state()
+        max_seq = max(self.seq_lens[i] for i in active)
+        mp = self._pages_bucket(int(max_seq) + K)
+        if self._dirty or self._dstate is None or mp != self._mp_bucket:
+            self._upload_state(mp)
         d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps = self._dstate
         toks_d, self.pools, d_last, d_sl, d_ctr = self._decode_jit(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,

@@ -233,8 +233,10 @@ def fuse_projections(params, cfg: BitNetConfig):
     L = layers["q_qw"].shape[0]
 
     def row(scale, n):
+        # [L, 8, n]: 8 identical sublanes so the kernel's scale block
+        # satisfies the TPU (8, 128) block-tiling minimum
         return jnp.broadcast_to(
-            scale.astype(jnp.float32)[:, None], (L, n)
+            scale.astype(jnp.float32)[:, None, None], (L, 8, n)
         )
 
     def fuse(names, out_name):
@@ -242,7 +244,7 @@ def fuse_projections(params, cfg: BitNetConfig):
         scs = [layers.pop(f"{nm}_scale") for nm in names]
         layers[f"{out_name}_qw"] = jnp.concatenate(qws, axis=-1)
         layers[f"{out_name}_scale"] = jnp.concatenate(
-            [row(s, w.shape[-1]) for s, w in zip(scs, qws)], axis=-1
+            [row(s, int(w.shape[-1])) for s, w in zip(scs, qws)], axis=-1
         )
 
     fuse(("q", "k", "v"), "qkv")

@@ -181,9 +181,10 @@ def _matmul_kernel_stacked(l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dt
 def _matmul_kernel_stacked_rowscale(
     l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype
 ):
-    """Stacked kernel with PER-COLUMN weight scales (sw block [1, TN] from
-    a stacked [L, N] row) — lets fused projections (qkv / gate+up) carry
-    each segment's own per-tensor scale in one kernel call."""
+    """Stacked kernel with PER-COLUMN weight scales (sw block [1, 8, TN]
+    from a stacked [L, 8, N] row, 8 broadcast sublanes for tiling) — lets
+    fused projections (qkv / gate+up) carry each segment's own
+    per-tensor scale in one kernel call."""
     del l_ref
     k4 = w_ref.shape[1]
     w_bytes = w_ref[0].astype(jnp.int32)
@@ -197,7 +198,7 @@ def _matmul_kernel_stacked_rowscale(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
         ).astype(jnp.int32)
-    inv = 1.0 / (sx_ref[:] * sw_ref[:])  # [TB,1] * [1,TN]
+    inv = 1.0 / (sx_ref[:] * sw_ref[0, 0:1, :])  # [TB,1] * [1,TN]
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
 
 
@@ -238,9 +239,9 @@ def ternary_matmul_pallas_stacked(
     if b_pad != b:
         sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)), constant_values=1.0)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
-    if weight_scale.ndim == 2:  # [L, N] per-column scales (fused projections)
+    if weight_scale.ndim == 3:  # [L, 8, N] per-column scales (fused projections)
         sw = weight_scale.astype(jnp.float32)
-        sw_spec = pl.BlockSpec((1, tn), lambda i, j, l: (l[0], j))
+        sw_spec = pl.BlockSpec((1, 8, tn), lambda i, j, l: (l[0], 0, j))
         kernel = _matmul_kernel_stacked_rowscale
     else:
         sw = weight_scale.astype(jnp.float32)[lidx[0]].reshape(1, 1)
