@@ -182,3 +182,52 @@ class TestAllocatorRadix:
         a.release_all(pages)
         assert r.evict(10) == 3
         assert a.num_free == 15
+
+
+class TestInterleavedPrefill:
+    """Batched prefill rounds + chunk-granularity interleave with decode."""
+
+    def test_wave_admission_matches_sequential(self, params):
+        rng = np.random.default_rng(7)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(n,)).tolist()
+                   for n in (5, 9, 13, 21, 6, 17)]  # > slots: queue waves
+        seq_eng = Engine(params, CFG, ECFG)
+        want = [seq_eng.generate(p, SamplingParams(max_new_tokens=6)).output_ids
+                for p in prompts]
+        eng = Engine(params, CFG, ECFG)
+        reqs = [eng.submit(p, SamplingParams(max_new_tokens=6)) for p in prompts]
+        while not all(r.finished for r in reqs):
+            eng.step()
+        assert [r.output_ids for r in reqs] == want
+
+    def test_padded_round_no_nan_poison(self, params):
+        """A padded (new_lens == 0) prefill row must not write NaN into
+        the shared trash page (softmax over a fully-masked row)."""
+        eng = Engine(params, CFG, ECFG)
+        # 3 admits -> one batched round padded to 4 rows
+        reqs = [eng.submit([1 + i, 5, 9], SamplingParams(max_new_tokens=4))
+                for i in range(3)]
+        while not all(r.finished for r in reqs):
+            eng.step()
+        pool = np.asarray(eng.pools.kv, dtype=np.float32)
+        assert np.isfinite(pool).all()
+        assert all(len(r.output_ids) == 4 for r in reqs)
+
+    def test_long_prompt_interleaves_with_decode(self, params):
+        """While a long prompt prefills chunk-by-chunk, an already-running
+        request keeps producing tokens between rounds."""
+        eng = Engine(params, CFG, ECFG)
+        a = eng.submit([1, 2, 3], SamplingParams(max_new_tokens=400))
+        eng.step()
+        tokens_before = len(a.output_ids)
+        assert tokens_before > 0
+        # long prompt: needs multiple chunks at the largest bucket
+        long_prompt = list(np.random.default_rng(0).integers(
+            1, CFG.vocab_size, size=(max(ECFG.prefill_buckets) + 8,)))
+        b = eng.submit(long_prompt, SamplingParams(max_new_tokens=4))
+        eng.step()  # admit + first chunk (+ decode burst for a)
+        assert eng.slots[b.slot] is b and b.pending  # still mid-prefill
+        assert len(a.output_ids) > tokens_before  # a kept decoding
+        while not (a.finished and b.finished):
+            eng.step()
+        assert a.finish_reason and b.finish_reason

@@ -134,6 +134,11 @@ class EngineConfig:
     # Streaming granularity = burst; 16 balances that against overhead
     # (serving decode measured 698 -> 843 tok/s going 8 -> 32).
     decode_burst: int = 16
+    # Interleave chunked prefill with decode at chunk granularity (one
+    # batched prefill round per engine step). False drains all pending
+    # prefill chunks before decoding (lower TTFT for the newest request,
+    # longer decode stalls for everyone else).
+    interleave_prefill: bool = True
     # KV pool layout: "token" (one row per token; O(1)-DMA writes,
     # strided per-layer reads), "layer" (dual: layer-major main pool with
     # page-contiguous reads + token-major staging page per slot), or

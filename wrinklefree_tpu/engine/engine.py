@@ -53,6 +53,7 @@ class Request:
     matched_pages: List[int] = dataclasses.field(default_factory=list)
     matched_tokens: int = 0
     seq_len: int = 0
+    pending: List[int] = dataclasses.field(default_factory=list)  # prompt tokens not yet prefilled
     seed: int = 0  # per-request RNG stream (sampling.seed or derived from rid)
     finished: bool = False
     finish_reason: str = ""
@@ -254,13 +255,13 @@ class Engine:
         tp_axis = "model" if self.mesh is not None else None
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, temps, top_ps):
+                  counters, temps, top_ps, slot_ids):
             def one(carry, _):
                 pools, tok, sl, ctr = carry
                 logits, pools = paged_forward(
                     params, cfg, tok[:, None], pools, page_table, sl,
                     jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
-                    kv_write=kvw, tp_axis=tp_axis,
+                    kv_write=kvw, tp_axis=tp_axis, slot_ids=slot_ids,
                 )
                 keys = per_request_keys(seeds, ctr)
                 nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)
@@ -277,10 +278,10 @@ class Engine:
             from ..parallel.sharding import param_partition_specs
 
             pool_spec = self._pool_spec()
-            rep7 = tuple(P() for _ in range(7))
+            rep8 = tuple(P() for _ in range(8))
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
-                in_specs=(param_partition_specs(self.params), pool_spec) + rep7,
+                in_specs=(param_partition_specs(self.params), pool_spec) + rep8,
                 out_specs=(P(), pool_spec, P(), P(), P()),
                 check_vma=False,
             )
@@ -367,10 +368,19 @@ class Engine:
     # ------------------------------------------------------------------
 
     def step(self) -> bool:
-        """One engine iteration: admit + prefill new requests, then one
-        batched decode step. Returns True if any work was done."""
+        """One engine iteration: admit new requests (host-side setup
+        only), run ONE batched prefill round (one chunk for EVERY
+        mid-prefill slot in a single dispatch), then one decode burst
+        for fully-prefilled slots. Chunked prefill and decode interleave
+        at chunk granularity, so a long prompt no longer stalls decode
+        for its entire prefill (the reference's scheduler has the same
+        interleaving goal, SURVEY.md §2.3 continuous batching)."""
         with self._lock:
             did = self._admit()
+            did = self._prefill_round() or did
+            if not self.ecfg.interleave_prefill:
+                while self._prefill_round():
+                    pass
             did = self._decode() or did
             return did
 
@@ -446,6 +456,7 @@ class Engine:
         req.matched_pages = matched_pages
         req.matched_tokens = matched
         req.seq_len = matched
+        req.pending = list(prompt[matched:])
         all_pages = matched_pages + own_pages
 
         row = np.zeros((self.max_pages_per_seq,), np.int32)
@@ -453,50 +464,78 @@ class Engine:
         self.page_table[slot] = row
         self.seq_lens[slot] = matched
         self.slots[slot] = req
-
-        # chunked prefill of the unmatched suffix; page table sliced to
-        # the bucket covering the whole prompt (history gathers scale
-        # with table width)
-        to_run = prompt[matched:]
-        mp_pre = self._pages_bucket(len(prompt) + 1)
-        pt_dev = jnp.asarray(self.page_table[slot : slot + 1, :mp_pre])
-        pos = matched
-        first_tok = None
-        while to_run:
-            bucket = self._pick_bucket(len(to_run))
-            chunk = to_run[:bucket]
-            to_run = to_run[bucket:]
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, : len(chunk)] = chunk
-            fn = self._prefill_for_bucket(bucket)
-            nxt, self.pools = fn(
-                self.params,
-                self.pools,
-                jnp.asarray(padded),
-                pt_dev,
-                jnp.asarray([pos], jnp.int32),
-                jnp.asarray([len(chunk)], jnp.int32),
-                jnp.asarray([req.seed], jnp.uint32),
-                jnp.asarray([len(req.output_ids)], jnp.int32),
-                jnp.asarray([req.sampling.temperature], jnp.float32),
-                jnp.asarray([req.sampling.top_p], jnp.float32),
-                jnp.asarray([slot], jnp.int32),
-            )
-            pos += len(chunk)
-            first_tok = int(np.asarray(nxt)[0])
-        self.stats["prefill_tokens"] += len(prompt) - matched
-
-        req.seq_len = len(prompt)
-        self.seq_lens[slot] = len(prompt)
-        assert first_tok is not None
-        self._emit_token(req, first_tok)
-        if not req.finished:
-            self.last_tokens[slot] = first_tok
         self.slot_seeds[slot] = req.seed
-        self.slot_counters[slot] = len(req.output_ids)
+        self.slot_counters[slot] = 0
         self.slot_temps[slot] = req.sampling.temperature
         self.slot_tps[slot] = req.sampling.top_p
         self._dirty = True
+
+    def _prefill_round(self) -> bool:
+        """One batched prefill dispatch: the next chunk for EVERY
+        mid-prefill slot at once. Rows are padded to a power-of-two
+        batch (dummy rows write to the trash page / trash staging slot),
+        so a 16-slot admission wave costs ~log2 variants of one program
+        instead of 16 sequential dispatches (each dispatch->fetch round
+        trip costs ~30 ms on tunnel transports)."""
+        rows = [
+            (i, r) for i, r in enumerate(self.slots)
+            if r is not None and r.pending
+        ]
+        if not rows:
+            return False
+        NS = len(self.slots)
+        bucket = self._pick_bucket(max(len(r.pending) for _, r in rows))
+        chunks = [(i, r, r.pending[:bucket]) for i, r in rows]
+        B = 1
+        while B < len(chunks):
+            B *= 2
+        mp_pre = self._pages_bucket(
+            max(r.seq_len + len(c) + 1 for _, r, c in chunks)
+        )
+
+        toks = np.zeros((B, bucket), np.int32)
+        pt = np.zeros((B, mp_pre), np.int32)
+        seq = np.zeros((B,), np.int32)
+        new = np.zeros((B,), np.int32)
+        seeds = np.zeros((B,), np.uint32)
+        ctrs = np.zeros((B,), np.int32)
+        temps = np.ones((B,), np.float32)
+        tps = np.ones((B,), np.float32)
+        sids = np.full((B,), NS, np.int32)  # dummy rows -> trash staging
+        for j, (i, r, chunk) in enumerate(chunks):
+            toks[j, : len(chunk)] = chunk
+            pt[j] = self.page_table[i, :mp_pre]
+            seq[j] = r.seq_len
+            new[j] = len(chunk)
+            seeds[j] = r.seed
+            ctrs[j] = len(r.output_ids)
+            temps[j] = r.sampling.temperature
+            tps[j] = r.sampling.top_p
+            sids[j] = i
+
+        fn = self._prefill_for_bucket(bucket)
+        nxt, self.pools = fn(
+            self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
+            jnp.asarray(seq), jnp.asarray(new), jnp.asarray(seeds),
+            jnp.asarray(ctrs), jnp.asarray(temps), jnp.asarray(tps),
+            jnp.asarray(sids),
+        )
+        nxt_np = None
+        for j, (i, r, chunk) in enumerate(chunks):
+            r.pending = r.pending[len(chunk):]
+            r.seq_len += len(chunk)
+            self.seq_lens[i] = r.seq_len
+            self.stats["prefill_tokens"] += len(chunk)
+            if not r.pending:  # prompt fully cached: first sampled token
+                if nxt_np is None:
+                    nxt_np = np.asarray(nxt)
+                first_tok = int(nxt_np[j])
+                self._emit_token(r, first_tok)
+                if not r.finished:
+                    self.last_tokens[i] = first_tok
+                self.slot_counters[i] = len(r.output_ids)
+        self._dirty = True
+        return True
 
     def _pick_bucket(self, n: int) -> int:
         for b in self.ecfg.prefill_buckets:
@@ -505,14 +544,29 @@ class Engine:
         return self.ecfg.prefill_buckets[-1]
 
     def _upload_state(self, mp: int):
+        # Mid-prefill slots are masked out of decode bursts: zeroed page
+        # table row (token writes land in the trash page), zeroed
+        # seq/last, and staging slot NS (the trash staging page).
+        NS = len(self.slots)
+        pt = self.page_table[:, :mp].copy()
+        sl = self.seq_lens.copy()
+        last = self.last_tokens.copy()
+        sids = np.arange(NS, dtype=np.int32)
+        for i, r in enumerate(self.slots):
+            if r is not None and r.pending:
+                pt[i] = 0
+                sl[i] = 0
+                last[i] = 0
+                sids[i] = NS
         self._dstate = (
-            jnp.asarray(self.last_tokens),
-            jnp.asarray(self.page_table[:, :mp]),
-            jnp.asarray(self.seq_lens),
+            jnp.asarray(last),
+            jnp.asarray(pt),
+            jnp.asarray(sl),
             jnp.asarray(self.slot_seeds),
             jnp.asarray(self.slot_counters),
             jnp.asarray(self.slot_temps),
             jnp.asarray(self.slot_tps),
+            jnp.asarray(sids),
         )
         self._mp_bucket = mp
         self._dirty = False
@@ -529,7 +583,11 @@ class Engine:
         return min(mp, self.max_pages_per_seq)
 
     def _decode(self) -> bool:
-        active = [i for i, r in enumerate(self.slots) if r is not None]
+        # mid-prefill slots don't decode (masked to trash in _upload_state)
+        active = [
+            i for i, r in enumerate(self.slots)
+            if r is not None and not r.pending
+        ]
         if not active:
             return False
         K = self.ecfg.decode_burst
@@ -551,7 +609,10 @@ class Engine:
                     self.page_table[i, lp] = pg
                     self._dirty = True
 
-        active = [i for i, r in enumerate(self.slots) if r is not None]
+        active = [
+            i for i, r in enumerate(self.slots)
+            if r is not None and not r.pending
+        ]
         if not active:
             return True
 
@@ -559,12 +620,14 @@ class Engine:
         mp = self._pages_bucket(int(max_seq) + K)
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
-        d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps = self._dstate
+        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
+         d_sids) = self._dstate
         toks_d, self.pools, d_last, d_sl, d_ctr = self._decode_jit(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
-            d_temps, d_tps,
+            d_temps, d_tps, d_sids,
         )
-        self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps)
+        self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
+                        d_sids)
         toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
         self.stats["decode_steps"] += K
 

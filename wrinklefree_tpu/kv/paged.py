@@ -189,7 +189,11 @@ def _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens):
     mask = jnp.concatenate(
         [jnp.broadcast_to(hist_ok[:, None, :], (B, S, T)), cur_ok], axis=-1
     )  # [B, S, T+S]
-    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+    # finite mask value: a FULLY-masked row (batch padding with
+    # new_lens == 0) must produce garbage-but-finite output — softmax
+    # over all -inf yields NaN, which would poison the shared trash page
+    # and then every other row via 0 * NaN in the value einsum
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
     return out.reshape(B, S, NH, D)
