@@ -134,6 +134,12 @@ class EngineConfig:
     # Streaming granularity = burst; 16 balances that against overhead
     # (serving decode measured 698 -> 843 tok/s going 8 -> 32).
     decode_burst: int = 16
+    # Admission policy: "fifo" (arrival order) or "sjf" (shortest
+    # unmatched prompt first — lower mean TTFT under mixed lengths;
+    # requests older than admission_aging_s jump the queue so long
+    # prompts can't starve).
+    admission_policy: str = "fifo"
+    admission_aging_s: float = 10.0
     # Interleave chunked prefill with decode at chunk granularity (one
     # batched prefill round per engine step). False drains all pending
     # prefill chunks before decoding (lower TTFT for the newest request,

@@ -54,6 +54,9 @@ class Request:
     matched_tokens: int = 0
     seq_len: int = 0
     pending: List[int] = dataclasses.field(default_factory=list)  # prompt tokens not yet prefilled
+    # sampling-stream offset for requests resumed from a snapshot: the
+    # per-request RNG key is fold_in(seed, counter_base + #sampled)
+    counter_base: int = 0
     seed: int = 0  # per-request RNG stream (sampling.seed or derived from rid)
     finished: bool = False
     finish_reason: str = ""
@@ -216,6 +219,7 @@ class Engine:
         self._dirty = True
 
         self.waiting: "queue.Queue[Request]" = queue.Queue(maxsize=e.max_queue)
+        self._backlog: List[Request] = []  # drained from `waiting`, policy-ordered
         self._rid = itertools.count()
         self._lock = threading.Lock()
 
@@ -361,7 +365,72 @@ class Engine:
         return req
 
     def has_work(self) -> bool:
-        return (not self.waiting.empty()) or any(s is not None for s in self.slots)
+        return (
+            not self.waiting.empty()
+            or bool(self._backlog)
+            or any(s is not None for s in self.slots)
+        )
+
+    # ------------------------------------------------------------------
+    # preemption: snapshot / restore
+    # ------------------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Preemption-safe state capture, designed fresh (the reference
+        has no elastic recovery — SURVEY.md §5.3).
+
+        Key design point: KV pools are RECOMPUTABLE caches of the token
+        stream, so the snapshot is request-level and tiny (token ids +
+        sampling state, no tensors). `restore()` re-prefills
+        prompt+generated-so-far — the radix cache recovers shared
+        prefixes — and the per-request RNG counter offset keeps sampled
+        continuations on the same stream as an uninterrupted run.
+        """
+        with self._lock:
+            while True:
+                try:
+                    self._backlog.append(self.waiting.get_nowait())
+                except queue.Empty:
+                    break
+            reqs = []
+            live = [s for s in self.slots if s is not None] + self._backlog
+            for r in live:
+                if r.finished:
+                    continue
+                s = r.sampling
+                reqs.append({
+                    "prompt_ids": list(r.prompt_ids),
+                    "output_ids": list(r.output_ids),
+                    "counter_base": r.counter_base + len(r.output_ids),
+                    "seed": int(r.seed),
+                    "max_new_tokens": s.max_new_tokens - len(r.output_ids),
+                    "temperature": s.temperature,
+                    "top_p": s.top_p,
+                    "top_k": s.top_k,
+                    "stop_token_ids": list(s.stop_token_ids or []),
+                    "ignore_eos": s.ignore_eos,
+                })
+            return {"version": 1, "requests": reqs}
+
+    def restore(self, snap: dict, on_token_factory=None) -> List[Request]:
+        """Resubmit every in-flight request from a `snapshot()`. Each
+        restored request's prompt is original-prompt + generated-so-far;
+        `on_token_factory(entry) -> callback` re-attaches streaming."""
+        if snap.get("version") != 1:
+            raise ValueError(f"unknown snapshot version: {snap.get('version')}")
+        out = []
+        for d in snap["requests"]:
+            sp = SamplingParams(
+                temperature=d["temperature"], top_p=d["top_p"],
+                top_k=d["top_k"], max_new_tokens=d["max_new_tokens"],
+                stop_token_ids=d["stop_token_ids"] or None,
+                ignore_eos=d["ignore_eos"], seed=d["seed"],
+            )
+            cb = on_token_factory(d) if on_token_factory else None
+            r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
+            r.counter_base = d["counter_base"]
+            out.append(r)
+        return out
 
     # ------------------------------------------------------------------
     # scheduling
@@ -391,14 +460,43 @@ class Engine:
             self.radix.evict(n - self.allocator.num_free)
         return self.allocator.alloc(n)
 
+    def _next_waiting(self) -> Optional[Request]:
+        """Pop the next request per the admission policy. `fifo` is
+        arrival order; `sjf` (shortest-job-first by prefill cost =
+        unmatched prompt length) cuts mean TTFT under mixed prompt
+        lengths, with an aging bound so long prompts can't starve
+        (scale-aware admission — SURVEY.md §5.3 lists this as absent in
+        the reference; designed fresh)."""
+        while True:
+            try:
+                self._backlog.append(self.waiting.get_nowait())
+            except queue.Empty:
+                break
+        if not self._backlog:
+            return None
+        if self.ecfg.admission_policy == "sjf":
+            now = time.monotonic()
+            aged = [r for r in self._backlog
+                    if now - r.arrival_t > self.ecfg.admission_aging_s]
+            if aged:  # anti-starvation: oldest aged request wins outright
+                req = min(aged, key=lambda r: r.arrival_t)
+            else:
+                req = min(self._backlog, key=lambda r: (len(r.prompt_ids), r.rid))
+        else:
+            req = self._backlog[0]
+        self._backlog.remove(req)
+        return req
+
+    def _requeue(self, req: Request):
+        self._backlog.insert(0, req)
+
     def _admit(self) -> bool:
         did = False
         for slot in range(len(self.slots)):
             if self.slots[slot] is not None:
                 continue
-            try:
-                req = self.waiting.get_nowait()
-            except queue.Empty:
+            req = self._next_waiting()
+            if req is None:
                 break
             try:
                 self._start_request(slot, req)
@@ -415,7 +513,7 @@ class Engine:
                         req.on_token(-1, True)
                     logger.warning("rejecting request %d: needs more KV pages than exist", req.rid)
                 else:
-                    self.waiting.put(req)  # retry when pages free up
+                    self._requeue(req)  # retry when pages free up
                 break
         return did
 
@@ -465,7 +563,7 @@ class Engine:
         self.seq_lens[slot] = matched
         self.slots[slot] = req
         self.slot_seeds[slot] = req.seed
-        self.slot_counters[slot] = 0
+        self.slot_counters[slot] = req.counter_base
         self.slot_temps[slot] = req.sampling.temperature
         self.slot_tps[slot] = req.sampling.top_p
         self._dirty = True
@@ -508,7 +606,7 @@ class Engine:
             seq[j] = r.seq_len
             new[j] = len(chunk)
             seeds[j] = r.seed
-            ctrs[j] = len(r.output_ids)
+            ctrs[j] = r.counter_base + len(r.output_ids)
             temps[j] = r.sampling.temperature
             tps[j] = r.sampling.top_p
             sids[j] = i
@@ -533,7 +631,7 @@ class Engine:
                 self._emit_token(r, first_tok)
                 if not r.finished:
                     self.last_tokens[i] = first_tok
-                self.slot_counters[i] = len(r.output_ids)
+                self.slot_counters[i] = r.counter_base + len(r.output_ids)
         self._dirty = True
         return True
 
