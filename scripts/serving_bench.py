@@ -74,9 +74,21 @@ def main():
         for _ in range(args.streams)
     ]
 
-    # warmup: compile prefill buckets + decode
+    # warmup: compile prefill buckets + decode, INCLUDING the batched
+    # admission-wave variants (B = slots rounds and their pow2 tails) —
+    # otherwise those compiles land inside the measured window
     print("warmup (compiles)...", file=sys.stderr)
     eng.generate(prompts[0][: args.prompt_len], SamplingParams(max_new_tokens=2))
+    wrng = np.random.default_rng(12345)  # disjoint prompts: no radix
+    # pollution of the measured run (a chance >=1-page prefix match on
+    # random tokens is negligible)
+    warm = [
+        eng.submit([int(t) for t in wrng.integers(1, cfg.vocab_size, args.prompt_len)],
+                   SamplingParams(max_new_tokens=2))
+        for i in range(args.slots)
+    ]
+    while not all(r.finished for r in warm):
+        eng.step()
 
     results = [None] * args.streams
     lat, ttft = [None] * args.streams, [None] * args.streams
