@@ -258,7 +258,7 @@ def _paged_attention_flash(
     v_full = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
     out = flash_paged_prefill(
         q.astype(k_full.dtype), k_full, v_full,
-        seq_lens[0], new_lens[0], hist_len=T,
+        seq_lens, new_lens, hist_len=T,
     )
     return out.astype(q.dtype)
 
@@ -285,7 +285,7 @@ def _paged_attention_dual_flash(
     v_full = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
     out = flash_paged_prefill(
         q.astype(k_full.dtype), k_full, v_full,
-        seq_lens[0], new_lens[0], hist_len=T,
+        seq_lens, new_lens, hist_len=T,
     )
     return out.astype(q.dtype)
 
@@ -458,7 +458,6 @@ def paged_forward(
         hist_tokens = page_table.shape[1] * ps
         use_flash = (
             kv_write == "pallas"  # TPU + unquantized pools proxy
-            and B == 1
             and S >= 128
             and (hist_tokens + S) % 128 == 0
         )

@@ -151,11 +151,14 @@ def _paged_flash_kernel(
       causality is implied (all history positions precede the chunk).
     - current key col >= hist_len: rel = col - hist_len; valid iff
       rel <= (query's chunk-relative row) and rel < new_len (bucket pad).
-    meta = [kv_valid, new_len] (scalar prefetch).
+    meta = [kv_valid..., new_len...] per batch row (scalar prefetch) —
+    batched prefill rounds give every row its own lengths.
     """
+    b_idx = pl.program_id(0)
     s_idx = pl.program_id(2)
-    kv_valid = meta_ref[0]
-    new_len = meta_ref[1]
+    B = meta_ref.shape[0] // 2
+    kv_valid = meta_ref[b_idx]
+    new_len = meta_ref[B + b_idx]
     prec = (
         jax.lax.Precision.HIGHEST
         if q_ref.dtype == jnp.float32
@@ -214,20 +217,20 @@ def _paged_flash_kernel(
 
 @functools.partial(jax.jit, static_argnames=("hist_len", "block_q", "block_k", "interpret"))
 def flash_paged_prefill(
-    q: jax.Array,  # [1, S, NH, D] current chunk queries
-    k_full: jax.Array,  # [1, Tt, KV, D]  history(hist_len) ++ current(S) ++ pad
+    q: jax.Array,  # [B, S, NH, D] current chunk queries
+    k_full: jax.Array,  # [B, Tt, KV, D]  history(hist_len) ++ current(S) ++ pad
     v_full: jax.Array,
-    kv_valid,  # scalar int: valid history length (= seq_len)
-    new_len,  # scalar int: real tokens in the chunk (<= S)
+    kv_valid,  # [B] int (or scalar): valid history length per row
+    new_len,  # [B] int (or scalar): real tokens in each row's chunk
     *,
     hist_len: int,
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Online-softmax attention for one chunked-prefill request over a
-    gathered paged history — never materializes the [S, T] scores the
-    jnp oracle builds (1 GB per 2048-chunk at 4K context, x2L)."""
+    """Online-softmax attention for chunked-prefill rows over a gathered
+    paged history — never materializes the [B, S, T] scores the jnp
+    oracle builds (which OOMs outright for batched 4K-prompt rounds)."""
     B, S, NH, D = q.shape
     Tt, KV = k_full.shape[1], k_full.shape[2]
     G = NH // KV
@@ -244,8 +247,9 @@ def flash_paged_prefill(
     qt = q.transpose(0, 2, 1, 3)
     kt = k_full.transpose(0, 2, 1, 3)
     vt = v_full.transpose(0, 2, 1, 3)
-    meta = jnp.stack([
-        jnp.asarray(kv_valid, jnp.int32), jnp.asarray(new_len, jnp.int32)
+    meta = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(kv_valid, jnp.int32).reshape(-1), (B,)),
+        jnp.broadcast_to(jnp.asarray(new_len, jnp.int32).reshape(-1), (B,)),
     ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
