@@ -140,6 +140,10 @@ class EngineConfig:
     # prompts can't starve).
     admission_policy: str = "fifo"
     admission_aging_s: float = 10.0
+    # Cap on rows x chunk tokens per batched prefill round: bounds the
+    # KV-write transients ([B, S, 2Lp, KVD] + page transpose), which OOM
+    # HBM at 8 rows x 4K chunks. Rounds split automatically.
+    max_prefill_tokens_per_round: int = 8192
     # Interleave chunked prefill with decode at chunk granularity (one
     # batched prefill round per engine step). False drains all pending
     # prefill chunks before decoding (lower TTFT for the newest request,

@@ -582,7 +582,25 @@ class Engine:
         if not rows:
             return False
         NS = len(self.slots)
-        bucket = self._pick_bucket(max(len(r.pending) for _, r in rows))
+        # group rows by their natural chunk bucket — padding every row to
+        # the round's max bucket wastes up to max/min bucket compute when
+        # pending lengths are skewed (radix hits leave tiny suffixes).
+        # The group containing the OLDEST row runs first (no starvation).
+        by_bucket: Dict[int, list] = {}
+        for i, r in rows:
+            by_bucket.setdefault(self._pick_bucket(len(r.pending)), []).append((i, r))
+        oldest = min(rows, key=lambda ir: ir[1].arrival_t)
+        bucket = self._pick_bucket(len(oldest[1].pending))
+        rows = by_bucket[bucket]
+        # bound the round's write transients: shrink the bucket until
+        # rows x bucket fits the budget (never below the smallest bucket)
+        budget = self.ecfg.max_prefill_tokens_per_round
+        while (
+            len(rows) * bucket > budget
+            and bucket > self.ecfg.prefill_buckets[0]
+        ):
+            smaller = [b for b in self.ecfg.prefill_buckets if b < bucket]
+            bucket = smaller[-1]
         chunks = [(i, r, r.pending[:bucket]) for i, r in rows]
         B = 1
         while B < len(chunks):
