@@ -126,7 +126,14 @@ class Engine:
 
         e = self.ecfg
         self.page_size = e.page_size
-        self.max_pages_per_seq = -(-e.max_context // e.page_size)
+        # power-of-two table width: _pages_bucket slices must stay pow2
+        # so history token counts remain 128-multiples (the flash-prefill
+        # tiling condition) — a ragged width silently dropped every
+        # long-context prefill onto the materializing jnp oracle
+        need = -(-e.max_context // e.page_size)
+        self.max_pages_per_seq = 8
+        while self.max_pages_per_seq < need:
+            self.max_pages_per_seq *= 2
 
         import os as _os
 
