@@ -52,10 +52,16 @@ def main():
     linear_fn = None
     fuse = False
     if use_pallas:
-        from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
-
-        linear_fn = make_pallas_linear_stacked()
         fuse = os.environ.get("WF_BENCH_FUSE_PROJ", "1") == "1"
+        prologue = fuse and os.environ.get("WF_BENCH_PROLOGUE", "1") == "1"
+        if prologue:
+            from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_fused
+
+            linear_fn = make_pallas_linear_fused()
+        else:
+            from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_stacked
+
+            linear_fn = make_pallas_linear_stacked()
 
     log("initializing params...")
     t0 = time.perf_counter()

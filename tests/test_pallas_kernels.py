@@ -231,3 +231,35 @@ def test_fused_projections_engine_equivalence():
         a = ref_eng.generate(p, SamplingParams(max_new_tokens=10, temperature=0.0))
         b = fused_eng.generate(p, SamplingParams(max_new_tokens=10, temperature=0.0))
         assert a.output_ids == b.output_ids
+
+
+def test_prologue_fused_model_equivalence():
+    """Prologue-fused path (norm+quant+activation inside the kernel)
+    must match the default forward (both BitNet relu2 and Llama silu
+    flavors)."""
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.models.bitnet import (
+        KVCache, forward, fuse_projections, init_params,
+    )
+    from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_fused
+
+    for kw in ({}, {"sub_norms": False, "mlp_act": "silu"}):
+        cfg = BitNetConfig.tiny()
+        if kw:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, **kw)
+        params = init_params(cfg, seed=2)
+        toks = jnp.asarray([[3, 1, 4, 1, 5, 9]], jnp.int32)
+        start = jnp.zeros((1,), jnp.int32)
+        ref, _ = forward(params, cfg, toks, KVCache.zeros(cfg, 1, 16), start)
+        got, _ = forward(
+            fuse_projections(params, cfg), cfg, toks,
+            KVCache.zeros(cfg, 1, 16), start,
+            linear_fn=make_pallas_linear_fused(interpret=True),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=6e-2, atol=6e-2
+        )
+        assert np.array_equal(
+            np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
+        ), f"argmax mismatch for cfg overrides {kw}"

@@ -103,13 +103,12 @@ class Engine:
         self.eos_token_id = eos_token_id
         use_pallas = self.ecfg.use_pallas
         if use_pallas is None:
-            # measured: the Pallas ternary GEMV wins ~2.2x at batch 1-4 but
-            # the XLA-fused path wins at the engine's batched decode
-            # (batch = slots); auto picks by slot count
-            use_pallas = (
-                jax.devices()[0].platform == "tpu"
-                and self.ecfg.max_batch_slots <= 4
-            )
+            # measured (warm compile caches, session 2): the stacked+fused
+            # Pallas path beats the XLA-fused path at every batch size —
+            # 2B serving 2063 vs 1754 decode tok/s at 16 slots, 2.6x at
+            # batch 1. (The earlier "XLA wins at batch >= 8" conclusion
+            # was compile-pollution in the measurement.)
+            use_pallas = jax.devices()[0].platform == "tpu"
         if linear_fn is None and use_pallas:
             from ..ops.ternary_pallas import make_pallas_linear_stacked
 

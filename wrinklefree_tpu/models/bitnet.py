@@ -386,8 +386,57 @@ def forward(
             return lf(x, stack[name + "_qw"], stack[name + "_scale"], l, **kw)
         return lf(x, lp[name + "_qw"], lp[name + "_scale"], **kw)
 
+    # prologue-fused path: norm + act-quant (+ MLP activation) run INSIDE
+    # the stacked Pallas kernel — removes ~9 XLA launches/layer, which
+    # rival the arithmetic at batch-1 decode. Single-device only.
+    prologue = (
+        fused
+        and "gateup_qw" in stack
+        and getattr(lf, "prologue", False)
+        and tp_axis is None
+        and act_sparsity is None
+    )
+    if prologue:
+        nL = jax.tree.leaves(stack)[0].shape[0]
+
+        def _rows(a, n):
+            return jnp.broadcast_to(
+                a.astype(jnp.float32).reshape(nL, 1, -1)[:, :, :n], (nL, 8, n)
+            )
+
+        def plf(x, name, l, norm_name=None, act="none"):
+            qw = stack[name + "_qw"]
+            sw = stack[name + "_scale"]
+            if sw.ndim == 1:
+                sw = _rows(sw[:, None] * jnp.ones((1, qw.shape[-1])), qw.shape[-1])
+            nw = None
+            if norm_name is not None:
+                w = stack[norm_name]
+                nw = _rows(w, w.shape[-1])
+            return lf(x, qw, sw, l, nw, act=act,
+                      norm=norm_name is not None, eps=cfg.rms_norm_eps)
+
     def layer_step(h, xs):
         lp, ck, cv, l = xs  # ck/cv: [B, T, KV_local, D]
+        if prologue:
+            qkv = plf(h, "qkv", l, "input_ln")
+            kvd = cfg.num_kv_heads * cfg.head_dim
+            qd = qkv.shape[-1] - 2 * kvd
+            q = qkv[..., :qd].reshape(B, S, -1, cfg.head_dim)
+            k = qkv[..., qd : qd + kvd].reshape(B, S, -1, cfg.head_dim)
+            v = qkv[..., qd + kvd :].reshape(B, S, -1, cfg.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            ck = ck.at[batch_idx, positions].set(k)
+            cv = cv.at[batch_idx, positions].set(v)
+            attn = _attention(q, ck, cv, positions, cfg, attn_sparsity)
+            attn = attn.reshape(B, S, -1)
+            h = h + plf(attn, "o", l, "attn_sub" if cfg.sub_norms else None)
+            gu = plf(h, "gateup", l, "post_ln")
+            h = h + plf(
+                gu, "down", l, "ffn_sub" if cfg.sub_norms else None,
+                act="silu" if cfg.mlp_act == "silu" else "relu2",
+            )
+            return h, (ck, cv)
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
         if fused:

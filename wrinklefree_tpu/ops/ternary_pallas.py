@@ -273,6 +273,119 @@ def ternary_matmul_pallas_stacked(
     return out[:b].reshape(*lead, n)
 
 
+def _matmul_kernel_stacked_fused(
+    l_ref, h_ref, w_ref, nw_ref, sw_ref, o_ref, *, dot_dtype, eps, act, norm
+):
+    """Stacked kernel with a fused PROLOGUE: (optional MLP activation) →
+    (optional RMS norm) → per-token int8 activation quant → 4-plane
+    packed-ternary dot → per-column rescale. Folding the prologue in
+    removes ~9 XLA fusion launches per layer at batch-1 decode, where
+    per-launch fixed cost rivals the arithmetic.
+
+    h [TB, KIN] raw bf16 input (KIN = 2K for act modes, K otherwise);
+    nw [1, 8, K] norm-weight row (8 broadcast sublanes); sw [1, 8, TN]
+    per-column scale row. Numerics mirror ops.norms.rms_norm (f32 var,
+    bf16 weight multiply) and ops.ternary.quantize_activations (f32,
+    scale = 127/clamp(absmax, 1e-5)).
+    """
+    del l_ref
+    k4 = w_ref.shape[1]
+    h = h_ref[:]
+    if act == "relu2":
+        half = h.shape[1] // 2
+        g, u = h[:, :half], h[:, half:]
+        x = jnp.square(jnp.maximum(g, jnp.zeros_like(g))) * u
+    elif act == "silu":
+        half = h.shape[1] // 2
+        g, u = h[:, :half], h[:, half:]
+        x = jax.nn.silu(g) * u
+    else:
+        x = h
+    if norm:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(h.dtype) * nw_ref[0, 0:1, :].astype(h.dtype)
+    xf = x.astype(jnp.float32)
+    absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+    sx = 127.0 / absmax  # [TB, 1] f32
+    xq = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    w_bytes = w_ref[0].astype(jnp.int32)
+    acc = jnp.zeros((xq.shape[0], w_ref.shape[2]), jnp.int32)
+    for j in range(4):
+        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+        x_j = xq[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
+        acc += jax.lax.dot_general(
+            x_j,
+            w_j,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+        ).astype(jnp.int32)
+    inv = 1.0 / (sx * sw_ref[0, 0:1, :])
+    o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "act", "norm"),
+)
+def ternary_matmul_stacked_fused(
+    h: jax.Array,  # [..., KIN] bf16 raw input
+    qweight: jax.Array,  # [L, K//4, N] uint8
+    layer,
+    weight_scale_rows: jax.Array,  # [L, 8, N] f32 per-column scales
+    norm_w: jax.Array | None = None,  # [L, 8, K] norm weight rows
+    *,
+    eps: float = 1e-5,
+    act: str = "none",  # none | relu2 | silu (input is [gate ++ up])
+    norm: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jax.Array:
+    L, k4, n = qweight.shape
+    k = 4 * k4
+    kin = 2 * k if act in ("relu2", "silu") else k
+    lead = h.shape[:-1]
+    h2 = h.reshape(-1, kin)
+    b = h2.shape[0]
+    tb, tn = _pick_tiles(b, k, n)
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        h2 = jnp.pad(h2, ((0, b_pad - b), (0, 0)))
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    if norm_w is None:
+        norm_w = jnp.ones((L, 8, k), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // tb, n // tn),
+        in_specs=[
+            pl.BlockSpec((tb, kin), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, k4, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, 8, k), lambda i, j, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, 8, tn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda i, j, l: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _matmul_kernel_stacked_fused,
+            dot_dtype=dot_dtype, eps=eps, act=act, norm=norm,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * k * n,
+            bytes_accessed=b_pad * kin * 2 + k4 * n + b_pad * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, h2, qweight, norm_w.astype(jnp.float32),
+      weight_scale_rows.astype(jnp.float32))
+    return out[:b].reshape(*lead, n)
+
+
 def ternary_linear_pallas_stacked(
     x: jax.Array,
     qweight: jax.Array,  # [L, K4, N]
@@ -312,6 +425,32 @@ def ternary_linear_pallas(
         dot_dtype=dot_dtype,
         interpret=interpret,
     )
+
+
+def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False):
+    """Fused-prologue stacked linear_fn (see ternary_matmul_stacked_fused):
+    callable(h, qw_stack, scale_rows, layer, norm_w=None, act, norm, eps).
+    `.prologue` marks it for the model's prologue-fused layer path."""
+    if dot_dtype is None:
+        import os
+
+        dot_dtype = (
+            jnp.bfloat16
+            if os.environ.get("WF_PALLAS_DOT", "int8") == "bf16"
+            else jnp.int8
+        )
+
+    def linear_fn(h, qw_stack, scale_rows, layer, norm_w=None, *,
+                  act="none", norm=True, eps=1e-5, out_dtype=jnp.bfloat16):
+        return ternary_matmul_stacked_fused(
+            h, qw_stack, layer, scale_rows, norm_w,
+            eps=eps, act=act, norm=norm, out_dtype=out_dtype,
+            dot_dtype=dot_dtype, interpret=interpret,
+        )
+
+    linear_fn.stacked = True
+    linear_fn.prologue = True
+    return linear_fn
 
 
 def make_pallas_linear_stacked(dot_dtype=None, interpret: bool = False):
