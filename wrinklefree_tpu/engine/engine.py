@@ -110,16 +110,20 @@ class Engine:
             # was compile-pollution in the measurement.)
             use_pallas = jax.devices()[0].platform == "tpu"
         if linear_fn is None and use_pallas:
-            from ..ops.ternary_pallas import make_pallas_linear_stacked
-
-            linear_fn = make_pallas_linear_stacked()
             if mesh is None and cfg.num_experts == 0:
-                # 7 -> 4 Pallas calls/layer (per-call fixed cost is a
-                # first-order term at decode); TP shards by head so fused
-                # column groups would split incorrectly — single-device only
+                # fused projections (7 -> 4 Pallas calls/layer) + in-kernel
+                # norm/quant/activation prologues. TP shards by head so
+                # fused column groups would split incorrectly — single-
+                # device only.
                 from ..models.bitnet import fuse_projections
+                from ..ops.ternary_pallas import make_pallas_linear_fused
 
+                linear_fn = make_pallas_linear_fused()
                 self.params = fuse_projections(self.params, cfg)
+            else:
+                from ..ops.ternary_pallas import make_pallas_linear_stacked
+
+                linear_fn = make_pallas_linear_stacked()
         self._linear_fn = linear_fn
         self._attention_fn = attention_fn
 

@@ -511,6 +511,33 @@ def paged_forward(
     fused = "qkv_qw" in stack  # models.bitnet.fuse_projections applied
     if fused and not stacked:
         raise ValueError("fused projections require a stacked linear_fn")
+    # prologue-fused path (see models.bitnet.forward): norm + act-quant
+    # (+ MLP activation) inside the stacked Pallas kernel
+    prologue = (
+        fused
+        and "gateup_qw" in stack
+        and getattr(lf, "prologue", False)
+        and tp_axis is None
+    )
+    if prologue:
+        nL = jax.tree.leaves(stack)[0].shape[0]
+
+        def _rows(a, n):
+            return jnp.broadcast_to(
+                a.astype(jnp.float32).reshape(nL, 1, -1)[:, :, :n], (nL, 8, n)
+            )
+
+        def plf(x, name, l, norm_name=None, act="none"):
+            qw = stack[name + "_qw"]
+            sw = stack[name + "_scale"]
+            if sw.ndim == 1:
+                sw = _rows(sw[:, None] * jnp.ones((1, qw.shape[-1])), qw.shape[-1])
+            nw = None
+            if norm_name is not None:
+                w = stack[norm_name]
+                nw = _rows(w, w.shape[-1])
+            return lf(x, qw, sw, l, nw, act=act,
+                      norm=norm_name is not None, eps=cfg.rms_norm_eps)
 
     def wlin(x, lp, l, name, **kw):
         if stacked:
@@ -519,6 +546,32 @@ def paged_forward(
 
     def layer_step(h, xs):
         lp, l = xs
+        if prologue:
+            qkv = plf(h, "qkv", l, "input_ln")
+            kvd = cfg.num_kv_heads * cfg.head_dim
+            qd = qkv.shape[-1] - 2 * kvd
+            q = qkv[..., :qd].reshape(B, S, -1, cfg.head_dim)
+            k = qkv[..., qd : qd + kvd].reshape(B, S, -1, cfg.head_dim)
+            v = qkv[..., qd + kvd :].reshape(B, S, -1, cfg.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            if dual:
+                attn = attn_impl(
+                    q, k, v, hist_args[0], hist_args[1], l, page_table,
+                    seq_lens, new_lens, cfg,
+                )
+            else:
+                attn = attn_impl(
+                    q, k, v, kv_rows, scale_rows, l, token_rows, positions,
+                    seq_lens, new_lens, cfg,
+                )
+            attn = attn.reshape(B, S, -1)
+            h = h + plf(attn, "o", l, "attn_sub" if cfg.sub_norms else None)
+            gu = plf(h, "gateup", l, "post_ln")
+            h = h + plf(
+                gu, "down", l, "ffn_sub" if cfg.sub_norms else None,
+                act="silu" if cfg.mlp_act == "silu" else "relu2",
+            )
+            return h, (k, v)
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 
         if fused:

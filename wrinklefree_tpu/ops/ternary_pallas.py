@@ -274,7 +274,8 @@ def ternary_matmul_pallas_stacked(
 
 
 def _matmul_kernel_stacked_fused(
-    l_ref, h_ref, w_ref, nw_ref, sw_ref, o_ref, *, dot_dtype, eps, act, norm
+    l_ref, h_ref, w_ref, nw_ref, sw_ref, o_ref, xq_ref, sx_ref,
+    *, dot_dtype, eps, act, norm
 ):
     """Stacked kernel with a fused PROLOGUE: (optional MLP activation) →
     (optional RMS norm) → per-token int8 activation quant → 4-plane
@@ -290,26 +291,35 @@ def _matmul_kernel_stacked_fused(
     """
     del l_ref
     k4 = w_ref.shape[1]
-    h = h_ref[:]
-    if act == "relu2":
-        half = h.shape[1] // 2
-        g, u = h[:, :half], h[:, half:]
-        x = jnp.square(jnp.maximum(g, jnp.zeros_like(g))) * u
-    elif act == "silu":
-        half = h.shape[1] // 2
-        g, u = h[:, :half], h[:, half:]
-        x = jax.nn.silu(g) * u
-    else:
-        x = h
-    if norm:
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        x = (xf * jax.lax.rsqrt(var + eps)).astype(h.dtype) * nw_ref[0, 0:1, :].astype(h.dtype)
-    xf = x.astype(jnp.float32)
-    absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
-    sx = 127.0 / absmax  # [TB, 1] f32
-    xq = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
 
+    # the prologue depends only on the batch-row block: run it ONCE per
+    # i (at the first N tile) and stash xq/sx in VMEM scratch — grid
+    # order is (i outer, j inner), so the scratch is valid for all j
+    @pl.when(pl.program_id(1) == 0)
+    def _prologue():
+        h = h_ref[:]
+        if act == "relu2":
+            half = h.shape[1] // 2
+            g, u = h[:, :half], h[:, half:]
+            x = jnp.square(jnp.maximum(g, jnp.zeros_like(g))) * u
+        elif act == "silu":
+            half = h.shape[1] // 2
+            g, u = h[:, :half], h[:, half:]
+            x = jax.nn.silu(g) * u
+        else:
+            x = h
+        if norm:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(h.dtype) * nw_ref[0, 0:1, :].astype(h.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax  # [TB, 1] f32
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    xq = xq_ref[:]
+    sx = sx_ref[:]
     w_bytes = w_ref[0].astype(jnp.int32)
     acc = jnp.zeros((xq.shape[0], w_ref.shape[2]), jnp.int32)
     for j in range(4):
@@ -367,6 +377,10 @@ def ternary_matmul_stacked_fused(
             pl.BlockSpec((1, 8, tn), lambda i, j, l: (l[0], 0, j)),
         ],
         out_specs=pl.BlockSpec((tb, tn), lambda i, j, l: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((tb, k), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
     )
     out = pl.pallas_call(
         functools.partial(
