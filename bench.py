@@ -14,6 +14,11 @@ import os
 import sys
 import time
 
+# reuse compiles across runs (first 2B compile over the tunnel is ~5 min)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation"
+)
+
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)

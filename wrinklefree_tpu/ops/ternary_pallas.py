@@ -360,6 +360,14 @@ def ternary_matmul_stacked_fused(
     h2 = h.reshape(-1, kin)
     b = h2.shape[0]
     tb, tn = _pick_tiles(b, k, n)
+    # VMEM budget: the raw-input block is double-buffered ([tb, kin] bf16
+    # x2) next to the int8 scratch and weight/out blocks; large prefill
+    # rows at kin=13824 blow the 16 MB scoped limit at tb=256
+    while tb > 32 and (
+        tb * kin * 2 * 2 + tb * k + 2 * (k // 4) * tn + tb * tn * 4
+        > 10 * 1024 * 1024
+    ):
+        tb //= 2
     b_pad = _round_up(b, tb)
     if b_pad != b:
         h2 = jnp.pad(h2, ((0, b_pad - b), (0, 0)))
