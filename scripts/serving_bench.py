@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--kv-layout", default="auto", choices=["auto", "token", "layer"])
     ap.add_argument("--burst", type=int, default=None)
     ap.add_argument("--use-pallas", default=None, choices=[None, "0", "1"])
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative_k (greedy n-gram drafts per step)")
     args = ap.parse_args()
 
     import numpy as np
@@ -60,6 +62,7 @@ def main():
         kv_layout=args.kv_layout,
         **({"decode_burst": args.burst} if args.burst else {}),
         **({"use_pallas": args.use_pallas == "1"} if args.use_pallas else {}),
+        speculative_k=args.spec,
     )
     print(f"init {('tiny' if args.tiny else args.model)} model + engine "
           f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)
@@ -139,7 +142,8 @@ def main():
         "latency_p95_s": round(m.latency_p95_s, 3),
         "wall_s": round(wall, 2),
         "radix_hit_tokens": eng.stats["radix_hit_tokens"],
-        "kv_layout": eng.kv_layout, "decode_steps": eng.stats["decode_steps"],
+        "kv_layout": eng.kv_layout, "spec_k": args.spec,
+        "spec_accept_rate": round(eng.stats.get("spec_accepted", 0) / max(eng.stats.get("spec_drafted", 1), 1), 3), "decode_steps": eng.stats["decode_steps"],
         "native_runtime": eng.native_runtime,
     }
     print(json.dumps(report))

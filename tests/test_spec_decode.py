@@ -51,3 +51,61 @@ def test_draft_ngram_no_match_is_harmless(tiny):
     ref_cont = [int(t) for t in ref[len(prompt):]]
     got = generate_spec(params, cfg, prompt, max_new_tokens=12, k=4, window=3)
     assert got == ref_cont[: len(got)]
+
+
+class TestEngineSpeculative:
+    """Engine-level speculative decoding (paged KV, both layouts)."""
+
+    @pytest.mark.parametrize("layout", ["token", "layer"])
+    def test_spec_engine_matches_plain(self, tiny, layout):
+        from wrinklefree_tpu.config import EngineConfig
+        from wrinklefree_tpu.engine import Engine, SamplingParams
+
+        cfg, params = tiny
+        base = dict(max_batch_slots=4, page_size=8, num_pages=64,
+                    max_context=64, prefill_buckets=(8, 16, 32),
+                    kv_layout=layout, decode_burst=4)
+        prompts = [[1, 5, 9, 2, 7], [3, 4, 5, 3, 4, 5, 3, 4], [11, 12, 13]]
+        plain = Engine(params, cfg, EngineConfig(**base))
+        want = [plain.generate(p, SamplingParams(max_new_tokens=18, temperature=0.0)).output_ids
+                for p in prompts]
+        spec = Engine(params, cfg, EngineConfig(speculative_k=3, **base))
+        got = [spec.generate(p, SamplingParams(max_new_tokens=18, temperature=0.0)).output_ids
+               for p in prompts]
+        assert got == want
+        assert spec.stats.get("spec_drafted", 0) > 0
+
+    def test_spec_falls_back_for_sampled_requests(self, tiny):
+        from wrinklefree_tpu.config import EngineConfig
+        from wrinklefree_tpu.engine import Engine, SamplingParams
+
+        cfg, params = tiny
+        eng = Engine(params, cfg, EngineConfig(
+            max_batch_slots=2, page_size=8, num_pages=32, max_context=64,
+            prefill_buckets=(8, 16), speculative_k=3, decode_burst=4))
+        r = eng.generate([1, 2, 3], SamplingParams(max_new_tokens=8,
+                                                   temperature=0.9, seed=7))
+        assert len(r.output_ids) == 8
+        assert eng.stats.get("spec_drafted", 0) == 0  # sampled: plain burst
+
+    def test_spec_concurrent_page_crossing(self, tiny):
+        """Concurrent spec requests crossing page boundaries at different
+        offsets (the window clamp + position-triggered flush path)."""
+        from wrinklefree_tpu.config import EngineConfig
+        from wrinklefree_tpu.engine import Engine, SamplingParams
+
+        cfg, params = tiny
+        base = dict(max_batch_slots=4, page_size=8, num_pages=64,
+                    max_context=64, prefill_buckets=(8, 16, 32),
+                    kv_layout="layer", decode_burst=4)
+        prompts = [list(range(1, n)) for n in (4, 7, 11, 14)]
+        plain = Engine(params, cfg, EngineConfig(**base))
+        spec = Engine(params, cfg, EngineConfig(speculative_k=3, **base))
+        wants, gots = [], []
+        for eng, outs in ((plain, wants), (spec, gots)):
+            reqs = [eng.submit(p, SamplingParams(max_new_tokens=25, temperature=0.0))
+                    for p in prompts]
+            while not all(r.finished for r in reqs):
+                eng.step()
+            outs.extend(r.output_ids for r in reqs)
+        assert gots == wants

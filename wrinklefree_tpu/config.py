@@ -134,6 +134,13 @@ class EngineConfig:
     # Streaming granularity = burst; 16 balances that against overhead
     # (serving decode measured 698 -> 843 tok/s going 8 -> 32).
     decode_burst: int = 16
+    # Speculative decoding in the decode burst: n-gram (prompt-lookup)
+    # drafts of up to k tokens verified in one forward, greedy requests
+    # only (the engine falls back to plain bursts when any active
+    # request samples). Windows are clamped to the current KV page so
+    # rejected-draft writes can never clobber committed staging rows.
+    # 0 disables.
+    speculative_k: int = 0
     # Admission policy: "fifo" (arrival order) or "sjf" (shortest
     # unmatched prompt first — lower mean TTFT under mixed lengths;
     # requests older than admission_aging_s jump the queue so long

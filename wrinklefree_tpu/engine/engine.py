@@ -234,6 +234,8 @@ class Engine:
         self._lock = threading.Lock()
 
         self._decode_jit = self._build_decode()
+        self._decode_spec_jit = None  # built lazily (speculative_k > 0)
+        self._dhist = None
         self._prefill_jits: Dict[int, Callable] = {}
 
         # metrics
@@ -299,6 +301,61 @@ class Engine:
                 out_specs=(P(), pool_spec, P(), P(), P()),
                 check_vma=False,
             )
+        return functools.partial(jax.jit, donate_argnums=(1,))(burst)
+
+    def _build_decode_spec(self):
+        """Speculative decode burst (greedy-only): each scan step drafts
+        up to k tokens by n-gram lookup in a device-resident history
+        buffer, verifies them in ONE k+1-token forward, and advances by
+        the accepted count. Windows clamp to the current KV page
+        (win = min(k+1, ps - sl%ps)), so rejected-draft KV lands either
+        in the trash or in positions the next real tokens overwrite
+        before they become visible (position-triggered page flushes
+        re-flush with real content — see kv/paged._dual_write)."""
+        cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
+        kvw = self._kv_write
+        K = self.ecfg.decode_burst
+        k = self.ecfg.speculative_k
+        ps = self.page_size
+
+        from ..models.spec_decode import _draft_ngram
+
+        def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
+                  counters, temps, top_ps, slot_ids, hist):
+            H = hist.shape[1]
+            B = last_tokens.shape[0]
+
+            def one(carry, _):
+                pools, tok, sl, hist = carry
+                win = jnp.minimum(k + 1, ps - sl % ps).astype(jnp.int32)
+                draft = _draft_ngram(hist, sl, k, 2)  # [B, k]
+                toks = jnp.concatenate([tok[:, None], draft], axis=1)
+                logits, pools = paged_forward(
+                    params, cfg, toks, pools, page_table, sl, win,
+                    linear_fn=lf, attention_fn=af, kv_write=kvw,
+                    slot_ids=slot_ids, logits_all=True,
+                )
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+                match = (draft == g[:, :-1]) & (
+                    jnp.arange(k)[None, :] < win[:, None] - 1
+                )
+                acc = jnp.sum(
+                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+                )
+                n_new = jnp.minimum(acc + 1, win)
+                idx = sl[:, None] + 1 + jnp.arange(k + 1)[None, :]
+                bidx = jnp.broadcast_to(jnp.arange(B)[:, None], idx.shape)
+                hist = hist.at[bidx, jnp.clip(idx, 0, H - 1)].set(g)
+                new_last = jnp.take_along_axis(
+                    g, (n_new - 1)[:, None], axis=1
+                )[:, 0]
+                return (pools, new_last, sl + n_new, hist), (g, n_new)
+
+            (pools, last, sl, hist), (toks, counts) = jax.lax.scan(
+                one, (pools, last_tokens, seq_lens, hist), None, length=K
+            )
+            return toks, counts, pools, last, sl, hist
+
         return functools.partial(jax.jit, donate_argnums=(1,))(burst)
 
     def _prefill_for_bucket(self, bucket: int):
@@ -694,6 +751,15 @@ class Engine:
             jnp.asarray(self.slot_tps),
             jnp.asarray(sids),
         )
+        if self.ecfg.speculative_k > 0:
+            # device-resident token history for n-gram drafting:
+            # hist[b, pos] = token at sequence position pos
+            hist = np.zeros((NS, self.ecfg.max_context), np.int32)
+            for i, r in enumerate(self.slots):
+                if r is not None and not r.pending:
+                    toks_all = (r.prompt_ids + r.output_ids)[: self.ecfg.max_context]
+                    hist[i, : len(toks_all)] = toks_all
+            self._dhist = jnp.asarray(hist)
         self._mp_bucket = mp
         self._dirty = False
 
@@ -718,12 +784,21 @@ class Engine:
             return False
         K = self.ecfg.decode_burst
         ps = self.page_size
+        spec_k = self.ecfg.speculative_k
+        spec = (
+            spec_k > 0
+            and self.mesh is None
+            and all(
+                self.slots[i].sampling.temperature == 0.0 for i in active
+            )
+        )
+        adv = K * (spec_k + 1) if spec else K  # max positions per burst
 
-        # make sure pages cover the next K positions per slot
+        # make sure pages cover the burst's maximum advance per slot
         for i in active:
             req = self.slots[i]
             lp_lo = req.seq_len // ps
-            lp_hi = min((req.seq_len + K - 1) // ps, self.max_pages_per_seq - 1)
+            lp_hi = min((req.seq_len + adv - 1) // ps, self.max_pages_per_seq - 1)
             for lp in range(lp_lo, lp_hi + 1):
                 if self.page_table[i, lp] == 0:
                     try:
@@ -743,11 +818,53 @@ class Engine:
             return True
 
         max_seq = max(self.seq_lens[i] for i in active)
-        mp = self._pages_bucket(int(max_seq) + K)
+        mp = self._pages_bucket(int(max_seq) + adv)
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
         (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
          d_sids) = self._dstate
+        room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
+
+        if spec:
+            if self._decode_spec_jit is None:
+                self._decode_spec_jit = self._build_decode_spec()
+            toks_d, counts_d, self.pools, d_last, d_sl, self._dhist = (
+                self._decode_spec_jit(
+                    self.params, self.pools, d_last, d_pt, d_sl, d_seeds,
+                    d_ctr, d_temps, d_tps, d_sids, self._dhist,
+                )
+            )
+            self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps,
+                            d_tps, d_sids)
+            toks = np.asarray(toks_d)  # [K, S, k+1]
+            counts = np.asarray(counts_d)  # [K, S]
+            self.stats["decode_steps"] += K
+            for i in active:
+                req = self.slots[i]
+                for step in range(K):
+                    if req.finished:
+                        break
+                    n = int(counts[step, i])
+                    self.stats["spec_drafted"] = self.stats.get("spec_drafted", 0) + 1
+                    self.stats["spec_accepted"] = (
+                        self.stats.get("spec_accepted", 0) + n - 1
+                    )
+                    for j in range(n):
+                        if req.finished:
+                            break
+                        if req.seq_len >= room_cap:
+                            self._finish(req, "length")
+                            break
+                        req.seq_len += 1
+                        self.seq_lens[i] = req.seq_len
+                        tok = int(toks[step, i, j])
+                        self.stats["decode_tokens"] += 1
+                        self.slot_counters[i] += 1
+                        self._emit_token(req, tok)
+                        if not req.finished:
+                            self.last_tokens[i] = tok
+            return True
+
         toks_d, self.pools, d_last, d_sl, d_ctr = self._decode_jit(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
             d_temps, d_tps, d_sids,
@@ -757,7 +874,6 @@ class Engine:
         toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
         self.stats["decode_steps"] += K
 
-        room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
         for i in active:
             req = self.slots[i]
             for k in range(K):

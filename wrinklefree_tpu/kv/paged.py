@@ -320,9 +320,27 @@ def _dual_write(
         else slot_ids.astype(jnp.int32)
     )
 
-    if S == 1:
-        off = (seq_lens % ps).astype(jnp.int32)
-        completed = (seq_lens + 1) % ps == 0
+    if S <= ps:
+        # decode (S == 1) or a speculative verify window (S == k+1):
+        # every token's row goes to its slot's staging page at offset
+        # (pos % ps); the slot's current page flushes iff this window
+        # covers its last offset. Windows that include REJECTED drafts
+        # are self-healing: a page flushed with garbage in its tail gets
+        # re-flushed with real content when the sequence actually
+        # crosses the boundary (the flush is position-triggered), and
+        # attention masks main-pool tokens beyond seq_len meanwhile.
+        off0 = (seq_lens % ps).astype(jnp.int32)
+        ar = jnp.arange(S, dtype=jnp.int32)[None, :]
+        pos_off = (off0[:, None] + ar) % ps
+        real = ar < new_lens[:, None]
+        in_cur = off0[:, None] + ar < ps  # token lands in the CURRENT page
+        # WRITE ORDER MATTERS: current-page rows first, then the flush
+        # (which snapshots the staging page), and only then the wrapped
+        # next-page rows — otherwise a window that crosses the boundary
+        # would overwrite staging rows 0.. before the flush reads them.
+        srow1 = jnp.where(real & in_cur, slots[:, None], NS).astype(jnp.int32)
+        srow2 = jnp.where(real & ~in_cur, slots[:, None], NS).astype(jnp.int32)
+        completed = off0 + new_lens >= ps  # at most one page per window
         lpg = jnp.clip(seq_lens // ps, 0, MP - 1)
         pid_b = jnp.where(
             completed,
@@ -332,7 +350,12 @@ def _dual_write(
         if use_pallas:
             from ..ops.kv_update_pallas import kv_write_pallas
 
-            staging = kv_write_pallas(staging, vals[:, 0], slots, off)
+            staging = kv_write_pallas(
+                staging,
+                vals.reshape(B * S, two_lp, kvd),
+                srow1.reshape(-1),
+                pos_off.reshape(-1),
+            )
             # flush completed pages: XLA transpose of this batch's staging
             # pages (~MBs — the in-kernel Mosaic transpose does not
             # legalize for these shapes), then the in-place page writer.
@@ -348,11 +371,20 @@ def _dual_write(
                 pid_b,
                 jnp.zeros((B,), jnp.int32),
             ).reshape(P, two_lp, ps, kvd)
+            if S > 1:
+                staging = kv_write_pallas(
+                    staging,
+                    vals.reshape(B * S, two_lp, kvd),
+                    srow2.reshape(-1),
+                    pos_off.reshape(-1),
+                )
         else:
-            staging = staging.at[slots, off].set(vals[:, 0])
+            staging = staging.at[srow1, pos_off].set(vals)
             # pid 0 for non-completed slots: garbage lands in the trash page
             flushed = jnp.swapaxes(staging[slots], 1, 2)  # [B, 2Lp, ps, KVD]
             main = main.at[pid_b].set(flushed)
+            if S > 1:
+                staging = staging.at[srow2, pos_off].set(vals)
         return PagedKV(main, None, staging)
 
     if S % ps:
@@ -419,6 +451,7 @@ def paged_forward(
     kv_write: str = "xla",  # "pallas" = in-place DMA kernel (TPU, unquantized)
     tp_axis: Optional[str] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] staging slots (dual layout)
+    logits_all: bool = False,  # True: [B, S, V] logits (speculative verify)
 ) -> Tuple[jax.Array, PagedKV]:
     """Run S new tokens per slot against the paged cache.
 
@@ -697,9 +730,10 @@ def paged_forward(
         new_pools = PagedKV(nkv, nscale)
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    # last REAL token per slot
-    last_idx = jnp.clip(new_lens - 1, 0, S - 1)
-    hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
+    if not logits_all:
+        # last REAL token per slot
+        last_idx = jnp.clip(new_lens - 1, 0, S - 1)
+        hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
 
     from ..models.bitnet import compute_logits
 
