@@ -263,3 +263,70 @@ def test_prologue_fused_model_equivalence():
         assert np.array_equal(
             np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
         ), f"argmax mismatch for cfg overrides {kw}"
+
+
+def test_mlp_megakernel_exact_vs_two_kernel_composition():
+    """The whole-MLP megakernel must be BIT-EXACT with the composition of
+    two prologue-fused kernels + bf16 residual add (it rounds the
+    intermediate gu to bf16 in scratch exactly like the two-kernel path
+    materializes it)."""
+    from wrinklefree_tpu.ops.ternary_pallas import (
+        mlp_block_megakernel, ternary_matmul_stacked_fused,
+    )
+
+    rng = np.random.default_rng(7)
+    L, H, I, B = 3, 256, 384, 5
+    layer = 1
+    gw = jnp.asarray(rng.integers(0, 256, (L, H // 4, 2 * I)), jnp.uint8)
+    dw = jnp.asarray(rng.integers(0, 256, (L, I // 4, H)), jnp.uint8)
+    gsc = jnp.asarray(
+        np.broadcast_to(rng.uniform(10, 90, (L, 1, 2 * I)), (L, 8, 2 * I)),
+        jnp.float32)
+    dsc = jnp.asarray(
+        np.broadcast_to(rng.uniform(10, 90, (L, 1, H)), (L, 8, H)), jnp.float32)
+    pln = jnp.asarray(
+        np.broadcast_to(rng.normal(1, 0.1, (L, 1, H)), (L, 8, H)), jnp.float32)
+    fsn = jnp.asarray(
+        np.broadcast_to(rng.normal(1, 0.1, (L, 1, I)), (L, 8, I)), jnp.float32)
+    h = jnp.asarray(rng.normal(0, 1, (B, H)), jnp.bfloat16)
+
+    for act, norm2 in (("relu2", True), ("silu", False)):
+        gu = ternary_matmul_stacked_fused(
+            h, gw, layer, gsc, pln, act="none", norm=True, interpret=True)
+        d = ternary_matmul_stacked_fused(
+            gu, dw, layer, dsc, fsn if norm2 else None,
+            act=act, norm=norm2, interpret=True)
+        want = h + d
+        got = mlp_block_megakernel(
+            h, gw, dw, layer, gsc, dsc, pln, fsn if norm2 else None,
+            act=act, norm2=norm2, interpret=True)
+        assert np.array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        ), f"megakernel mismatch act={act} norm2={norm2}"
+
+
+def test_mlp_megakernel_model_equivalence():
+    """forward() with the mega-enabled fused linear_fn == default forward."""
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.models.bitnet import (
+        KVCache, forward, fuse_projections, init_params,
+    )
+    from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_fused
+
+    cfg = BitNetConfig.tiny()
+    params = init_params(cfg, seed=3)
+    toks = jnp.asarray([[3, 1, 4, 1, 5, 9]], jnp.int32)
+    start = jnp.zeros((1,), jnp.int32)
+    ref, _ = forward(params, cfg, toks, KVCache.zeros(cfg, 1, 16), start)
+    lf = make_pallas_linear_fused(interpret=True, mega=True)
+    assert hasattr(lf, "mlp_mega")
+    got, _ = forward(
+        fuse_projections(params, cfg), cfg, toks,
+        KVCache.zeros(cfg, 1, 16), start, linear_fn=lf,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=6e-2, atol=6e-2
+    )
+    assert np.array_equal(
+        np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
+    )

@@ -599,11 +599,26 @@ def paged_forward(
                 )
             attn = attn.reshape(B, S, -1)
             h = h + plf(attn, "o", l, "attn_sub" if cfg.sub_norms else None)
-            gu = plf(h, "gateup", l, "post_ln")
-            h = h + plf(
-                gu, "down", l, "ffn_sub" if cfg.sub_norms else None,
-                act="silu" if cfg.mlp_act == "silu" else "relu2",
-            )
+            mega = getattr(lf, "mlp_mega", None)
+            mlp_act = "silu" if cfg.mlp_act == "silu" else "relu2"
+            if mega is not None:
+                inter = stack["down_qw"].shape[1] * 4
+                h = mega(
+                    h, stack["gateup_qw"], stack["down_qw"], l,
+                    stack["gateup_scale"],
+                    _rows(stack["down_scale"][:, None]
+                          * jnp.ones((1, stack["down_qw"].shape[-1])),
+                          stack["down_qw"].shape[-1]),
+                    _rows(stack["post_ln"], stack["post_ln"].shape[-1]),
+                    _rows(stack["ffn_sub"], inter) if cfg.sub_norms else None,
+                    eps=cfg.rms_norm_eps, act=mlp_act, norm2=cfg.sub_norms,
+                )
+            else:
+                gu = plf(h, "gateup", l, "post_ln")
+                h = h + plf(
+                    gu, "down", l, "ffn_sub" if cfg.sub_norms else None,
+                    act=mlp_act,
+                )
             return h, (k, v)
         normed = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
 

@@ -408,6 +408,209 @@ def ternary_matmul_stacked_fused(
     return out[:b].reshape(*lead, n)
 
 
+def _mlp_megakernel(
+    l_ref, h_ref, hres_ref, gw_ref, dw_ref, nw1_ref, nw2_ref, sw1_ref,
+    sw2_ref, o_ref, gu_ref, xq_ref, sx_ref, xq2_ref, sx2_ref,
+    *, dot_dtype, eps, act, norm2, ngu, nd, tn_gu, tn_d, inter
+):
+    """Whole MLP block in ONE pallas_call: norm+quant -> gateup dot ->
+    activation -> (ffn sub-norm) -> quant -> down dot -> +residual.
+
+    Grid is (row blocks, ngu + nd): stages share VMEM scratch that
+    persists across grid steps (grid iterates g innermost, sequentially
+    on TPU). Bit-exact with the composition of two
+    `ternary_matmul_stacked_fused` calls + a bf16 residual add — the
+    intermediate gu is rounded to bf16 in scratch exactly like the
+    two-kernel path materializes it.
+    """
+    del l_ref
+    g = pl.program_id(1)
+    k4 = gw_ref.shape[1]  # K/4 (hidden)
+    i4 = dw_ref.shape[1]  # inter/4
+
+    # stage-A prologue (once per row block): rms_norm + int8 act quant
+    @pl.when(g == 0)
+    def _prologue_a():
+        x = h_ref[:]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw1_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    # stage A: gateup tile g -> bf16 scratch
+    @pl.when(g < ngu)
+    def _gateup_tile():
+        xq = xq_ref[:]
+        w_bytes = gw_ref[0].astype(jnp.int32)
+        acc = jnp.zeros((xq.shape[0], tn_gu), jnp.int32)
+        for j in range(4):
+            w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+            x_j = xq[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
+            acc += jax.lax.dot_general(
+                x_j, w_j,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+            ).astype(jnp.int32)
+        inv = 1.0 / (sx_ref[:] * sw1_ref[0, 0:1, :])
+        gu_ref[:, pl.ds(g * tn_gu, tn_gu)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(gu_ref.dtype)
+
+    # stage-B prologue: activation over the full gu row + optional
+    # sub-norm + int8 quant (mirrors the down kernel's fused prologue)
+    @pl.when(g == ngu)
+    def _prologue_b():
+        gu = gu_ref[:]
+        gate, up = gu[:, :inter], gu[:, inter:]
+        if act == "silu":
+            x = jax.nn.silu(gate) * up
+        else:
+            x = jnp.square(jnp.maximum(gate, jnp.zeros_like(gate))) * up
+        if norm2:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw2_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx2_ref[:] = sx
+        xq2_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    # stage B: down tile (g - ngu) + residual
+    @pl.when(g >= ngu)
+    def _down_tile():
+        xq = xq2_ref[:]
+        w_bytes = dw_ref[0].astype(jnp.int32)
+        acc = jnp.zeros((xq.shape[0], tn_d), jnp.int32)
+        for j in range(4):
+            w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
+            x_j = xq[:, j * i4 : (j + 1) * i4].astype(dot_dtype)
+            acc += jax.lax.dot_general(
+                x_j, w_j,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+            ).astype(jnp.int32)
+        inv = 1.0 / (sx2_ref[:] * sw2_ref[0, 0:1, :])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:] = hres_ref[:] + d
+
+
+def _pick_tile_n(n: int, want: int = 512) -> int:
+    for cand in (want, 512, 256, 128):
+        if n % cand == 0:
+            return cand
+    return n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "act", "norm2"),
+)
+def mlp_block_megakernel(
+    h: jax.Array,  # [..., H] bf16 (pre-norm residual input)
+    gateup_qw: jax.Array,  # [L, H//4, 2I] uint8
+    down_qw: jax.Array,  # [L, I//4, H] uint8
+    layer,
+    gateup_scale_rows: jax.Array,  # [L, 8, 2I] f32
+    down_scale_rows: jax.Array,  # [L, 8, H] f32
+    post_ln_rows: jax.Array,  # [L, 8, H]
+    ffn_sub_rows: jax.Array | None,  # [L, 8, I] (None = no sub-norm)
+    *,
+    eps: float = 1e-5,
+    act: str = "relu2",  # relu2 | silu
+    norm2: bool = True,  # apply ffn_sub RMS before down
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Residual MLP block as ONE kernel: h + down(act(gateup(norm(h)))).
+
+    Replaces 2 pallas calls + 1 XLA residual fusion per layer with a
+    single launch — at batch-1 decode the ~10 us fixed cost per launch
+    rivals the arithmetic (RESULTS.md "kernel-count floor").
+    """
+    L, k4, n_gu = gateup_qw.shape
+    _, i4, n_h = down_qw.shape
+    k = 4 * k4
+    inter = 4 * i4
+    assert n_gu == 2 * inter and n_h == k, (gateup_qw.shape, down_qw.shape)
+    lead = h.shape[:-1]
+    h2 = h.reshape(-1, k)
+    b = h2.shape[0]
+
+    tn_gu = _pick_tile_n(n_gu)
+    tn_d = _pick_tile_n(n_h)
+    ngu = n_gu // tn_gu
+    nd = n_h // tn_d
+
+    tb = min(_round_up(b, 32), 256)
+    # VMEM: h + residual blocks (double-buffered), weight tiles, scratch
+    while tb > 32 and (
+        tb * k * 2 * 2 + tb * n_gu * 2 + tb * k + tb * inter
+        + 2 * (k4 * tn_gu + i4 * tn_d) + tb * tn_d * 4
+        > 10 * 1024 * 1024
+    ):
+        tb //= 2
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        h2 = jnp.pad(h2, ((0, b_pad - b), (0, 0)))
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    if ffn_sub_rows is None:
+        ffn_sub_rows = jnp.ones((L, 8, inter), jnp.float32)
+
+    def _clip_d(g):
+        return jnp.clip(g - ngu, 0, nd - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // tb, ngu + nd),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, g, l: (i, 0)),  # h (prologue A)
+            pl.BlockSpec((tb, tn_d), lambda i, g, l: (i, _clip_d(g))),  # residual
+            pl.BlockSpec(
+                (1, k4, tn_gu), lambda i, g, l: (l[0], 0, jnp.minimum(g, ngu - 1))
+            ),
+            pl.BlockSpec((1, i4, tn_d), lambda i, g, l: (l[0], 0, _clip_d(g))),
+            pl.BlockSpec((1, 8, k), lambda i, g, l: (l[0], 0, 0)),  # post_ln
+            pl.BlockSpec((1, 8, inter), lambda i, g, l: (l[0], 0, 0)),  # ffn_sub
+            pl.BlockSpec(
+                (1, 8, tn_gu), lambda i, g, l: (l[0], 0, jnp.minimum(g, ngu - 1))
+            ),
+            pl.BlockSpec((1, 8, tn_d), lambda i, g, l: (l[0], 0, _clip_d(g))),
+        ],
+        out_specs=pl.BlockSpec((tb, tn_d), lambda i, g, l: (i, _clip_d(g))),
+        scratch_shapes=[
+            pltpu.VMEM((tb, n_gu), jnp.bfloat16),  # gu (bf16-rounded)
+            pltpu.VMEM((tb, k), jnp.int8),  # xq (stage A)
+            pltpu.VMEM((tb, 1), jnp.float32),  # sx
+            pltpu.VMEM((tb, inter), jnp.int8),  # xq2 (stage B)
+            pltpu.VMEM((tb, 1), jnp.float32),  # sx2
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_megakernel,
+            dot_dtype=dot_dtype, eps=eps, act=act, norm2=norm2,
+            ngu=ngu, nd=nd, tn_gu=tn_gu, tn_d=tn_d, inter=inter,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_h), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * k * n_gu + 2 * b_pad * inter * n_h,
+            bytes_accessed=b_pad * k * 4 + k4 * n_gu + i4 * n_h + b_pad * n_h * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, h2, h2, gateup_qw, down_qw,
+      post_ln_rows.astype(jnp.float32), ffn_sub_rows.astype(jnp.float32),
+      gateup_scale_rows.astype(jnp.float32), down_scale_rows.astype(jnp.float32))
+    return out[:b].reshape(*lead, n_h)
+
+
 def ternary_linear_pallas_stacked(
     x: jax.Array,
     qweight: jax.Array,  # [L, K4, N]
@@ -449,18 +652,23 @@ def ternary_linear_pallas(
     )
 
 
-def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False):
+def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False,
+                             mega: bool = None):
     """Fused-prologue stacked linear_fn (see ternary_matmul_stacked_fused):
     callable(h, qw_stack, scale_rows, layer, norm_w=None, act, norm, eps).
-    `.prologue` marks it for the model's prologue-fused layer path."""
-    if dot_dtype is None:
-        import os
+    `.prologue` marks it for the model's prologue-fused layer path;
+    `.mlp_mega` (WF_MLP_MEGA, default on) additionally collapses the
+    whole MLP block into one kernel (mlp_block_megakernel)."""
+    import os
 
+    if dot_dtype is None:
         dot_dtype = (
             jnp.bfloat16
             if os.environ.get("WF_PALLAS_DOT", "int8") == "bf16"
             else jnp.int8
         )
+    if mega is None:
+        mega = os.environ.get("WF_MLP_MEGA", "1") == "1"
 
     def linear_fn(h, qw_stack, scale_rows, layer, norm_w=None, *,
                   act="none", norm=True, eps=1e-5, out_dtype=jnp.bfloat16):
@@ -470,8 +678,20 @@ def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False):
             dot_dtype=dot_dtype, interpret=interpret,
         )
 
+    def mlp_mega_fn(h, gateup_qw, down_qw, layer, gateup_scale_rows,
+                    down_scale_rows, post_ln_rows, ffn_sub_rows, *,
+                    eps=1e-5, act="relu2", norm2=True):
+        return mlp_block_megakernel(
+            h, gateup_qw, down_qw, layer, gateup_scale_rows,
+            down_scale_rows, post_ln_rows, ffn_sub_rows,
+            eps=eps, act=act, norm2=norm2,
+            dot_dtype=dot_dtype, interpret=interpret,
+        )
+
     linear_fn.stacked = True
     linear_fn.prologue = True
+    if mega:
+        linear_fn.mlp_mega = mlp_mega_fn
     return linear_fn
 
 
