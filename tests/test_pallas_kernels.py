@@ -330,3 +330,63 @@ def test_mlp_megakernel_model_equivalence():
     assert np.array_equal(
         np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1))
     )
+
+
+def test_attn_megakernel_decode_equivalence():
+    """Fully-fused batch-1 decode (attention megakernel with in-place
+    aliased cache + MLP megakernel) must reproduce the default forward's
+    greedy tokens over a multi-step decode, for both model flavors."""
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.models.bitnet import (
+        KVCache, forward, fuse_projections, init_params,
+    )
+    from wrinklefree_tpu.ops.ternary_pallas import make_pallas_linear_fused
+
+    import os
+    for kw in ({}, {"sub_norms": False, "mlp_act": "silu"},
+               {"_layer_mega": True}):
+        layer_mega = kw.pop("_layer_mega", False)
+        cfg = BitNetConfig.tiny()
+        if kw:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, **kw)
+        params = init_params(cfg, seed=2)
+        fp = fuse_projections(params, cfg)
+        if layer_mega:
+            os.environ["WF_LAYER_MEGA"] = "1"
+        try:
+            lf = make_pallas_linear_fused(interpret=True, mega=True)
+        finally:
+            os.environ.pop("WF_LAYER_MEGA", None)
+        assert hasattr(lf, "attn_mega") and hasattr(lf, "mlp_mega")
+        assert hasattr(lf, "layer_mega") == layer_mega
+        T = 16
+        toks = jnp.asarray([[3, 1, 4, 1, 5, 9]], jnp.int32)
+        start = jnp.zeros((1,), jnp.int32)
+        ref_logits, ref_cache = forward(
+            params, cfg, toks, KVCache.zeros(cfg, 1, T), start)
+        got_cache = KVCache.zeros(cfg, 1, T)
+        _, got_cache = forward(params, cfg, toks, got_cache, start)
+        tok = jnp.argmax(ref_logits[:, -1], -1)[:, None].astype(jnp.int32)
+        gtok = tok
+        pos = 6
+        for _ in range(4):
+            ref_logits, ref_cache = forward(
+                params, cfg, tok, ref_cache,
+                jnp.full((1,), pos, jnp.int32), logits_all=False)
+            got_logits, got_cache = forward(
+                fp, cfg, gtok, got_cache,
+                jnp.full((1,), pos, jnp.int32), logits_all=False,
+                linear_fn=lf)
+            tok = jnp.argmax(ref_logits, -1)[:, None].astype(jnp.int32)
+            gtok = jnp.argmax(got_logits, -1)[:, None].astype(jnp.int32)
+            assert np.array_equal(np.asarray(tok), np.asarray(gtok)), kw
+            r = np.asarray(ref_logits, np.float32)
+            g = np.asarray(got_logits, np.float32)
+            cs = (r * g).sum() / (np.linalg.norm(r) * np.linalg.norm(g))
+            assert cs > 0.999, (kw, cs)
+            # the in-place cache row written by the kernel must match
+            ck_r = np.asarray(ref_cache.k[:, :, pos], np.float32)
+            ck_g = np.asarray(got_cache.k[:, :, pos], np.float32)
+            assert np.allclose(ck_r, ck_g, atol=0.05), kw
+            pos += 1

@@ -534,11 +534,87 @@ def forward(
         return h, (ck, cv)
 
     L = jax.tree.leaves(params["layers"])[0].shape[0]
-    hidden, (new_k, new_v) = jax.lax.scan(
-        layer_step,
-        hidden,
-        (params["layers"], cache.k, cache.v, jnp.arange(L, dtype=jnp.int32)),
+
+    # fully-fused batch-1 decode: 2 pallas calls per layer (attention
+    # block + MLP block), cache updated IN PLACE inside the attention
+    # kernel (aliased operand) — no per-layer cache slice/stack copies.
+    attn_mega = getattr(lf, "attn_mega", None) if prologue else None
+    mlp_mega = getattr(lf, "mlp_mega", None) if prologue else None
+    T_cache = cache.k.shape[2]
+    use_attn_mega = (
+        attn_mega is not None
+        and mlp_mega is not None
+        and S == 1
+        and B == 1
+        and cfg.num_experts == 0
+        and "gateup_qw" in stack
+        # both cache blocks (in+out, k+v) must fit VMEM next to the
+        # weight tiles and scratch
+        and T_cache * cfg.num_kv_heads * cfg.head_dim * 2 * 4 <= 8 * 1024 * 1024
     )
+    if use_attn_mega:
+        H, Q = cfg.hidden_size, cfg.q_dim
+        inter = stack["down_qw"].shape[1] * 4
+        o_rows = _rows(
+            stack["o_scale"][:, None] * jnp.ones((1, H)), H
+        )
+        down_rows = _rows(
+            stack["down_scale"][:, None] * jnp.ones((1, H)), H
+        )
+        iln_rows = _rows(stack["input_ln"], H)
+        pln_rows = _rows(stack["post_ln"], H)
+        sub_rows = _rows(stack["attn_sub"], Q) if cfg.sub_norms else None
+        ffn_rows = _rows(stack["ffn_sub"], inter) if cfg.sub_norms else None
+        D = cfg.head_dim
+        cos8 = jnp.broadcast_to(cos.reshape(1, D), (8, D))
+        sin8 = jnp.broadcast_to(sin.reshape(1, D), (8, D))
+        pos0 = start_pos[0]
+        mlp_act = "silu" if cfg.mlp_act == "silu" else "relu2"
+
+        layer_mega = getattr(lf, "layer_mega", None)
+
+        def mega_step(carry, l):
+            h2, ckf, cvf = carry
+            if layer_mega is not None:
+                # the whole layer as ONE pallas call
+                h2, ckf, cvf = layer_mega(
+                    h2, ckf, cvf, stack["qkv_qw"], stack["o_qw"],
+                    stack["gateup_qw"], stack["down_qw"], l, pos0,
+                    stack["qkv_scale"], o_rows, stack["gateup_scale"],
+                    down_rows, iln_rows, sub_rows, pln_rows, ffn_rows,
+                    cos8, sin8, q_dim=Q, n_kv=cfg.num_kv_heads,
+                    n_heads=cfg.num_heads, head_dim=D,
+                    eps=cfg.rms_norm_eps, act=mlp_act, norm2=cfg.sub_norms,
+                )
+                return (h2, ckf, cvf), None
+            h2, ckf, cvf = attn_mega(
+                h2, ckf, cvf, stack["qkv_qw"], stack["o_qw"], l, pos0,
+                stack["qkv_scale"], o_rows, iln_rows, sub_rows, cos8, sin8,
+                q_dim=Q, n_kv=cfg.num_kv_heads, n_heads=cfg.num_heads,
+                head_dim=D, eps=cfg.rms_norm_eps, norm2=cfg.sub_norms,
+            )
+            h2 = mega_mlp_call(h2, l)
+            return (h2, ckf, cvf), None
+
+        def mega_mlp_call(h2, l):
+            return mlp_mega(
+                h2, stack["gateup_qw"], stack["down_qw"], l,
+                stack["gateup_scale"], down_rows, pln_rows, ffn_rows,
+                eps=cfg.rms_norm_eps, act=mlp_act, norm2=cfg.sub_norms,
+            )
+
+        (h2, new_k, new_v), _ = jax.lax.scan(
+            mega_step,
+            (hidden.reshape(B, -1), cache.k, cache.v),
+            jnp.arange(L, dtype=jnp.int32),
+        )
+        hidden = h2.reshape(B, S, -1)
+    else:
+        hidden, (new_k, new_v) = jax.lax.scan(
+            layer_step,
+            hidden,
+            (params["layers"], cache.k, cache.v, jnp.arange(L, dtype=jnp.int32)),
+        )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     if not logits_all:

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,21 +37,31 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def _planes_dot(x, w_bytes, dot_dtype):
+    """``sum_j x[:, j*K4:(j+1)*K4] @ (((w >> 2j) & 3) - 1)`` as ONE MXU
+    dot: the four unpacked planes are stacked along K, which is exactly
+    how the plane-major packing slices x. Integer-exact vs the
+    per-plane loop (int32 adds commute); 4x fewer MXU ops — at batch-1
+    decode the fixed cost per (tiny) MXU op dominates the arithmetic."""
+    k4 = w_bytes.shape[0]
+    planes = [
+        (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype) for j in range(4)
+    ]
+    w_full = jnp.concatenate(planes, axis=0)  # [4*K4, N]
+    return jax.lax.dot_general(
+        x[:, : 4 * k4].astype(dot_dtype),
+        w_full,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
+    ).astype(jnp.int32)
+
+
 def _matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype):
     """x [TB,K] int8, w [K4,TN] uint8, sx [TB,1] f32, sw [1,1] f32 ->
     o [TB,TN] out_dtype."""
     k4 = w_ref.shape[0]
     w_bytes = w_ref[:].astype(jnp.int32)
-    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[1]), jnp.int32)
-    for j in range(4):
-        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
-        acc += jax.lax.dot_general(
-            x_j,
-            w_j,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-        ).astype(jnp.int32)
+    acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     inv = 1.0 / (sx_ref[:] * sw_ref[0, 0])
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
 
@@ -59,16 +70,7 @@ def _matmul_int_kernel(x_ref, w_ref, o_ref, *, dot_dtype):
     """Exact-integer variant (no rescale): o [TB,TN] int32."""
     k4 = w_ref.shape[0]
     w_bytes = w_ref[:].astype(jnp.int32)
-    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[1]), jnp.int32)
-    for j in range(4):
-        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
-        acc += jax.lax.dot_general(
-            x_j,
-            w_j,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-        ).astype(jnp.int32)
+    acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     o_ref[:] = acc
 
 
@@ -164,16 +166,7 @@ def _matmul_kernel_stacked(l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dt
     del l_ref
     k4 = w_ref.shape[1]
     w_bytes = w_ref[0].astype(jnp.int32)
-    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[2]), jnp.int32)
-    for j in range(4):
-        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
-        acc += jax.lax.dot_general(
-            x_j,
-            w_j,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-        ).astype(jnp.int32)
+    acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     inv = 1.0 / (sx_ref[:] * sw_ref[0, 0])
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
 
@@ -188,16 +181,7 @@ def _matmul_kernel_stacked_rowscale(
     del l_ref
     k4 = w_ref.shape[1]
     w_bytes = w_ref[0].astype(jnp.int32)
-    acc = jnp.zeros((x_ref.shape[0], w_ref.shape[2]), jnp.int32)
-    for j in range(4):
-        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-        x_j = x_ref[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
-        acc += jax.lax.dot_general(
-            x_j,
-            w_j,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-        ).astype(jnp.int32)
+    acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     inv = 1.0 / (sx_ref[:] * sw_ref[0, 0:1, :])  # [TB,1] * [1,TN]
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
 
@@ -321,16 +305,7 @@ def _matmul_kernel_stacked_fused(
     xq = xq_ref[:]
     sx = sx_ref[:]
     w_bytes = w_ref[0].astype(jnp.int32)
-    acc = jnp.zeros((xq.shape[0], w_ref.shape[2]), jnp.int32)
-    for j in range(4):
-        w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-        x_j = xq[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
-        acc += jax.lax.dot_general(
-            x_j,
-            w_j,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-        ).astype(jnp.int32)
+    acc = _planes_dot(xq, w_bytes, dot_dtype)
     inv = 1.0 / (sx * sw_ref[0, 0:1, :])
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
 
@@ -408,6 +383,359 @@ def ternary_matmul_stacked_fused(
     return out[:b].reshape(*lead, n)
 
 
+def _layer_megakernel(
+    s_ref, h_ref, hres_ref, qw_ref, ow_ref, gw_ref, dw_ref,
+    nw1_ref, subw_ref, nw2_ref, ffnw_ref,
+    sq_ref, so_ref, sg_ref, sd_ref, cos_ref, sin_ref, ck_ref, cv_ref,
+    o_ref, ck_out, cv_out,
+    qkv_s, qh_s, h2_s, gu_s, xq_ref, sx_ref, xq2_ref, sx2_ref,
+    xq3_ref, sx3_ref, xq4_ref, sx4_ref,
+    *, dot_dtype, eps, act, norm2, nq, no, ngu, nd,
+    tn_q, tn_o, tn_gu, tn_d, q_dim, n_kv, n_heads, head_dim, inter
+):
+    """An ENTIRE decode layer in one pallas_call (batch-1):
+    norm->quant->qkv->RoPE->cache write(in-place)->GQA attention->
+    sub-norm->quant->o(+residual)->norm->quant->gateup->activation->
+    sub-norm->quant->down(+residual). Stages share one sequential grid;
+    VMEM scratch carries the intermediates. One ~10us kernel launch per
+    layer instead of two (plus everything the fused stages remove)."""
+    g = pl.program_id(1)
+    pos = s_ref[1]
+    k4 = qw_ref.shape[1]
+    q4 = ow_ref.shape[1]
+    i4 = dw_ref.shape[1]
+    D = head_dim
+    G = n_heads // n_kv
+    kvd = n_kv * D
+    s_mlp = nq + no  # first gateup tile / MLP prologue
+    s_down = s_mlp + ngu  # first down tile / activation prologue
+
+    @pl.when(g == 0)
+    def _prologue_qkv():
+        x = h_ref[:]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw1_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g < nq)
+    def _qkv_tile():
+        acc = _planes_dot(xq_ref[:], qw_ref[0].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx_ref[:] * sq_ref[0, 0:1, :])
+        qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(qkv_s.dtype)
+
+    @pl.when(g == nq)
+    def _attention():
+        qkv = qkv_s[:]
+        T = ck_ref.shape[2]
+        cos = cos_ref[0:1, :].astype(qkv.dtype)
+        sin = sin_ref[0:1, :].astype(qkv.dtype)
+        scale = 1.0 / float(np.sqrt(D))
+        ck_out[:] = ck_ref[:]
+        cv_out[:] = cv_ref[:]
+        for kvh in range(n_kv):
+            k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
+            k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
+            ck_out[0, 0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
+            v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
+            cv_out[0, 0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
+        for kvh in range(n_kv):
+            for gg in range(G):
+                off = (kvh * G + gg) * D
+                qh_s[kvh * 8 + gg : kvh * 8 + gg + 1, :] = qkv[0:1, off : off + D]
+        qall = qh_s[:]
+        q_roped = qall * cos + _rotate_half_lanes(qall) * sin
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        mask = key_idx <= pos
+        for kvh in range(n_kv):
+            k_all = ck_out[0, 0, :, kvh, :]
+            v_all = cv_out[0, 0, :, kvh, :]
+            scores = jax.lax.dot_general(
+                q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            scores = jnp.where(mask, scores, -1e30)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
+            outv = jax.lax.dot_general(
+                probs, v_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(qkv.dtype)
+            for gg in range(G):
+                off = (kvh * G + gg) * D
+                qkv_s[0:1, pl.ds(off, D)] = outv[gg : gg + 1, :]
+        x = qkv_s[:, :q_dim]
+        if norm2:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * subw_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx2_ref[:] = sx
+        xq2_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when((g >= nq) & (g < s_mlp))
+    def _o_tile():
+        jo = g - nq
+        acc = _planes_dot(xq2_ref[:], ow_ref[0].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx2_ref[:] * so_ref[0, 0:1, :])
+        d = (acc.astype(jnp.float32) * inv).astype(h2_s.dtype)
+        h2_s[:, pl.ds(jo * tn_o, tn_o)] = hres_ref[:] + d
+
+    @pl.when(g == s_mlp)
+    def _prologue_mlp():
+        x = h2_s[:]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw2_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx3_ref[:] = sx
+        xq3_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when((g >= s_mlp) & (g < s_down))
+    def _gateup_tile():
+        jg = g - s_mlp
+        acc = _planes_dot(xq3_ref[:], gw_ref[0].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx3_ref[:] * sg_ref[0, 0:1, :])
+        gu_s[:, pl.ds(jg * tn_gu, tn_gu)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(gu_s.dtype)
+
+    @pl.when(g == s_down)
+    def _prologue_down():
+        gu = gu_s[:]
+        gate, up = gu[:, :inter], gu[:, inter:]
+        if act == "silu":
+            x = jax.nn.silu(gate) * up
+        else:
+            x = jnp.square(jnp.maximum(gate, jnp.zeros_like(gate))) * up
+        if norm2:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * ffnw_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx4_ref[:] = sx
+        xq4_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g >= s_down)
+    def _down_tile():
+        jd = g - s_down
+        acc = _planes_dot(xq4_ref[:], dw_ref[0].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx4_ref[:] * sd_ref[0, 0:1, :])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:] = h2_s[:, pl.ds(jd * tn_d, tn_d)] + d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "act",
+                     "norm2", "q_dim", "n_kv", "n_heads", "head_dim"),
+)
+def layer_block_megakernel(
+    h: jax.Array,  # [1, H] bf16
+    ck: jax.Array,  # [L, 1, T, KV, D] (updated in place)
+    cv: jax.Array,
+    qkv_qw: jax.Array,  # [L, H//4, Nq]
+    o_qw: jax.Array,  # [L, Q//4, H]
+    gateup_qw: jax.Array,  # [L, H//4, 2I]
+    down_qw: jax.Array,  # [L, I//4, H]
+    layer,
+    pos,
+    qkv_scale_rows: jax.Array,  # [L, 8, Nq]
+    o_scale_rows: jax.Array,  # [L, 8, H]
+    gateup_scale_rows: jax.Array,  # [L, 8, 2I]
+    down_scale_rows: jax.Array,  # [L, 8, H]
+    input_ln_rows: jax.Array,  # [L, 8, H]
+    attn_sub_rows: jax.Array | None,  # [L, 8, Q]
+    post_ln_rows: jax.Array,  # [L, 8, H]
+    ffn_sub_rows: jax.Array | None,  # [L, 8, I]
+    cos_row: jax.Array,  # [8, D]
+    sin_row: jax.Array,
+    *,
+    q_dim: int,
+    n_kv: int,
+    n_heads: int,
+    head_dim: int,
+    eps: float = 1e-5,
+    act: str = "relu2",
+    norm2: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """One pallas_call per decode LAYER. Returns (h', ck, cv); caches
+    aliased in place — thread them as a scan carry."""
+    L, k4, n_q = qkv_qw.shape
+    _, q4, n_h = o_qw.shape
+    _, _, n_gu = gateup_qw.shape
+    _, i4, _ = down_qw.shape
+    k = 4 * k4
+    inter = 4 * i4
+    b = h.shape[0]
+    assert b == 1, "layer megakernel is specialized for batch-1 decode"
+    tb = 8
+    h2 = jnp.pad(h.reshape(b, k), ((0, tb - b), (0, 0)))
+
+    tn_q = _pick_tile_n(n_q)
+    tn_o = _pick_tile_n(n_h)
+    tn_gu = _pick_tile_n(n_gu)
+    tn_d = _pick_tile_n(n_h)
+    # VMEM budget: 4 double-buffered weight streams + 2x2 cache blocks
+    T = ck.shape[2]
+    cache_bytes = 4 * T * n_kv * head_dim * ck.dtype.itemsize
+
+    def _wbytes():
+        return 2 * (k4 * tn_q + q4 * tn_o + k4 * tn_gu + i4 * tn_d)
+
+    while cache_bytes + _wbytes() > 11 * 1024 * 1024:
+        # shrink the largest weight tile to the next candidate down
+        sizes = {"q": k4 * tn_q, "o": q4 * tn_o, "g": k4 * tn_gu, "d": i4 * tn_d}
+        big = max(sizes, key=sizes.get)
+        cur = {"q": tn_q, "o": tn_o, "g": tn_gu, "d": tn_d}[big]
+        if cur <= 128:
+            break
+        smaller = _pick_tile_n_below(
+            {"q": n_q, "o": n_h, "g": n_gu, "d": n_h}[big], cur
+        )
+        if big == "q":
+            tn_q = smaller
+        elif big == "o":
+            tn_o = smaller
+        elif big == "g":
+            tn_gu = smaller
+        else:
+            tn_d = smaller
+    nq, no = n_q // tn_q, n_h // tn_o
+    ngu, nd = n_gu // tn_gu, n_h // tn_d
+
+    scalars = jnp.stack([
+        jnp.asarray(layer, jnp.int32).reshape(()),
+        jnp.asarray(pos, jnp.int32).reshape(()),
+    ])
+    if attn_sub_rows is None:
+        attn_sub_rows = jnp.ones((L, 8, q_dim), jnp.float32)
+    if ffn_sub_rows is None:
+        ffn_sub_rows = jnp.ones((L, 8, inter), jnp.float32)
+
+    s_mlp = nq + no
+    s_down = s_mlp + ngu
+
+    def _c(g, start, n):
+        return jnp.clip(g - start, 0, n - 1)
+
+    cache_spec = pl.BlockSpec(
+        (1, 1, T, n_kv, head_dim), lambda i, g, s: (s[0], 0, 0, 0, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, s_down + nd),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, g, s: (i, 0)),  # h
+            pl.BlockSpec((tb, tn_o), lambda i, g, s: (i, _c(g, nq, no))),  # res
+            pl.BlockSpec(
+                (1, k4, tn_q), lambda i, g, s: (s[0], 0, jnp.minimum(g, nq - 1))
+            ),
+            pl.BlockSpec((1, q4, tn_o), lambda i, g, s: (s[0], 0, _c(g, nq, no))),
+            pl.BlockSpec(
+                (1, k4, tn_gu), lambda i, g, s: (s[0], 0, _c(g, s_mlp, ngu))
+            ),
+            pl.BlockSpec(
+                (1, i4, tn_d), lambda i, g, s: (s[0], 0, _c(g, s_down, nd))
+            ),
+            pl.BlockSpec((1, 8, k), lambda i, g, s: (s[0], 0, 0)),  # input_ln
+            pl.BlockSpec((1, 8, q_dim), lambda i, g, s: (s[0], 0, 0)),  # attn_sub
+            pl.BlockSpec((1, 8, k), lambda i, g, s: (s[0], 0, 0)),  # post_ln
+            pl.BlockSpec((1, 8, inter), lambda i, g, s: (s[0], 0, 0)),  # ffn_sub
+            pl.BlockSpec(
+                (1, 8, tn_q), lambda i, g, s: (s[0], 0, jnp.minimum(g, nq - 1))
+            ),
+            pl.BlockSpec((1, 8, tn_o), lambda i, g, s: (s[0], 0, _c(g, nq, no))),
+            pl.BlockSpec(
+                (1, 8, tn_gu), lambda i, g, s: (s[0], 0, _c(g, s_mlp, ngu))
+            ),
+            pl.BlockSpec(
+                (1, 8, tn_d), lambda i, g, s: (s[0], 0, _c(g, s_down, nd))
+            ),
+            pl.BlockSpec((8, head_dim), lambda i, g, s: (0, 0)),  # cos
+            pl.BlockSpec((8, head_dim), lambda i, g, s: (0, 0)),  # sin
+            cache_spec,
+            cache_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, tn_d), lambda i, g, s: (i, _c(g, s_down, nd))),
+            cache_spec,
+            cache_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, n_q), jnp.bfloat16),  # qkv / attn out
+            pltpu.VMEM((n_kv * 8, head_dim), jnp.bfloat16),  # packed q heads
+            pltpu.VMEM((tb, k), jnp.bfloat16),  # h after attention
+            pltpu.VMEM((tb, n_gu), jnp.bfloat16),  # gu
+            pltpu.VMEM((tb, k), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, q_dim), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, k), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, inter), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
+    )
+    out, ck2, cv2 = pl.pallas_call(
+        functools.partial(
+            _layer_megakernel,
+            dot_dtype=dot_dtype, eps=eps, act=act, norm2=norm2,
+            nq=nq, no=no, ngu=ngu, nd=nd,
+            tn_q=tn_q, tn_o=tn_o, tn_gu=tn_gu, tn_d=tn_d,
+            q_dim=q_dim, n_kv=n_kv, n_heads=n_heads, head_dim=head_dim,
+            inter=inter,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tb, n_h), out_dtype),
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+        ],
+        input_output_aliases={17: 1, 18: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tb * k * (n_q + n_gu) + 2 * tb * (q_dim + inter) * n_h
+            + 4 * n_heads * head_dim * T,
+            bytes_accessed=(k4 * n_q + q4 * n_h + k4 * n_gu + i4 * n_h)
+            + 4 * T * n_kv * head_dim,
+            transcendentals=n_heads * T,
+        ),
+        interpret=interpret,
+    )(scalars, h2, h2, qkv_qw, o_qw, gateup_qw, down_qw,
+      input_ln_rows.astype(jnp.float32), attn_sub_rows.astype(jnp.float32),
+      post_ln_rows.astype(jnp.float32), ffn_sub_rows.astype(jnp.float32),
+      qkv_scale_rows.astype(jnp.float32), o_scale_rows.astype(jnp.float32),
+      gateup_scale_rows.astype(jnp.float32),
+      down_scale_rows.astype(jnp.float32),
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32), ck, cv)
+    return out[:b], ck2, cv2
+
+
+def _pick_tile_n_below(n: int, cur: int) -> int:
+    for cand in (1792, 1536, 1280, 1024, 768, 512, 384, 256, 128):
+        if cand < cur and n % cand == 0:
+            return cand
+    return 128
+
+
 def _mlp_megakernel(
     l_ref, h_ref, hres_ref, gw_ref, dw_ref, nw1_ref, nw2_ref, sw1_ref,
     sw2_ref, o_ref, gu_ref, xq_ref, sx_ref, xq2_ref, sx2_ref,
@@ -446,15 +774,7 @@ def _mlp_megakernel(
     def _gateup_tile():
         xq = xq_ref[:]
         w_bytes = gw_ref[0].astype(jnp.int32)
-        acc = jnp.zeros((xq.shape[0], tn_gu), jnp.int32)
-        for j in range(4):
-            w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-            x_j = xq[:, j * k4 : (j + 1) * k4].astype(dot_dtype)
-            acc += jax.lax.dot_general(
-                x_j, w_j,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-            ).astype(jnp.int32)
+        acc = _planes_dot(xq, w_bytes, dot_dtype)
         inv = 1.0 / (sx_ref[:] * sw1_ref[0, 0:1, :])
         gu_ref[:, pl.ds(g * tn_gu, tn_gu)] = (
             acc.astype(jnp.float32) * inv
@@ -485,22 +805,273 @@ def _mlp_megakernel(
     def _down_tile():
         xq = xq2_ref[:]
         w_bytes = dw_ref[0].astype(jnp.int32)
-        acc = jnp.zeros((xq.shape[0], tn_d), jnp.int32)
-        for j in range(4):
-            w_j = (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype)
-            x_j = xq[:, j * i4 : (j + 1) * i4].astype(dot_dtype)
-            acc += jax.lax.dot_general(
-                x_j, w_j,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32 if dot_dtype == jnp.int8 else jnp.float32,
-            ).astype(jnp.int32)
+        acc = _planes_dot(xq, w_bytes, dot_dtype)
         inv = 1.0 / (sx2_ref[:] * sw2_ref[0, 0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
         o_ref[:] = hres_ref[:] + d
 
 
-def _pick_tile_n(n: int, want: int = 512) -> int:
-    for cand in (want, 512, 256, 128):
+def _rotate_half_lanes(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+
+
+def _attn_megakernel(
+    s_ref, h_ref, hres_ref, qw_ref, ow_ref, nw_ref, subw_ref, sq_ref,
+    so_ref, cos_ref, sin_ref, ck_ref, cv_ref,
+    o_ref, ck_out, cv_out,
+    qkv_s, qh_s, xq_ref, sx_ref, xq2_ref, sx2_ref,
+    *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, q_dim, n_kv, n_heads, head_dim
+):
+    """Whole attention block in ONE pallas_call (batch-1 decode):
+    norm+quant -> qkv dot -> RoPE -> in-place KV cache row write ->
+    GQA attention over the full (static-T) cache -> attn sub-norm ->
+    quant -> o dot -> +residual.
+
+    The cache [L,1,T,KV,D] is an ALIASED operand selected by the
+    prefetched layer index — the layer scan neither slices nor stacks
+    it (the per-layer dynamic-slice/update-slice copies disappear along
+    with ~8 XLA launches per layer).
+    """
+    g = pl.program_id(1)
+    pos = s_ref[1]
+    k4 = qw_ref.shape[1]
+    q4 = ow_ref.shape[1]
+    D = head_dim
+    G = n_heads // n_kv
+    kvd = n_kv * D
+
+    @pl.when(g == 0)
+    def _prologue():
+        x = h_ref[:]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g < nq)
+    def _qkv_tile():
+        xq = xq_ref[:]
+        w_bytes = qw_ref[0].astype(jnp.int32)
+        acc = _planes_dot(xq, w_bytes, dot_dtype)
+        inv = 1.0 / (sx_ref[:] * sq_ref[0, 0:1, :])
+        qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(qkv_s.dtype)
+
+    @pl.when(g == nq)
+    def _attention():
+        qkv = qkv_s[:]  # [tb, Nq] bf16
+        tb = qkv.shape[0]
+        T = ck_ref.shape[2]
+        cos = cos_ref[0:1, :].astype(qkv.dtype)  # [1, D]
+        sin = sin_ref[0:1, :].astype(qkv.dtype)
+        scale = 1.0 / float(np.sqrt(D))
+
+        # the aliased out block is VMEM-pipelined: fill it with the input
+        # cache content first, else the end-of-call DMA would clobber
+        # history with uninitialized VMEM
+        ck_out[:] = ck_ref[:]
+        cv_out[:] = cv_ref[:]
+
+        # write roped-k and v rows for the new token (row 0 is the real
+        # batch row), in place
+        for kvh in range(n_kv):
+            k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
+            k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
+            ck_out[0, 0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
+            v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
+            cv_out[0, 0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
+
+        # pack the G query heads of each KV head into sublanes of one
+        # [KV*8, D] scratch: attention then needs KV score-dots + KV
+        # out-dots + ONE rope instead of per-head ops (the fixed cost
+        # per tiny MXU/VPU op dominates at batch 1)
+        for kvh in range(n_kv):
+            for gg in range(G):
+                off = (kvh * G + gg) * D
+                qh_s[kvh * 8 + gg : kvh * 8 + gg + 1, :] = qkv[0:1, off : off + D]
+        qall = qh_s[:]
+        q_roped = qall * cos + _rotate_half_lanes(qall) * sin
+
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        mask = key_idx <= pos  # [1, T]
+        for kvh in range(n_kv):
+            k_all = ck_out[0, 0, :, kvh, :]  # [T, D] (includes new token)
+            v_all = cv_out[0, 0, :, kvh, :]
+            scores = jax.lax.dot_general(
+                q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [8, T] (rows 0..G-1 real)
+            scores = jnp.where(mask, scores, -1e30)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
+            out = jax.lax.dot_general(
+                probs, v_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(qkv.dtype)  # [8, D]
+            for gg in range(G):
+                off = (kvh * G + gg) * D
+                qkv_s[0:1, pl.ds(off, D)] = out[gg : gg + 1, :]
+
+        x = qkv_s[:, :q_dim]
+        if norm2:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * subw_ref[0, 0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx2_ref[:] = sx
+        xq2_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g >= nq)
+    def _o_tile():
+        xq = xq2_ref[:]
+        w_bytes = ow_ref[0].astype(jnp.int32)
+        acc = _planes_dot(xq, w_bytes, dot_dtype)
+        inv = 1.0 / (sx2_ref[:] * so_ref[0, 0:1, :])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:] = hres_ref[:] + d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "norm2",
+                     "q_dim", "n_kv", "n_heads", "head_dim"),
+)
+def attn_block_megakernel(
+    h: jax.Array,  # [1, H] bf16
+    ck: jax.Array,  # [L, 1, T, KV, D] bf16 (updated IN PLACE via aliasing)
+    cv: jax.Array,  # [L, 1, T, KV, D]
+    qkv_qw: jax.Array,  # [L, H//4, Nq] uint8 (fused q++k++v)
+    o_qw: jax.Array,  # [L, Q//4, H] uint8
+    layer,
+    pos,  # int32 scalar — write/mask position
+    qkv_scale_rows: jax.Array,  # [L, 8, Nq] f32
+    o_scale_rows: jax.Array,  # [L, 8, H] f32
+    input_ln_rows: jax.Array,  # [L, 8, H]
+    attn_sub_rows: jax.Array | None,  # [L, 8, Q]
+    cos_row: jax.Array,  # [8, D] f32 (current position)
+    sin_row: jax.Array,
+    *,
+    q_dim: int,
+    n_kv: int,
+    n_heads: int,
+    head_dim: int,
+    eps: float = 1e-5,
+    norm2: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """Residual attention block as ONE kernel (batch-1 decode step).
+
+    Returns (h', ck, cv) with the caches updated in place (donated/
+    aliased) — the caller must thread them as a scan carry and not use
+    the originals again.
+    """
+    L, k4, n_q = qkv_qw.shape
+    _, q4, n_h = o_qw.shape
+    k = 4 * k4
+    assert n_q == q_dim + 2 * n_kv * head_dim and n_h == k
+    b = h.shape[0]
+    assert b == 1, "attn megakernel is specialized for batch-1 decode"
+    tb = 8
+    h2 = jnp.pad(h.reshape(b, k), ((0, tb - b), (0, 0)))
+
+    tn_q = _pick_tile_n(n_q)
+    tn_o = _pick_tile_n(n_h)
+    nq = n_q // tn_q
+    no = n_h // tn_o
+    T = ck.shape[2]
+
+    scalars = jnp.stack(
+        [jnp.asarray(layer, jnp.int32).reshape(()), jnp.asarray(pos, jnp.int32).reshape(())]
+    )
+    if attn_sub_rows is None:
+        attn_sub_rows = jnp.ones((L, 8, q_dim), jnp.float32)
+
+    def _clip_o(g):
+        return jnp.clip(g - nq, 0, no - 1)
+
+    cache_spec = pl.BlockSpec(
+        (1, 1, T, n_kv, head_dim), lambda i, g, s: (s[0], 0, 0, 0, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, nq + no),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, g, s: (i, 0)),  # h
+            pl.BlockSpec((tb, tn_o), lambda i, g, s: (i, _clip_o(g))),  # residual
+            pl.BlockSpec(
+                (1, k4, tn_q), lambda i, g, s: (s[0], 0, jnp.minimum(g, nq - 1))
+            ),
+            pl.BlockSpec((1, q4, tn_o), lambda i, g, s: (s[0], 0, _clip_o(g))),
+            pl.BlockSpec((1, 8, k), lambda i, g, s: (s[0], 0, 0)),  # input_ln
+            pl.BlockSpec((1, 8, q_dim), lambda i, g, s: (s[0], 0, 0)),  # attn_sub
+            pl.BlockSpec(
+                (1, 8, tn_q), lambda i, g, s: (s[0], 0, jnp.minimum(g, nq - 1))
+            ),
+            pl.BlockSpec((1, 8, tn_o), lambda i, g, s: (s[0], 0, _clip_o(g))),
+            pl.BlockSpec((8, head_dim), lambda i, g, s: (0, 0)),  # cos
+            pl.BlockSpec((8, head_dim), lambda i, g, s: (0, 0)),  # sin
+            cache_spec,  # ck
+            cache_spec,  # cv
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, tn_o), lambda i, g, s: (i, _clip_o(g))),
+            cache_spec,
+            cache_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, n_q), jnp.bfloat16),  # qkv row (attn out reuses cols)
+            pltpu.VMEM((n_kv * 8, head_dim), jnp.bfloat16),  # packed q heads
+            pltpu.VMEM((tb, k), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, q_dim), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
+    )
+    out, ck2, cv2 = pl.pallas_call(
+        functools.partial(
+            _attn_megakernel,
+            dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
+            tn_q=tn_q, tn_o=tn_o, q_dim=q_dim, n_kv=n_kv,
+            n_heads=n_heads, head_dim=head_dim,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tb, n_h), out_dtype),
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+        ],
+        input_output_aliases={11: 1, 12: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tb * k * n_q + 2 * tb * q_dim * n_h
+            + 4 * n_heads * head_dim * T,
+            bytes_accessed=k4 * n_q + q4 * n_h + 4 * T * n_kv * head_dim,
+            transcendentals=n_heads * T,
+        ),
+        interpret=interpret,
+    )(scalars, h2, h2, qkv_qw, o_qw,
+      input_ln_rows.astype(jnp.float32), attn_sub_rows.astype(jnp.float32),
+      qkv_scale_rows.astype(jnp.float32), o_scale_rows.astype(jnp.float32),
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32), ck, cv)
+    return out[:b], ck2, cv2
+
+
+def _pick_tile_n(n: int, want: int = 1792) -> int:
+    # larger tiles -> fewer grid iterations; per-iteration fixed cost is
+    # first-order at batch-1 decode
+    for cand in (want, 1792, 1536, 1280, 1024, 768, 512, 384, 256, 128):
         if n % cand == 0:
             return cand
     return n
@@ -688,10 +1259,44 @@ def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False,
             dot_dtype=dot_dtype, interpret=interpret,
         )
 
+    def attn_mega_fn(h, ck, cv, qkv_qw, o_qw, layer, pos, qkv_scale_rows,
+                     o_scale_rows, input_ln_rows, attn_sub_rows, cos_row,
+                     sin_row, *, q_dim, n_kv, n_heads, head_dim,
+                     eps=1e-5, norm2=True):
+        return attn_block_megakernel(
+            h, ck, cv, qkv_qw, o_qw, layer, pos, qkv_scale_rows,
+            o_scale_rows, input_ln_rows, attn_sub_rows, cos_row, sin_row,
+            q_dim=q_dim, n_kv=n_kv, n_heads=n_heads, head_dim=head_dim,
+            eps=eps, norm2=norm2, dot_dtype=dot_dtype, interpret=interpret,
+        )
+
+    def layer_mega_fn(h, ck, cv, qkv_qw, o_qw, gateup_qw, down_qw, layer,
+                      pos, qkv_scale_rows, o_scale_rows, gateup_scale_rows,
+                      down_scale_rows, input_ln_rows, attn_sub_rows,
+                      post_ln_rows, ffn_sub_rows, cos_row, sin_row, *,
+                      q_dim, n_kv, n_heads, head_dim, eps=1e-5,
+                      act="relu2", norm2=True):
+        return layer_block_megakernel(
+            h, ck, cv, qkv_qw, o_qw, gateup_qw, down_qw, layer, pos,
+            qkv_scale_rows, o_scale_rows, gateup_scale_rows,
+            down_scale_rows, input_ln_rows, attn_sub_rows, post_ln_rows,
+            ffn_sub_rows, cos_row, sin_row,
+            q_dim=q_dim, n_kv=n_kv, n_heads=n_heads, head_dim=head_dim,
+            eps=eps, act=act, norm2=norm2,
+            dot_dtype=dot_dtype, interpret=interpret,
+        )
+
     linear_fn.stacked = True
     linear_fn.prologue = True
     if mega:
         linear_fn.mlp_mega = mlp_mega_fn
+        if os.environ.get("WF_ATTN_MEGA", "1") == "1":
+            linear_fn.attn_mega = attn_mega_fn
+            # measured SLOWER than the attn+mlp pair on v5e (4.18 vs
+            # 3.56 ms/token — 4 concurrent weight streams overflow VMEM
+            # double-buffering); keep opt-in for future tuning
+            if os.environ.get("WF_LAYER_MEGA", "0") == "1":
+                linear_fn.layer_mega = layer_mega_fn
     return linear_fn
 
 
