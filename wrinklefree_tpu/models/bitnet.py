@@ -431,7 +431,10 @@ def forward(
             attn = _attention(q, ck, cv, positions, cfg, attn_sparsity)
             attn = attn.reshape(B, S, -1)
             h = h + plf(attn, "o", l, "attn_sub" if cfg.sub_norms else None)
-            mega = getattr(lf, "mlp_mega", None)
+            # the two-stage mega MLP wins at batch-1 (one launch) but
+            # loses at serving batch (its serialized grid blocks the
+            # overlap two separate kernels get): gate by row count
+            mega = getattr(lf, "mlp_mega", None) if B * S <= 8 else None
             mlp_act = "silu" if cfg.mlp_act == "silu" else "relu2"
             if mega is not None:
                 inter = stack["down_qw"].shape[1] * 4

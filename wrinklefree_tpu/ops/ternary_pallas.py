@@ -289,7 +289,7 @@ def _matmul_kernel_stacked_fused(
         elif act == "silu":
             half = h.shape[1] // 2
             g, u = h[:, :half], h[:, half:]
-            x = jax.nn.silu(g) * u
+            x = _silu_mul(g, u)
         else:
             x = h
         if norm:
@@ -518,7 +518,7 @@ def _layer_megakernel(
         gu = gu_s[:]
         gate, up = gu[:, :inter], gu[:, inter:]
         if act == "silu":
-            x = jax.nn.silu(gate) * up
+            x = _silu_mul(gate, up)
         else:
             x = jnp.square(jnp.maximum(gate, jnp.zeros_like(gate))) * up
         if norm2:
@@ -787,7 +787,7 @@ def _mlp_megakernel(
         gu = gu_ref[:]
         gate, up = gu[:, :inter], gu[:, inter:]
         if act == "silu":
-            x = jax.nn.silu(gate) * up
+            x = _silu_mul(gate, up)
         else:
             x = jnp.square(jnp.maximum(gate, jnp.zeros_like(gate))) * up
         if norm2:
@@ -809,6 +809,14 @@ def _mlp_megakernel(
         inv = 1.0 / (sx2_ref[:] * sw2_ref[0, 0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
         o_ref[:] = hres_ref[:] + d
+
+
+def _silu_mul(gate, up):
+    """silu(gate) * up with the sigmoid computed explicitly in f32 —
+    jax.nn.silu on bf16 vectors trips a Mosaic verification bug
+    (f32 scalar broadcast into a bf16 vector) on large tiles."""
+    gf = gate.astype(jnp.float32)
+    return ((gf * jax.lax.logistic(gf)).astype(gate.dtype)) * up
 
 
 def _rotate_half_lanes(x):
