@@ -80,6 +80,18 @@ def main():
         from wrinklefree_tpu.models.bitnet import fuse_projections
 
         params = fuse_projections(params, cfg)  # 7 -> 4 kernel calls/layer
+        if (
+            getattr(linear_fn, "attn_mega_static", None) is not None
+            and batch == 1
+            and os.environ.get("WF_BENCH_SPLIT", "0") == "1"
+        ):
+            # unrolled-layer decode (pre-split weights, static index
+            # maps). Measured NEUTRAL vs the scan path on v5e (the
+            # prefetch latency overlaps inside the big kernels) at 5x
+            # the compile time -> default off
+            from wrinklefree_tpu.models.bitnet import split_layers_for_decode
+
+            params = split_layers_for_decode(params, cfg)
     params = jax.device_put(params)
     init_s = time.perf_counter() - t0
     log(f"params ready in {init_s:.1f}s; compiling prefill...")

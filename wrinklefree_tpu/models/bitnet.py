@@ -253,6 +253,53 @@ def fuse_projections(params, cfg: BitNetConfig):
     return {**params, "layers": layers}
 
 
+def split_layers_for_decode(params, cfg: BitNetConfig):
+    """Pre-split the stacked per-layer arrays into per-layer entries for
+    the UNROLLED megakernel decode path.
+
+    Why: the stacked kernels select their layer via a scalar-prefetch
+    grid spec, which costs ~8-10 us PER CALL on v5e (scripts/
+    kernel_lab8.py) — with 2 calls x 30 layers that was ~0.5 ms/token.
+    Unrolling the layer loop over pre-split weights makes every index
+    map static (one Mosaic kernel, 30 call sites, no prefetch). The
+    split duplicates the packed weights once (~0.5 GB for the 2B model).
+
+    Requires fuse_projections() applied. Adds params["layers_split"].
+    """
+    stack = params["layers"]
+    if "qkv_qw" not in stack or "gateup_qw" not in stack:
+        raise ValueError("split_layers_for_decode requires fuse_projections")
+    L = jax.tree.leaves(stack)[0].shape[0]
+    H, Q, I = cfg.hidden_size, cfg.q_dim, cfg.intermediate_size
+
+    def rows(a, n):
+        return jnp.broadcast_to(
+            a.astype(jnp.float32).reshape(1, -1)[:, :n], (8, n)
+        )
+
+    split = []
+    for l in range(L):
+        e = {
+            "qkv_qw": stack["qkv_qw"][l],
+            "o_qw": stack["o_qw"][l],
+            "gateup_qw": stack["gateup_qw"][l],
+            "down_qw": stack["down_qw"][l],
+            "qkv_scale": stack["qkv_scale"][l].astype(jnp.float32),
+            "gateup_scale": stack["gateup_scale"][l].astype(jnp.float32),
+            "o_scale": rows(stack["o_scale"][l] * jnp.ones((H,)), H),
+            "down_scale": rows(stack["down_scale"][l] * jnp.ones((H,)), H),
+            "input_ln": rows(stack["input_ln"][l], H),
+            "post_ln": rows(stack["post_ln"][l], H),
+        }
+        if cfg.sub_norms:
+            e["attn_sub"] = rows(stack["attn_sub"][l], Q)
+            e["ffn_sub"] = rows(stack["ffn_sub"][l], I)
+        split.append(e)
+    out = dict(params)
+    out["layers_split"] = tuple(split)
+    return out
+
+
 def compute_logits(hidden, params, cfg: BitNetConfig):
     """hidden [..., H] -> logits [..., V] f32 (int8 head when present)."""
     if "lm_head_q" in params:
@@ -573,6 +620,39 @@ def forward(
         sin8 = jnp.broadcast_to(sin.reshape(1, D), (8, D))
         pos0 = start_pos[0]
         mlp_act = "silu" if cfg.mlp_act == "silu" else "relu2"
+
+        split = params.get("layers_split")
+        attn_static = getattr(lf, "attn_mega_static", None)
+        mlp_static = getattr(lf, "mlp_mega_static", None)
+        if split is not None and attn_static is not None and mlp_static is not None:
+            # UNROLLED layer loop over pre-split weights: static index
+            # maps, no scalar-prefetch (~8-10 us/call cheaper, lab8).
+            h2 = hidden.reshape(B, -1)
+            ck_ls, cv_ls = [], []
+            for l in range(L):
+                sl = split[l]
+                h2, ck_l, cv_l = attn_static(
+                    h2, cache.k[l], cache.v[l], sl["qkv_qw"], sl["o_qw"],
+                    pos0, sl["qkv_scale"], sl["o_scale"], sl["input_ln"],
+                    sl.get("attn_sub"), cos8, sin8,
+                    q_dim=Q, n_kv=cfg.num_kv_heads, n_heads=cfg.num_heads,
+                    head_dim=D, eps=cfg.rms_norm_eps, norm2=cfg.sub_norms,
+                )
+                h2 = mlp_static(
+                    h2, sl["gateup_qw"], sl["down_qw"], sl["gateup_scale"],
+                    sl["down_scale"], sl["post_ln"], sl.get("ffn_sub"),
+                    eps=cfg.rms_norm_eps, act=mlp_act, norm2=cfg.sub_norms,
+                )
+                ck_ls.append(ck_l)
+                cv_ls.append(cv_l)
+            hidden = h2.reshape(B, S, -1)
+            new_k = jnp.stack(ck_ls)
+            new_v = jnp.stack(cv_ls)
+            hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+            if not logits_all:
+                hidden = hidden[:, -1]
+            logits = compute_logits(hidden, params, cfg)
+            return logits, KVCache(new_k, new_v)
 
         layer_mega = getattr(lf, "layer_mega", None)
 

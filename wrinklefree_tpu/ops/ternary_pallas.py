@@ -1076,6 +1076,351 @@ def attn_block_megakernel(
     return out[:b], ck2, cv2
 
 
+def _attn_megakernel_static(
+    pos_ref, h_ref, hres_ref, qw_ref, ow_ref, nw_ref, subw_ref, sq_ref,
+    so_ref, cos_ref, sin_ref, ck_ref, cv_ref,
+    o_ref, ck_out, cv_out,
+    qkv_s, qh_s, xq_ref, sx_ref, xq2_ref, sx2_ref,
+    *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, q_dim, n_kv, n_heads,
+    head_dim
+):
+    """attn_block megakernel WITHOUT scalar-prefetch: the layer loop is
+    unrolled with pre-split per-layer operands, so every index map is
+    static. Lab 8: PrefetchScalarGridSpec costs ~8-10 us per call —
+    that was a third of the whole attention block."""
+    g = pl.program_id(1)
+    pos = pos_ref[0]
+    D = head_dim
+    G = n_heads // n_kv
+    kvd = n_kv * D
+
+    @pl.when(g == 0)
+    def _prologue():
+        x = h_ref[:]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw_ref[0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g < nq)
+    def _qkv_tile():
+        acc = _planes_dot(xq_ref[:], qw_ref[:].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx_ref[:] * sq_ref[0:1, :])
+        qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(qkv_s.dtype)
+
+    @pl.when(g == nq)
+    def _attention():
+        qkv = qkv_s[:]
+        T = ck_ref.shape[1]
+        cos = cos_ref[0:1, :].astype(qkv.dtype)
+        sin = sin_ref[0:1, :].astype(qkv.dtype)
+        scale = 1.0 / float(np.sqrt(D))
+        ck_out[:] = ck_ref[:]
+        cv_out[:] = cv_ref[:]
+        for kvh in range(n_kv):
+            k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
+            k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
+            ck_out[0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
+            v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
+            cv_out[0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
+        for kvh in range(n_kv):
+            for gg in range(G):
+                off = (kvh * G + gg) * D
+                qh_s[kvh * 8 + gg : kvh * 8 + gg + 1, :] = qkv[0:1, off : off + D]
+        qall = qh_s[:]
+        q_roped = qall * cos + _rotate_half_lanes(qall) * sin
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        mask = key_idx <= pos
+        for kvh in range(n_kv):
+            k_all = ck_out[0, :, kvh, :]
+            v_all = cv_out[0, :, kvh, :]
+            scores = jax.lax.dot_general(
+                q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            scores = jnp.where(mask, scores, -1e30)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
+            outv = jax.lax.dot_general(
+                probs, v_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(qkv.dtype)
+            for gg in range(G):
+                off = (kvh * G + gg) * D
+                qkv_s[0:1, pl.ds(off, D)] = outv[gg : gg + 1, :]
+        x = qkv_s[:, :q_dim]
+        if norm2:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * subw_ref[0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx2_ref[:] = sx
+        xq2_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g >= nq)
+    def _o_tile():
+        acc = _planes_dot(xq2_ref[:], ow_ref[:].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx2_ref[:] * so_ref[0:1, :])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:] = hres_ref[:] + d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "norm2",
+                     "q_dim", "n_kv", "n_heads", "head_dim"),
+)
+def attn_block_megakernel_static(
+    h: jax.Array,  # [1, H]
+    ck_l: jax.Array,  # [1, T, KV, D] — THIS layer's cache slice
+    cv_l: jax.Array,
+    qkv_qw_l: jax.Array,  # [H//4, Nq]
+    o_qw_l: jax.Array,  # [Q//4, H]
+    pos,  # int32 scalar
+    qkv_scale_l: jax.Array,  # [8, Nq]
+    o_scale_l: jax.Array,  # [8, H]
+    input_ln_l: jax.Array,  # [8, H]
+    attn_sub_l: jax.Array | None,  # [8, Q]
+    cos_row: jax.Array,  # [8, D]
+    sin_row: jax.Array,
+    *,
+    q_dim: int,
+    n_kv: int,
+    n_heads: int,
+    head_dim: int,
+    eps: float = 1e-5,
+    norm2: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """Unrolled-layer attention block: returns (h', ck_l', cv_l')."""
+    k4, n_q = qkv_qw_l.shape
+    q4, n_h = o_qw_l.shape
+    k = 4 * k4
+    b = h.shape[0]
+    assert b == 1
+    tb = 8
+    h2 = jnp.pad(h.reshape(b, k), ((0, tb - b), (0, 0)))
+    tn_q = _pick_tile_n(n_q)
+    tn_o = _pick_tile_n(n_h)
+    nq, no = n_q // tn_q, n_h // tn_o
+    T = ck_l.shape[1]
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if attn_sub_l is None:
+        attn_sub_l = jnp.ones((8, q_dim), jnp.float32)
+
+    def _co(g):
+        return jnp.clip(g - nq, 0, no - 1)
+
+    cache_spec = pl.BlockSpec(
+        (1, T, n_kv, head_dim), lambda i, g: (0, 0, 0, 0)
+    )
+    out, ck2, cv2 = pl.pallas_call(
+        functools.partial(
+            _attn_megakernel_static,
+            dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
+            tn_q=tn_q, tn_o=tn_o, q_dim=q_dim, n_kv=n_kv,
+            n_heads=n_heads, head_dim=head_dim,
+        ),
+        grid=(1, nq + no),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
+            pl.BlockSpec((tb, k), lambda i, g: (i, 0)),
+            pl.BlockSpec((tb, tn_o), lambda i, g: (i, _co(g))),
+            pl.BlockSpec((k4, tn_q), lambda i, g: (0, jnp.minimum(g, nq - 1))),
+            pl.BlockSpec((q4, tn_o), lambda i, g: (0, _co(g))),
+            pl.BlockSpec((8, k), lambda i, g: (0, 0)),
+            pl.BlockSpec((8, q_dim), lambda i, g: (0, 0)),
+            pl.BlockSpec((8, tn_q), lambda i, g: (0, jnp.minimum(g, nq - 1))),
+            pl.BlockSpec((8, tn_o), lambda i, g: (0, _co(g))),
+            pl.BlockSpec((8, head_dim), lambda i, g: (0, 0)),
+            pl.BlockSpec((8, head_dim), lambda i, g: (0, 0)),
+            cache_spec,
+            cache_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, tn_o), lambda i, g: (i, _co(g))),
+            cache_spec,
+            cache_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tb, n_h), out_dtype),
+            jax.ShapeDtypeStruct(ck_l.shape, ck_l.dtype),
+            jax.ShapeDtypeStruct(cv_l.shape, cv_l.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, n_q), jnp.bfloat16),
+            pltpu.VMEM((n_kv * 8, head_dim), jnp.bfloat16),
+            pltpu.VMEM((tb, k), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, q_dim), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tb * k * n_q + 2 * tb * q_dim * n_h
+            + 4 * n_heads * head_dim * T,
+            bytes_accessed=k4 * n_q + q4 * n_h + 4 * T * n_kv * head_dim,
+            transcendentals=n_heads * T,
+        ),
+        interpret=interpret,
+    )(pos_arr, h2, h2, qkv_qw_l, o_qw_l,
+      input_ln_l.astype(jnp.float32), attn_sub_l.astype(jnp.float32),
+      qkv_scale_l.astype(jnp.float32), o_scale_l.astype(jnp.float32),
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32), ck_l, cv_l)
+    return out[:b], ck2, cv2
+
+
+def _mlp_megakernel_static(
+    h_ref, hres_ref, gw_ref, dw_ref, nw1_ref, nw2_ref, sw1_ref, sw2_ref,
+    o_ref, gu_ref, xq_ref, sx_ref, xq2_ref, sx2_ref,
+    *, dot_dtype, eps, act, norm2, ngu, nd, tn_gu, tn_d, inter
+):
+    """MLP megakernel without scalar-prefetch (pre-split weights)."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _prologue_a():
+        x = h_ref[:]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw1_ref[0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g < ngu)
+    def _gateup_tile():
+        acc = _planes_dot(xq_ref[:], gw_ref[:].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx_ref[:] * sw1_ref[0:1, :])
+        gu_ref[:, pl.ds(g * tn_gu, tn_gu)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(gu_ref.dtype)
+
+    @pl.when(g == ngu)
+    def _prologue_b():
+        gu = gu_ref[:]
+        gate, up = gu[:, :inter], gu[:, inter:]
+        if act == "silu":
+            x = _silu_mul(gate, up)
+        else:
+            x = jnp.square(jnp.maximum(gate, jnp.zeros_like(gate))) * up
+        if norm2:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * nw2_ref[0:1, :].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+        sx = 127.0 / absmax
+        sx2_ref[:] = sx
+        xq2_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    @pl.when(g >= ngu)
+    def _down_tile():
+        acc = _planes_dot(xq2_ref[:], dw_ref[:].astype(jnp.int32), dot_dtype)
+        inv = 1.0 / (sx2_ref[:] * sw2_ref[0:1, :])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:] = hres_ref[:] + d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "act",
+                     "norm2"),
+)
+def mlp_block_megakernel_static(
+    h: jax.Array,  # [..., H]
+    gateup_qw_l: jax.Array,  # [H//4, 2I]
+    down_qw_l: jax.Array,  # [I//4, H]
+    gateup_scale_l: jax.Array,  # [8, 2I]
+    down_scale_l: jax.Array,  # [8, H]
+    post_ln_l: jax.Array,  # [8, H]
+    ffn_sub_l: jax.Array | None,  # [8, I]
+    *,
+    eps: float = 1e-5,
+    act: str = "relu2",
+    norm2: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jax.Array:
+    k4, n_gu = gateup_qw_l.shape
+    i4, n_h = down_qw_l.shape
+    k = 4 * k4
+    inter = 4 * i4
+    lead = h.shape[:-1]
+    h2 = h.reshape(-1, k)
+    b = h2.shape[0]
+    tn_gu = _pick_tile_n(n_gu)
+    tn_d = _pick_tile_n(n_h)
+    ngu, nd = n_gu // tn_gu, n_h // tn_d
+    tb = min(_round_up(b, 8) if b <= 8 else _round_up(b, 32), 256)
+    while tb > 32 and (
+        tb * k * 2 * 2 + tb * n_gu * 2 + tb * k + tb * inter
+        + 2 * (k4 * tn_gu + i4 * tn_d) + tb * tn_d * 4
+        > 10 * 1024 * 1024
+    ):
+        tb //= 2
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        h2 = jnp.pad(h2, ((0, b_pad - b), (0, 0)))
+    if ffn_sub_l is None:
+        ffn_sub_l = jnp.ones((8, inter), jnp.float32)
+
+    def _cd(g):
+        return jnp.clip(g - ngu, 0, nd - 1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_megakernel_static,
+            dot_dtype=dot_dtype, eps=eps, act=act, norm2=norm2,
+            ngu=ngu, nd=nd, tn_gu=tn_gu, tn_d=tn_d, inter=inter,
+        ),
+        grid=(b_pad // tb, ngu + nd),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda i, g: (i, 0)),
+            pl.BlockSpec((tb, tn_d), lambda i, g: (i, _cd(g))),
+            pl.BlockSpec((k4, tn_gu), lambda i, g: (0, jnp.minimum(g, ngu - 1))),
+            pl.BlockSpec((i4, tn_d), lambda i, g: (0, _cd(g))),
+            pl.BlockSpec((8, k), lambda i, g: (0, 0)),
+            pl.BlockSpec((8, inter), lambda i, g: (0, 0)),
+            pl.BlockSpec((8, tn_gu), lambda i, g: (0, jnp.minimum(g, ngu - 1))),
+            pl.BlockSpec((8, tn_d), lambda i, g: (0, _cd(g))),
+        ],
+        out_specs=pl.BlockSpec((tb, tn_d), lambda i, g: (i, _cd(g))),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_h), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tb, n_gu), jnp.bfloat16),
+            pltpu.VMEM((tb, k), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, inter), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * k * n_gu + 2 * b_pad * inter * n_h,
+            bytes_accessed=b_pad * k * 4 + k4 * n_gu + i4 * n_h + b_pad * n_h * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(h2, h2, gateup_qw_l, down_qw_l,
+      post_ln_l.astype(jnp.float32), ffn_sub_l.astype(jnp.float32),
+      gateup_scale_l.astype(jnp.float32), down_scale_l.astype(jnp.float32))
+    return out[:b].reshape(*lead, n_h)
+
+
 def _pick_tile_n(n: int, want: int = 1792) -> int:
     # larger tiles -> fewer grid iterations; per-iteration fixed cost is
     # first-order at batch-1 decode
@@ -1126,7 +1471,9 @@ def mlp_block_megakernel(
     ngu = n_gu // tn_gu
     nd = n_h // tn_d
 
-    tb = min(_round_up(b, 32), 256)
+    # decode rows ride in 8 sublanes (the VPU prologues — norm, act,
+    # quant — scale with tb; 32 was 4x wasted work at batch 1)
+    tb = min(_round_up(b, 8) if b <= 8 else _round_up(b, 32), 256)
     # VMEM: h + residual blocks (double-buffered), weight tiles, scratch
     while tb > 32 and (
         tb * k * 2 * 2 + tb * n_gu * 2 + tb * k + tb * inter
@@ -1294,12 +1641,34 @@ def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False,
             dot_dtype=dot_dtype, interpret=interpret,
         )
 
+    def attn_mega_static_fn(h, ck_l, cv_l, qkv_qw_l, o_qw_l, pos,
+                            qkv_scale_l, o_scale_l, input_ln_l,
+                            attn_sub_l, cos_row, sin_row, *, q_dim, n_kv,
+                            n_heads, head_dim, eps=1e-5, norm2=True):
+        return attn_block_megakernel_static(
+            h, ck_l, cv_l, qkv_qw_l, o_qw_l, pos, qkv_scale_l, o_scale_l,
+            input_ln_l, attn_sub_l, cos_row, sin_row,
+            q_dim=q_dim, n_kv=n_kv, n_heads=n_heads, head_dim=head_dim,
+            eps=eps, norm2=norm2, dot_dtype=dot_dtype, interpret=interpret,
+        )
+
+    def mlp_mega_static_fn(h, gateup_qw_l, down_qw_l, gateup_scale_l,
+                           down_scale_l, post_ln_l, ffn_sub_l, *,
+                           eps=1e-5, act="relu2", norm2=True):
+        return mlp_block_megakernel_static(
+            h, gateup_qw_l, down_qw_l, gateup_scale_l, down_scale_l,
+            post_ln_l, ffn_sub_l, eps=eps, act=act, norm2=norm2,
+            dot_dtype=dot_dtype, interpret=interpret,
+        )
+
     linear_fn.stacked = True
     linear_fn.prologue = True
     if mega:
         linear_fn.mlp_mega = mlp_mega_fn
+        linear_fn.mlp_mega_static = mlp_mega_static_fn
         if os.environ.get("WF_ATTN_MEGA", "1") == "1":
             linear_fn.attn_mega = attn_mega_fn
+            linear_fn.attn_mega_static = attn_mega_static_fn
             # measured SLOWER than the attn+mlp pair on v5e (4.18 vs
             # 3.56 ms/token — 4 concurrent weight streams overflow VMEM
             # double-buffering); keep opt-in for future tuning
