@@ -346,7 +346,21 @@ def main(argv=None):
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over local devices")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu). The axon TPU "
+                        "plugin ignores the JAX_PLATFORMS env var, so the "
+                        "server mirrors it into the jax config API — "
+                        "otherwise JAX_PLATFORMS=cpu subprocesses still "
+                        "block on TPU-tunnel discovery")
     args = p.parse_args(argv)
+
+    import os
+
+    plat = args.platform or os.environ.get("JAX_PLATFORMS", "")
+    if plat and plat not in ("axon", "tpu"):
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     logging.basicConfig(level=logging.INFO)
     ecfg = None
