@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--use-pallas", default=None, choices=[None, "0", "1"])
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative_k (greedy n-gram drafts per step)")
+    ap.add_argument("--repetitive", type=int, default=0, metavar="P",
+                    help="build prompts by looping a P-token pattern so "
+                         "n-gram speculative drafts actually accept "
+                         "(random prompts never bigram-repeat)")
     args = ap.parse_args()
 
     import numpy as np
@@ -71,11 +75,21 @@ def main():
 
     rng = np.random.default_rng(0)
     shared = [int(t) for t in rng.integers(1, cfg.vocab_size, args.shared_prefix)]
-    prompts = [
-        shared + [int(t) for t in rng.integers(
-            1, cfg.vocab_size, args.prompt_len - args.shared_prefix)]
-        for _ in range(args.streams)
-    ]
+    if args.repetitive:
+        # looping pattern per stream: greedy continuations repeat it, so
+        # the n-gram drafter's bigram lookups hit
+        prompts = []
+        for _ in range(args.streams):
+            pat = [int(t) for t in rng.integers(1, cfg.vocab_size, args.repetitive)]
+            body = (pat * (args.prompt_len // len(pat) + 1))[
+                : args.prompt_len - args.shared_prefix]
+            prompts.append(shared + body)
+    else:
+        prompts = [
+            shared + [int(t) for t in rng.integers(
+                1, cfg.vocab_size, args.prompt_len - args.shared_prefix)]
+            for _ in range(args.streams)
+        ]
 
     # warmup: compile prefill buckets + decode, INCLUDING the batched
     # admission-wave variants (B = slots rounds and their pow2 tails) —
@@ -91,6 +105,19 @@ def main():
         for i in range(args.slots)
     ]
     while not all(r.finished for r in warm):
+        eng.step()
+    # replay the measured scenario's SHAPE (stream count, prompt length)
+    # with disjoint prompts: prefill-round jits are traced per (bucket,
+    # rows) and rows follows the admission wave = stream count, so a
+    # slots-only warmup leaves e.g. 8-stream rounds compiling inside the
+    # measured window (observed: 7.1 s -> 16.0 s wall on the 8x3968
+    # scenario after a kernel change invalidated the compile cache)
+    warm2 = [
+        eng.submit([int(t) for t in wrng.integers(1, cfg.vocab_size, args.prompt_len)],
+                   SamplingParams(max_new_tokens=2))
+        for i in range(args.streams)
+    ]
+    while not all(r.finished for r in warm2):
         eng.step()
 
     results = [None] * args.streams
