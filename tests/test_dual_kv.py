@@ -170,3 +170,86 @@ def test_prologue_paged_forward_logits_close(tiny):
         # drive BOTH with the reference's token so states stay comparable
         tok = jnp.argmax(lo_a, -1).astype(jnp.int32)[:, None]
         sl += 1
+
+
+class TestFlashPagedDecode:
+    """In-kernel page-gather decode attention (interpret mode) vs the
+    XLA-gather dual oracle, across history edge cases."""
+
+    def _setup(self, seq_lens, ps=8, mp=4, kv=2, g=2, d=32, lp=4, dtype=np.float32):
+        rng = np.random.default_rng(0)
+        b = len(seq_lens)
+        p = b * mp + 2
+        kvd = kv * d
+        nh = kv * g
+        main = jnp.asarray(rng.standard_normal((p, 2 * lp, ps, kvd)), dtype)
+        staging = jnp.asarray(rng.standard_normal((b, ps, 2 * lp, kvd)), dtype)
+        # distinct pages per slot (1-based; 0 = trash)
+        pt = jnp.asarray(
+            np.arange(1, b * mp + 1, dtype=np.int32).reshape(b, mp))
+        q = jnp.asarray(rng.standard_normal((b, 1, nh, d)), dtype)
+        k_cur = jnp.asarray(rng.standard_normal((b, 1, kv, d)), dtype)
+        v_cur = jnp.asarray(rng.standard_normal((b, 1, kv, d)), dtype)
+        sl = jnp.asarray(seq_lens, jnp.int32)
+        return q, k_cur, v_cur, main, staging, pt, sl
+
+    @pytest.mark.parametrize("layer", [0, 1])
+    @pytest.mark.parametrize(
+        "seq_lens",
+        [
+            [0, 5, 27],      # empty / staging-only / pages+staging
+            [8, 16, 32],     # exact page boundaries (staging empty)
+            [31, 1, 7],      # near-full table / single token
+        ],
+    )
+    def test_matches_dual_oracle(self, seq_lens, layer):
+        from wrinklefree_tpu.config import BitNetConfig
+        from wrinklefree_tpu.kv.paged import _paged_attention_dual
+        from wrinklefree_tpu.ops.flash_attention import flash_paged_decode
+
+        q, k_cur, v_cur, main, staging, pt, sl = self._setup(seq_lens)
+        cfg = BitNetConfig.tiny()
+        ones = jnp.ones_like(sl)
+        ref = _paged_attention_dual(
+            q, k_cur, v_cur, main, staging, layer, pt, sl, ones, cfg)
+        out = flash_paged_decode(
+            q[:, 0], k_cur[:, 0], v_cur[:, 0], main, staging,
+            jnp.int32(layer), pt, sl, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5)
+
+    def test_pages_per_step_variants(self):
+        from wrinklefree_tpu.config import BitNetConfig
+        from wrinklefree_tpu.kv.paged import _paged_attention_dual
+        from wrinklefree_tpu.ops.flash_attention import flash_paged_decode
+
+        q, k_cur, v_cur, main, staging, pt, sl = self._setup([13, 29, 24])
+        cfg = BitNetConfig.tiny()
+        ones = jnp.ones_like(sl)
+        ref = _paged_attention_dual(
+            q, k_cur, v_cur, main, staging, 1, pt, sl, ones, cfg)
+        for pp in (1, 2, 4):
+            out = flash_paged_decode(
+                q[:, 0], k_cur[:, 0], v_cur[:, 0], main, staging,
+                jnp.int32(1), pt, sl, pages_per_step=pp, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5,
+                err_msg=f"pages_per_step={pp}")
+
+    def test_bf16_close(self):
+        from wrinklefree_tpu.config import BitNetConfig
+        from wrinklefree_tpu.kv.paged import _paged_attention_dual
+        from wrinklefree_tpu.ops.flash_attention import flash_paged_decode
+
+        q, k_cur, v_cur, main, staging, pt, sl = self._setup(
+            [0, 5, 27], dtype=jnp.bfloat16)
+        cfg = BitNetConfig.tiny()
+        ones = jnp.ones_like(sl)
+        ref = _paged_attention_dual(
+            q, k_cur, v_cur, main, staging, 0, pt, sl, ones, cfg)
+        out = flash_paged_decode(
+            q[:, 0], k_cur[:, 0], v_cur[:, 0], main, staging,
+            jnp.int32(0), pt, sl, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref[:, 0], np.float32),
+            rtol=5e-2, atol=5e-2)

@@ -263,6 +263,23 @@ def _paged_attention_flash(
     return out.astype(q.dtype)
 
 
+def _paged_attention_dual_flash_decode(
+    q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
+    cfg: BitNetConfig,
+):
+    """Decode-step (S == 1) attention with the page gather INSIDE the
+    Pallas kernel (ops/flash_attention.flash_paged_decode): each page
+    moves HBM->VMEM once, vs the XLA gather writing a [B, MP, ps, KVD]
+    copy back to HBM and re-reading it in the attention einsum."""
+    from ..ops.flash_attention import flash_paged_decode
+
+    out = flash_paged_decode(
+        q[:, 0], k_cur[:, 0], v_cur[:, 0], main, staging_b, layer,
+        page_table, seq_lens,
+    )
+    return out[:, None]
+
+
 def _paged_attention_dual_flash(
     q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
     cfg: BitNetConfig,
@@ -494,9 +511,21 @@ def paged_forward(
             and S >= 128
             and (hist_tokens + S) % 128 == 0
         )
+        import os as _os
+
+        use_flash_decode = (
+            kv_write == "pallas"  # TPU + unquantized pools proxy
+            and S == 1
+            and dual
+            and _os.environ.get("WF_PAGED_FLASH_DECODE", "0") == "1"
+        )
         if dual:
             attn_impl = (
-                _paged_attention_dual_flash if use_flash else _paged_attention_dual
+                _paged_attention_dual_flash_decode
+                if use_flash_decode
+                else _paged_attention_dual_flash
+                if use_flash
+                else _paged_attention_dual
             )
         else:
             attn_impl = _paged_attention_flash if use_flash else _paged_attention_jnp

@@ -277,3 +277,204 @@ def flash_paged_prefill(
         interpret=interpret,
     )(meta, qt, kt, vt)
     return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Paged flash DECODE: in-kernel page-table gather over the layer-major pool
+# ---------------------------------------------------------------------------
+
+
+def _paged_decode_kernel(
+    pt_ref, lens_ref, lay_ref,  # scalar prefetch
+    q_ref, *rest,
+    pp, mp, n_kv, g_heads, scale,
+):
+    """One decode query per slot, attention over that slot's pages read
+    STRAIGHT from the layer-major main pool (no XLA gather materializing
+    [B, MP, ps, KVD] to HBM first — the gather's extra write+read round
+    trip is the dominant decode-attention traffic at serving batch).
+
+    Grid (B, MP/pp + 1): step j < MP/pp covers pp pages (the pool is
+    passed pp times with index maps selecting consecutive page-table
+    entries); the last step folds in the staging page + current token
+    and finalizes. Online softmax state [KV*8, *] lives in VMEM scratch
+    across a slot's steps (grid is row-major, slot-major).
+    """
+    kp_refs = rest[:pp]
+    vp_refs = rest[pp : 2 * pp]
+    ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_s, l_s, acc_s = rest[2 * pp :]
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    jp = mp // pp  # page-group steps
+    ps = kp_refs[0].shape[2]
+    D = q_ref.shape[2] // 1  # lane dim of q rows
+    full = lens_ref[b]  # tokens committed to main pages
+    B = lens_ref.shape[0] // 2
+    off = lens_ref[B + b]  # tokens in staging
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [KV*8, D]
+
+    def _update(k_all, v_all, ok_cols):
+        # k_all/v_all [T, KVD]; ok_cols [1, T] bool validity
+        T = k_all.shape[0]
+        scores = []
+        for h in range(n_kv):
+            k_h = k_all[:, h * D : (h + 1) * D]  # [T, D]
+            s_ = jax.lax.dot_general(
+                q[h * 8 : (h + 1) * 8, :], k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [8, T]
+            scores.append(s_)
+        s_all = jnp.concatenate(scores, axis=0)  # [KV*8, T]
+        s_all = jnp.where(ok_cols, s_all, NEG_INF)
+        m_new = jnp.maximum(m_s[:], jnp.max(s_all, axis=-1, keepdims=True))
+        p = jnp.exp(s_all - m_new)
+        # fully-masked blocks: exp(NEG_INF - NEG_INF) = 1 would corrupt l
+        p = jnp.where(ok_cols, p, 0.0)
+        alpha = jnp.exp(m_s[:] - m_new)
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pc = p.astype(v_all.dtype)
+        outs = []
+        for h in range(n_kv):
+            v_h = v_all[:, h * D : (h + 1) * D]
+            o_h = jax.lax.dot_general(
+                pc[h * 8 : (h + 1) * 8, :], v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [8, D]
+            outs.append(o_h)
+        acc_s[:] = acc_s[:] * alpha + jnp.concatenate(outs, axis=0)
+        m_s[:] = m_new
+
+    @pl.when((j < jp) & (j * pp * ps < full))
+    def _pages():
+        k_all = jnp.concatenate([r[0, 0] for r in kp_refs], axis=0)  # [pp*ps, KVD]
+        v_all = jnp.concatenate([r[0, 0] for r in vp_refs], axis=0)
+        cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, pp * ps), 1) + j * pp * ps
+        )
+        _update(k_all, v_all, cols < full)
+
+    @pl.when(j == jp)
+    def _tail():
+        ks = ks_ref[0, :, 0, :]  # [ps, KVD] staging tokens
+        vs = vs_ref[0, :, 0, :]
+        kc = kc_ref[0]  # [8, KVD] row 0 = current token
+        vc = vc_ref[0]
+        k_all = jnp.concatenate([ks, kc], axis=0)  # [ps+8, KVD]
+        v_all = jnp.concatenate([vs, vc], axis=0)
+        t = jax.lax.broadcasted_iota(jnp.int32, (1, ps + 8), 1)
+        ok = (t < off) | (t == ps)  # staging prefix + the current token
+        _update(k_all, v_all, ok)
+        o_ref[0] = (acc_s[:] / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pages_per_step", "interpret")
+)
+def flash_paged_decode(
+    q: jax.Array,  # [B, NH, D] roped decode queries
+    k_cur: jax.Array,  # [B, KV, D] roped current-token keys
+    v_cur: jax.Array,  # [B, KV, D]
+    main: jax.Array,  # [P, 2Lp, ps, KVD] layer-major main pool
+    staging_b: jax.Array,  # [B, ps, 2Lp, KVD] this batch's staging pages
+    layer,  # int32 scalar
+    page_table: jax.Array,  # [B, MP] int32
+    seq_lens: jax.Array,  # [B] int32 history BEFORE this token
+    *,
+    pages_per_step: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode-step paged GQA attention with the page gather INSIDE the
+    kernel: block index maps read scalar-prefetched page-table entries,
+    so each page moves HBM->VMEM exactly once (the XLA-gather path
+    writes the gathered [B, MP, ps, KVD] copy back to HBM and re-reads
+    it in the attention einsum). Returns [B, NH, D]."""
+    B, NH, D = q.shape
+    KV = k_cur.shape[1]
+    G = NH // KV
+    assert G <= 8, "query-head group must pack into 8 sublanes"
+    P, two_lp, ps, KVD = main.shape
+    LP = two_lp // 2
+    MP = page_table.shape[1]
+    pp = pages_per_step
+    while MP % pp:
+        pp //= 2
+    scale = 1.0 / np.sqrt(D)
+
+    # pack the G query heads of each KV head into 8 sublanes
+    qp = jnp.pad(
+        q.reshape(B, KV, G, D), ((0, 0), (0, 0), (0, 8 - G), (0, 0))
+    ).reshape(B, KV * 8, D)
+    kc = jnp.pad(k_cur.reshape(B, 1, KVD), ((0, 0), (0, 7), (0, 0)))
+    vc = jnp.pad(v_cur.reshape(B, 1, KVD), ((0, 0), (0, 7), (0, 0)))
+
+    pt_flat = page_table.reshape(-1).astype(jnp.int32)
+    full = ((seq_lens // ps) * ps).astype(jnp.int32)
+    off = (seq_lens - full).astype(jnp.int32)
+    lens = jnp.concatenate([full, off])
+    lay = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def _kpage(i):
+        def idx(b, j, pt, lens, lay):
+            e = jnp.clip(j * pp + i, 0, MP - 1)
+            return (pt[b * MP + e], lay[0], 0, 0)
+        return pl.BlockSpec((1, 1, ps, KVD), idx)
+
+    def _vpage(i):
+        def idx(b, j, pt, lens, lay):
+            e = jnp.clip(j * pp + i, 0, MP - 1)
+            return (pt[b * MP + e], LP + lay[0], 0, 0)
+        return pl.BlockSpec((1, 1, ps, KVD), idx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, MP // pp + 1),
+        in_specs=[
+            pl.BlockSpec((1, KV * 8, D), lambda b, j, pt, lens, lay: (b, 0, 0)),
+        ]
+        + [_kpage(i) for i in range(pp)]
+        + [_vpage(i) for i in range(pp)]
+        + [
+            pl.BlockSpec(
+                (1, ps, 1, KVD), lambda b, j, pt, lens, lay: (b, 0, lay[0], 0)
+            ),
+            pl.BlockSpec(
+                (1, ps, 1, KVD),
+                lambda b, j, pt, lens, lay: (b, 0, LP + lay[0], 0),
+            ),
+            pl.BlockSpec((1, 8, KVD), lambda b, j, pt, lens, lay: (b, 0, 0)),
+            pl.BlockSpec((1, 8, KVD), lambda b, j, pt, lens, lay: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, KV * 8, D), lambda b, j, pt, lens, lay: (b, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KV * 8, 1), jnp.float32),
+            pltpu.VMEM((KV * 8, 1), jnp.float32),
+            pltpu.VMEM((KV * 8, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_decode_kernel, pp=pp, mp=MP, n_kv=KV, g_heads=G,
+            scale=scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV * 8, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * NH * (MP * ps + ps + 1) * D,
+            bytes_accessed=2 * B * MP * ps * KVD * 2 + B * ps * KVD * 4,
+            transcendentals=B * NH * (MP * ps + ps + 8),
+        ),
+        interpret=interpret,
+    )(pt_flat, lens, lay, qp, *([main] * pp), *([main] * pp),
+      staging_b, staging_b, kc, vc)
+    return out.reshape(B, KV, 8, D)[:, :, :G].reshape(B, NH, D)
