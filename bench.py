@@ -72,7 +72,10 @@ def main():
     t0 = time.perf_counter()
     params = init_params(cfg, seed=0)
     int8_logits = os.environ.get("WF_BENCH_INT8_LOGITS", "0") == "1"
-    if int8_logits:
+    # exact-greedy head: int8 scan + bf16 top-k rescore + certificate
+    # (argmax-exact, unlike the plain int8 head); value = shortlist size
+    exact_head_k = int(os.environ.get("WF_BENCH_EXACT_HEAD", "0"))
+    if int8_logits or exact_head_k:
         from wrinklefree_tpu.models.bitnet import quantize_lm_head
 
         params = quantize_lm_head(params, cfg)
@@ -98,12 +101,26 @@ def main():
 
     import functools
 
+    if exact_head_k:
+        from wrinklefree_tpu.models.bitnet import greedy_exact_topk
+
+        def head_fn(h, p):
+            return greedy_exact_topk(h, p, cfg, k=exact_head_k)[0]
+    else:
+        head_fn = None
+
+    def _greedy(params, tok, cache, start):
+        out, cache = forward(
+            params, cfg, tok, cache, start, logits_all=False,
+            linear_fn=linear_fn, head_fn=head_fn,
+        )
+        if head_fn is None:
+            out = jnp.argmax(out, axis=-1)
+        return out.astype(jnp.int32)[:, None], cache
+
     @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_step(params, tok, cache, start):
-        logits, cache = forward(
-            params, cfg, tok, cache, start, logits_all=False, linear_fn=linear_fn
-        )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
+        return _greedy(params, tok, cache, start)
 
     # The whole timing window is ONE dispatched program (lax.scan over
     # decode steps): on the axon tunnel every dispatch->fetch round trip
@@ -116,11 +133,7 @@ def main():
     def decode_window(params, tok, cache, start, steps):
         def step(carry, _):
             tok, cache, pos = carry
-            logits, cache = forward(
-                params, cfg, tok, cache, pos, logits_all=False,
-                linear_fn=linear_fn,
-            )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            nxt, cache = _greedy(params, tok, cache, pos)
             return (nxt, cache, pos + 1), nxt[:, 0]
 
         (tok, cache, _), toks = jax.lax.scan(

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--use-pallas", default=None, choices=[None, "0", "1"])
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative_k (greedy n-gram drafts per step)")
+    ap.add_argument("--flash-decode", default=None, choices=[None, "0", "1"],
+                    help="in-kernel page-gather decode attention")
     ap.add_argument("--repetitive", type=int, default=0, metavar="P",
                     help="build prompts by looping a P-token pattern so "
                          "n-gram speculative drafts actually accept "
@@ -66,6 +68,8 @@ def main():
         kv_layout=args.kv_layout,
         **({"decode_burst": args.burst} if args.burst else {}),
         **({"use_pallas": args.use_pallas == "1"} if args.use_pallas else {}),
+        **({"flash_decode": args.flash_decode == "1"}
+           if args.flash_decode is not None else {}),
         speculative_k=args.spec,
     )
     print(f"init {('tiny' if args.tiny else args.model)} model + engine "

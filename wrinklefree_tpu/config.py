@@ -124,6 +124,11 @@ class EngineConfig:
     # the XLA-fused path at batch 1 with honest timing); False forces the
     # jnp/XLA oracle path.
     use_pallas: "bool | None" = None
+    # In-kernel page-table-gather flash decode attention for the decode
+    # burst (dual KV layout): pages stream HBM->VMEM once inside the
+    # kernel instead of XLA materializing the gathered history. None =
+    # auto per measurement (see RESULTS.md); bool forces.
+    flash_decode: "bool | None" = None
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

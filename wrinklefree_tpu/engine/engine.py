@@ -269,6 +269,7 @@ class Engine:
         kvw = self._kv_write
         K = self.ecfg.decode_burst
         tp_axis = "model" if self.mesh is not None else None
+        fd = self.ecfg.flash_decode
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps, slot_ids):
@@ -278,6 +279,7 @@ class Engine:
                     params, cfg, tok[:, None], pools, page_table, sl,
                     jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
                     kv_write=kvw, tp_axis=tp_axis, slot_ids=slot_ids,
+                    flash_decode=fd,
                 )
                 keys = per_request_keys(seeds, ctr)
                 nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)

@@ -469,6 +469,8 @@ def paged_forward(
     tp_axis: Optional[str] = None,
     slot_ids: Optional[jax.Array] = None,  # [B] staging slots (dual layout)
     logits_all: bool = False,  # True: [B, S, V] logits (speculative verify)
+    flash_decode: Optional[bool] = None,  # in-kernel page-gather decode
+    # attention (dual layout, S=1). None = WF_PAGED_FLASH_DECODE env gate.
 ) -> Tuple[jax.Array, PagedKV]:
     """Run S new tokens per slot against the paged cache.
 
@@ -513,11 +515,16 @@ def paged_forward(
         )
         import os as _os
 
+        want_flash_decode = (
+            _os.environ.get("WF_PAGED_FLASH_DECODE", "0") == "1"
+            if flash_decode is None
+            else flash_decode
+        )
         use_flash_decode = (
             kv_write == "pallas"  # TPU + unquantized pools proxy
             and S == 1
             and dual
-            and _os.environ.get("WF_PAGED_FLASH_DECODE", "0") == "1"
+            and want_flash_decode
         )
         if dual:
             attn_impl = (

@@ -319,6 +319,81 @@ def compute_logits(hidden, params, cfg: BitNetConfig):
     )
 
 
+def greedy_exact_topk(hidden, params, cfg: BitNetConfig, k: int = 128):
+    """Greedy next-token via int8 scan + exact bf16 top-k rescoring.
+
+    At batch-1 decode the bf16 tied-embedding head streams 0.66 GB/token
+    (29% of the step for the 2B model). The int8 head halves that but is
+    approximate. This path keeps the cheap int8 SCAN and restores
+    exactness: rescore the k best candidates against the ORIGINAL bf16
+    rows, then certify with the quantization error bound
+
+        |l_v - l_hat_v| <= 0.5 * s_v * ||h||_1   (absmax rounding)
+
+    that no candidate outside the shortlist can beat the rescored max
+    (strict margin, plus slack for f32 accumulation-order noise). When
+    the certificate fails — near-ties within the int8 error — fall back
+    to the full bf16 head via lax.cond, so the result equals
+    ``argmax(compute_logits(bf16 head))`` on every token while paying
+    the bf16 stream only on the rare uncertifiable steps.
+
+    hidden: [B, H] post-final-norm. Returns (tokens [B] int32,
+    certified [] bool — False means the fallback branch ran).
+    Requires quantize_lm_head() applied. Counterpart of the reference's
+    approximate low-precision head, which has no exactness story.
+    """
+    if "lm_head_q" not in params:
+        raise ValueError("greedy_exact_topk requires quantize_lm_head(params)")
+    head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    V = head.shape[0]
+    approx = jax.lax.dot_general(
+        hidden,
+        params["lm_head_q"].astype(cfg.dtype),
+        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * params["lm_head_s"]  # [B, V]
+
+    _, cand = jax.lax.approx_max_k(approx, k)  # [B, k] (recall<1 is fine:
+    # the certificate below bounds whatever landed OUTSIDE the shortlist)
+    rows = head[cand].astype(cfg.dtype)  # [B, k, H]
+    exact = jax.lax.dot_general(
+        hidden.astype(cfg.dtype),
+        rows,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, k]
+
+    # best approx score among non-candidates
+    masked = jnp.put_along_axis(
+        approx, cand, -jnp.inf, axis=-1, inplace=False
+    )
+    m_out = jnp.max(masked, axis=-1)  # [B]
+    # eps: int8 rounding bound + slack for f32 reduction-order drift
+    h1 = jnp.sum(jnp.abs(hidden.astype(jnp.float32)), axis=-1)  # [B]
+    s_max = jnp.max(params["lm_head_s"])
+    exact_max = jnp.max(exact, axis=-1)
+    eps = 0.5 * s_max * h1 + 1e-3 * (jnp.abs(exact_max) + 1.0)
+    certified = jnp.all(exact_max > m_out + eps)
+
+    def from_shortlist(_):
+        # argmax over candidates with full-vocab tie-breaking (lowest id)
+        is_max = exact >= exact_max[:, None]
+        ids = jnp.where(is_max, cand, V)
+        return jnp.min(ids, axis=-1).astype(jnp.int32)
+
+    def full_head(_):
+        logits = jax.lax.dot_general(
+            hidden,
+            head,
+            dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    tok = jax.lax.cond(certified, from_shortlist, full_head, None)
+    return tok, certified
+
+
 # ---------------------------------------------------------------------------
 # Forward pass
 # ---------------------------------------------------------------------------
@@ -375,6 +450,9 @@ def forward(
     *,
     linear_fn: Optional[LinearFn] = None,
     logits_all: bool = True,
+    head_fn=None,  # Optional[(hidden [B,H], params) -> anything]; replaces
+    # compute_logits. Takes params as an argument (NOT a closure) so the
+    # head weights stay jit parameters instead of baked-in constants.
     tp_axis: Optional[str] = None,
     act_sparsity=None,  # ActivationSparsityConfig | None
     attn_sparsity=None,  # AttentionSparsityConfig | None
@@ -651,6 +729,8 @@ def forward(
             hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
             if not logits_all:
                 hidden = hidden[:, -1]
+            if head_fn is not None:
+                return head_fn(hidden, params), KVCache(new_k, new_v)
             logits = compute_logits(hidden, params, cfg)
             return logits, KVCache(new_k, new_v)
 
@@ -702,6 +782,8 @@ def forward(
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     if not logits_all:
         hidden = hidden[:, -1]
+    if head_fn is not None:
+        return head_fn(hidden, params), KVCache(new_k, new_v)
     logits = compute_logits(hidden, params, cfg)
     if tp_axis is not None:
         # head is vocab-sharded: gather the local [.., V/tp] logits
