@@ -42,6 +42,9 @@ def main():
                     help="speculative_k (greedy n-gram drafts per step)")
     ap.add_argument("--flash-decode", default=None, choices=[None, "0", "1"],
                     help="in-kernel page-gather decode attention")
+    ap.add_argument("--exact-head", type=int, default=0, metavar="K",
+                    help="exact-greedy head: int8 scan + bf16 top-K rescore "
+                         "+ certificate (argmax-exact; 0 = off)")
     ap.add_argument("--repetitive", type=int, default=0, metavar="P",
                     help="build prompts by looping a P-token pattern so "
                          "n-gram speculative drafts actually accept "
@@ -71,6 +74,7 @@ def main():
         **({"flash_decode": args.flash_decode == "1"}
            if args.flash_decode is not None else {}),
         speculative_k=args.spec,
+        exact_head_k=args.exact_head,
     )
     print(f"init {('tiny' if args.tiny else args.model)} model + engine "
           f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)

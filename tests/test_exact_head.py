@@ -113,3 +113,53 @@ def test_requires_quantized_head(setup):
     h = jnp.zeros((1, cfg.hidden_size), jnp.bfloat16)
     with pytest.raises(ValueError):
         greedy_exact_topk(h, params, cfg, k=8)
+
+
+# ---------------------------------------------------------------------------
+# Engine-level integration (EngineConfig.exact_head_k)
+# ---------------------------------------------------------------------------
+
+
+def _mk_engines():
+    from wrinklefree_tpu.engine import Engine
+    from wrinklefree_tpu.models.bitnet import init_params as ip
+    from wrinklefree_tpu.config import EngineConfig
+
+    cfg = BitNetConfig.tiny()
+    params = ip(cfg, seed=0)
+    base = dict(max_batch_slots=4, page_size=8, num_pages=64, max_context=64,
+                prefill_buckets=(8, 16, 32))
+    ref = Engine(params, cfg, EngineConfig(**base))
+    ex = Engine(params, cfg, EngineConfig(**base, exact_head_k=8))
+    return ref, ex
+
+
+def test_engine_exact_head_streams_match():
+    from wrinklefree_tpu.engine import SamplingParams
+
+    ref, ex = _mk_engines()
+    prompts = [[1, 5, 9, 2, 7], [3, 3, 8], [11, 4, 6, 13, 2, 9, 1]]
+    sampling = [
+        SamplingParams(max_new_tokens=12),
+        SamplingParams(max_new_tokens=12, temperature=0.9, top_p=0.8, seed=7),
+        SamplingParams(max_new_tokens=12),
+    ]
+    out = {}
+    for name, eng in (("ref", ref), ("exact", ex)):
+        reqs = [eng.submit(p, s) for p, s in zip(prompts, sampling)]
+        while eng.step():
+            pass
+        out[name] = [r.output_ids for r in reqs]
+    assert out["ref"] == out["exact"]
+
+
+def test_engine_exact_head_rejects_int8_logits():
+    from wrinklefree_tpu.engine import Engine
+    from wrinklefree_tpu.config import EngineConfig
+    from wrinklefree_tpu.models.bitnet import init_params as ip
+
+    cfg = BitNetConfig.tiny()
+    with pytest.raises(ValueError):
+        Engine(ip(cfg, seed=0), cfg, EngineConfig(
+            max_batch_slots=2, page_size=8, num_pages=32, max_context=32,
+            prefill_buckets=(8, 16), int8_logits=True, exact_head_k=8))

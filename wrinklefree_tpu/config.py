@@ -129,6 +129,13 @@ class EngineConfig:
     # kernel instead of XLA materializing the gathered history. None =
     # auto per measurement (see RESULTS.md); bool forces.
     flash_decode: "bool | None" = None
+    # Exact-greedy head: int8 head SCAN + exact bf16 top-k rescoring with
+    # a rounding-error certificate (models/bitnet.greedy_exact_topk).
+    # Value = shortlist size (128 is a good default). Greedy outputs stay
+    # bit-identical to the bf16 head; bursts containing sampling requests
+    # automatically use the full bf16 head (exact distribution). 0 = off.
+    # Mutually exclusive with int8_logits (the approximate variant).
+    exact_head_k: int = 0
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

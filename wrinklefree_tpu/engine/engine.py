@@ -100,6 +100,17 @@ class Engine:
             from ..models.bitnet import quantize_lm_head
 
             self.params = quantize_lm_head(self.params, cfg)
+        if self.ecfg.exact_head_k:
+            if mesh is not None:
+                raise NotImplementedError("TP engine + exact_head_k")
+            if self.ecfg.int8_logits:
+                raise ValueError(
+                    "int8_logits (approximate) and exact_head_k (exact) "
+                    "are mutually exclusive"
+                )
+            from ..models.bitnet import quantize_lm_head
+
+            self.params = quantize_lm_head(self.params, cfg)
         self.eos_token_id = eos_token_id
         use_pallas = self.ecfg.use_pallas
         if use_pallas is None:
@@ -270,6 +281,7 @@ class Engine:
         K = self.ecfg.decode_burst
         tp_axis = "model" if self.mesh is not None else None
         fd = self.ecfg.flash_decode
+        ek = self.ecfg.exact_head_k
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps, slot_ids):
@@ -280,9 +292,41 @@ class Engine:
                     jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
                     kv_write=kvw, tp_axis=tp_axis, slot_ids=slot_ids,
                     flash_decode=fd,
+                    # exact head: forward returns the final hidden state;
+                    # the head runs below under a greedy/sampling cond
+                    head_fn=(lambda h, p: h) if ek else None,
                 )
                 keys = per_request_keys(seeds, ctr)
-                nxt = sample_token(logits, keys, temperature=temps, top_p=top_ps)
+                if ek:
+                    from ..models.bitnet import (
+                        compute_logits,
+                        greedy_exact_topk,
+                    )
+
+                    hidden = logits  # [B, H]
+
+                    def exact(h):
+                        # all rows greedy: int8 scan + certified top-k
+                        # rescore (internal bf16-head fallback on near-tie)
+                        return greedy_exact_topk(h, params, cfg, k=ek)[0]
+
+                    def sample(h):
+                        # some row samples: full bf16 head so the sampling
+                        # distribution is exact (int8 entries dropped)
+                        clean = {kk: vv for kk, vv in params.items()
+                                 if not kk.startswith("lm_head_")}
+                        lg = compute_logits(h, clean, cfg)
+                        return sample_token(
+                            lg, keys, temperature=temps, top_p=top_ps
+                        )
+
+                    nxt = jax.lax.cond(
+                        jnp.any(temps > 0), sample, exact, hidden
+                    )
+                else:
+                    nxt = sample_token(
+                        logits, keys, temperature=temps, top_p=top_ps
+                    )
                 return (pools, nxt, sl + 1, ctr + 1), nxt
 
             (pools, last, sl, ctr), toks = jax.lax.scan(
@@ -319,11 +363,17 @@ class Engine:
         K = self.ecfg.decode_burst
         k = self.ecfg.speculative_k
         ps = self.page_size
+        ek = self.ecfg.exact_head_k
 
         from ..models.spec_decode import _draft_ngram
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps, slot_ids, hist):
+            if ek:
+                # spec verify needs full per-position logits: use the
+                # clean bf16 head so greedy streams stay exact
+                params = {kk: vv for kk, vv in params.items()
+                          if not kk.startswith("lm_head_")}
             H = hist.shape[1]
             B = last_tokens.shape[0]
 
@@ -366,8 +416,15 @@ class Engine:
             kvw = self._kv_write
             tp_axis = "model" if self.mesh is not None else None
 
+            ek = self.ecfg.exact_head_k
+
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
                         seeds, counters, temp, top_p, slot_ids):
+                if ek:
+                    # exact-head mode: prefill always uses the clean bf16
+                    # head (its cost is negligible next to prefill compute)
+                    params = {kk: vv for kk, vv in params.items()
+                              if not kk.startswith("lm_head_")}
                 logits, pools = paged_forward(
                     params, cfg, tokens, pools, page_table, seq_len, new_len,
                     linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,

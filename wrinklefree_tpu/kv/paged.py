@@ -471,6 +471,9 @@ def paged_forward(
     logits_all: bool = False,  # True: [B, S, V] logits (speculative verify)
     flash_decode: Optional[bool] = None,  # in-kernel page-gather decode
     # attention (dual layout, S=1). None = WF_PAGED_FLASH_DECODE env gate.
+    head_fn=None,  # Optional[(hidden [B,H], params) -> anything]; replaces
+    # compute_logits (single-device only). Used by the engine's exact-
+    # greedy head and for hidden-state extraction.
 ) -> Tuple[jax.Array, PagedKV]:
     """Run S new tokens per slot against the paged cache.
 
@@ -788,6 +791,11 @@ def paged_forward(
         # last REAL token per slot
         last_idx = jnp.clip(new_lens - 1, 0, S - 1)
         hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
+
+    if head_fn is not None:
+        if tp_axis is not None:
+            raise NotImplementedError("head_fn under tensor parallelism")
+        return head_fn(hidden, params), new_pools
 
     from ..models.bitnet import compute_logits
 
