@@ -155,3 +155,122 @@ class TestValidation:
         # determinism: same prompt again gives same result
         c = InferenceClient(server_url)
         assert c.generate("prompt 3", max_tokens=6, temperature=0.0) == results[3]
+
+
+class TestStopStrings:
+    """OpenAI `stop` / llama.cpp `stop` (reference gets these from the
+    SGLang and llama.cpp servers [submodule]): generation truncates at
+    the earliest stop-string occurrence, the stop string itself is never
+    emitted, and streaming never leaks a partial prefix of it."""
+
+    def _full_text(self, server_url, max_tokens=16):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hello"}],
+                  "max_tokens": max_tokens, "temperature": 0.0},
+            timeout=120,
+        ).json()
+        return r["choices"][0]["message"]["content"]
+
+    def test_chat_nonstream_stop_truncates(self, server_url):
+        full = self._full_text(server_url)
+        assert len(full) >= 6
+        stop = full[3:5]
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hello"}],
+                  "max_tokens": 16, "temperature": 0.0, "stop": stop},
+            timeout=120,
+        ).json()
+        text = r["choices"][0]["message"]["content"]
+        assert text == full[: full.index(stop)]
+        assert stop not in text
+        assert r["choices"][0]["finish_reason"] == "stop"
+
+    def test_chat_stream_stop_never_leaks(self, server_url):
+        full = self._full_text(server_url)
+        stop = full[3:5]
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hello"}],
+                  "max_tokens": 16, "temperature": 0.0, "stop": stop,
+                  "stream": True},
+            stream=True, timeout=120,
+        )
+        parts, finish = [], None
+        for line in r.iter_lines():
+            if not line or line == b"data: [DONE]":
+                continue
+            c = json.loads(line[6:])["choices"][0]
+            if c["delta"].get("content"):
+                parts.append(c["delta"]["content"])
+            if c.get("finish_reason"):
+                finish = c["finish_reason"]
+        text = "".join(parts)
+        assert text == full[: full.index(stop)]
+        assert finish == "stop"
+
+    def test_stop_list_earliest_wins(self, server_url):
+        full = self._full_text(server_url)
+        s1, s2 = full[6:8], full[2:4]  # s2 occurs first in the text
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hello"}],
+                  "max_tokens": 16, "temperature": 0.0, "stop": [s1, s2]},
+            timeout=120,
+        ).json()
+        text = r["choices"][0]["message"]["content"]
+        cut = min(full.index(s1), full.index(s2))
+        assert text == full[:cut]
+
+    def test_llamacpp_stopped_word(self, server_url):
+        full = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "hello", "n_predict": 16, "temperature": 0.0},
+            timeout=120,
+        ).json()["content"]
+        stop = full[3:5]
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "hello", "n_predict": 16, "temperature": 0.0,
+                  "stop": [stop]},
+            timeout=120,
+        ).json()
+        assert r["content"] == full[: full.index(stop)]
+        assert r["stopped_word"] is True
+        assert r["stopping_word"] == stop
+        assert r["stopped_eos"] is False
+
+    def test_no_stop_unaffected(self, server_url):
+        """A stop string that never appears must not change output."""
+        full = self._full_text(server_url)
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hello"}],
+                  "max_tokens": 16, "temperature": 0.0, "stop": "ZZZZQQ"},
+            timeout=120,
+        ).json()
+        assert r["choices"][0]["message"]["content"] == full
+
+
+class TestCancel:
+    def test_engine_cancel_frees_slot(self, server_url):
+        """Cancelled requests must free their slot and pages (exercised
+        indirectly: the server keeps serving after many stop-string
+        cancellations)."""
+        for i in range(6):
+            requests.post(
+                f"{server_url}/v1/chat/completions",
+                json={"model": "m",
+                      "messages": [{"role": "user", "content": f"q{i}"}],
+                      "max_tokens": 16, "temperature": 0.0, "stop": "a"},
+                timeout=120,
+            )
+        stats = requests.get(f"{server_url}/stats", timeout=10).json()
+        assert stats["active_slots"] == 0
+        assert stats["queued"] == 0

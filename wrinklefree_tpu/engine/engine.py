@@ -979,6 +979,28 @@ class Engine:
         if finished:
             self._finish(req, reason)
 
+    def cancel(self, req: Request, reason: str = "abort") -> bool:
+        """Terminate an in-flight or queued request (stop-string hit,
+        client disconnect). Thread-safe; no-op if already finished. The
+        slot/pages free immediately; full pages still feed the radix
+        cache. Returns True if the request was actually cancelled."""
+        with self._lock:
+            if req.finished:
+                return False
+            while True:  # drain waiting -> backlog so queued reqs are visible
+                try:
+                    self._backlog.append(self.waiting.get_nowait())
+                except queue.Empty:
+                    break
+            if req in self._backlog:
+                self._backlog.remove(req)
+            req.finish_reason = reason
+            req.finished = True
+            if req.on_token is not None:
+                req.on_token(-1, True)
+            self._finish(req, reason)
+            return True
+
     def _finish(self, req: Request, reason: str):
         self._dirty = True
         req.finished = True

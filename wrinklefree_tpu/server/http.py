@@ -65,6 +65,59 @@ class _Detokenizer:
         return delta
 
 
+class _StopScan:
+    """Stop-string scanning over streamed text (OpenAI `stop`, llama.cpp
+    `stop`). Holds back the last len(longest)-1 chars while streaming so a
+    stop string spanning two deltas is never partially emitted.
+
+    The reference's backends get this from SGLang / llama.cpp server
+    [submodule]; here it is a host-side text scan over the incremental
+    detokenizer output."""
+
+    def __init__(self, stops):
+        self.stops = [s for s in (stops or []) if s]
+        self.hold = max((len(s) for s in self.stops), default=1) - 1
+        self.text = ""
+        self.sent = 0
+        self.hit: "str | None" = None
+
+    def push(self, delta: str):
+        """Feed a detokenized delta; returns (releasable_text, stopped)."""
+        if not self.stops:
+            return delta, False
+        self.text += delta
+        found = [(self.text.find(s), s) for s in self.stops]
+        found = [(i, s) for i, s in found if i >= 0]
+        if found:
+            i, s = min(found)
+            out = self.text[self.sent:i]
+            self.sent = i
+            self.hit = s
+            return out, True
+        release_to = max(self.sent, len(self.text) - self.hold)
+        out = self.text[self.sent:release_to]
+        self.sent = release_to
+        return out, False
+
+    def flush(self) -> str:
+        """Release any held-back tail (stream ended without a stop hit)."""
+        out = self.text[self.sent:]
+        self.sent = len(self.text)
+        return out
+
+
+def _parse_stops(body: dict):
+    """OpenAI `stop`: string or list of strings (also llama.cpp `stop`)."""
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        return [stop]
+    if isinstance(stop, list):
+        return [s for s in stop if isinstance(s, str) and s]
+    return []
+
+
 class InferenceServer:
     def __init__(self, engine: Engine, tokenizer, model_name: str):
         self.async_engine = AsyncEngine(engine)
@@ -146,13 +199,15 @@ class InferenceServer:
         prompt = format_chat_prompt(messages, self.tokenizer)
         ids = self._encode(prompt)
         sampling = self._sampling_from(body)
+        stops = _parse_stops(body)
         cid = chat_completion_id()
         try:
             if body.get("stream"):
-                return await self._stream_chat(request, cid, ids, sampling)
-            req, text = await self._run(ids, sampling)
+                return await self._stream_chat(request, cid, ids, sampling, stops)
+            req, text, hit = await self._run(ids, sampling, stops)
+            reason = "stop" if hit is not None else (req.finish_reason or "stop")
             return web.json_response(
-                chat_response(cid, self.model_name, text, req.finish_reason or "stop",
+                chat_response(cid, self.model_name, text, reason,
                               len(ids), len(req.output_ids))
             )
         except ValueError as e:
@@ -163,14 +218,18 @@ class InferenceServer:
         prompt = body.get("prompt", "")
         ids = self._encode(prompt)
         sampling = self._sampling_from(body)
+        stops = _parse_stops(body)
         cid = completion_id()
         try:
             if body.get("stream"):
-                return await self._stream_completion(request, cid, ids, sampling, openai=True)
-            req, text = await self._run(ids, sampling)
+                return await self._stream_completion(
+                    request, cid, ids, sampling, openai=True, stops=stops
+                )
+            req, text, hit = await self._run(ids, sampling, stops)
+            reason = "stop" if hit is not None else (req.finish_reason or "stop")
             return web.json_response(
                 completion_response(cid, self.model_name, text,
-                                    req.finish_reason or "stop", len(ids),
+                                    reason, len(ids),
                                     len(req.output_ids))
             )
         except ValueError as e:
@@ -181,18 +240,22 @@ class InferenceServer:
         body = await request.json()
         ids = self._encode(body.get("prompt", ""))
         sampling = self._sampling_from(body, is_llamacpp=True)
+        stops = _parse_stops(body)
         try:
             if body.get("stream"):
                 return await self._stream_completion(
-                    request, completion_id(), ids, sampling, openai=False
+                    request, completion_id(), ids, sampling, openai=False,
+                    stops=stops,
                 )
-            req, text = await self._run(ids, sampling)
+            req, text, hit = await self._run(ids, sampling, stops)
             return web.json_response(
                 {
                     "content": text,
                     "stop": True,
-                    "stopped_eos": req.finish_reason == "stop",
-                    "stopped_limit": req.finish_reason == "length",
+                    "stopped_eos": req.finish_reason == "stop" and hit is None,
+                    "stopped_word": hit is not None,
+                    "stopping_word": hit or "",
+                    "stopped_limit": req.finish_reason == "length" and hit is None,
                     "tokens_predicted": len(req.output_ids),
                     "tokens_evaluated": len(ids),
                 }
@@ -202,19 +265,26 @@ class InferenceServer:
 
     # -- generation helpers -------------------------------------------------
 
-    async def _run(self, ids, sampling):
+    async def _run(self, ids, sampling, stops=None):
         detok = _Detokenizer(self.tokenizer)
+        scan = _StopScan(stops)
         req = None
         parts = []
         async for tok, fin, r in self.async_engine.generate_stream(ids, sampling):
             req = r
             if tok >= 0:
-                parts.append(detok.push(tok))
+                out, stopped = scan.push(detok.push(tok))
+                parts.append(out)
+                if stopped:
+                    self.async_engine.engine.cancel(req, "stop")
+                    break
         if req is not None and req.finish_reason == "oom":
             raise ValueError("request cannot fit in KV cache")
-        return req, "".join(parts)
+        if scan.hit is None:
+            parts.append(scan.flush())
+        return req, "".join(parts), scan.hit
 
-    async def _stream_chat(self, request, cid, ids, sampling):
+    async def _stream_chat(self, request, cid, ids, sampling, stops=None):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -227,42 +297,74 @@ class InferenceServer:
             chat_chunk(cid, self.model_name, {"role": "assistant"}).encode()
         )
         detok = _Detokenizer(self.tokenizer)
+        scan = _StopScan(stops)
         finish = "stop"
         async for tok, fin, req in self.async_engine.generate_stream(ids, sampling):
             if tok >= 0:
-                delta = detok.push(tok)
+                delta, stopped = scan.push(detok.push(tok))
                 if delta:
                     await resp.write(
                         chat_chunk(cid, self.model_name, {"content": delta}).encode()
                     )
+                if stopped:
+                    self.async_engine.engine.cancel(req, "stop")
+                    finish = "stop"
+                    break
             if fin:
                 finish = req.finish_reason or "stop"
+        if scan.hit is None:
+            tail = scan.flush()
+            if tail:
+                await resp.write(
+                    chat_chunk(cid, self.model_name, {"content": tail}).encode()
+                )
         await resp.write(chat_chunk(cid, self.model_name, {}, finish).encode())
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
 
-    async def _stream_completion(self, request, cid, ids, sampling, openai: bool):
+    async def _stream_completion(self, request, cid, ids, sampling, openai: bool,
+                                 stops=None):
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
         )
         await resp.prepare(request)
         detok = _Detokenizer(self.tokenizer)
+        scan = _StopScan(stops)
         n = 0
+
+        def payload_for(text, fin, reason):
+            if openai:
+                return {
+                    "id": cid, "object": "text_completion", "model": self.model_name,
+                    "choices": [{"index": 0, "text": text,
+                                 "finish_reason": reason if fin else None}],
+                }
+            p = {"content": text, "stop": bool(fin), "tokens_predicted": n}
+            if fin and scan.hit is not None:
+                p["stopped_word"] = True
+                p["stopping_word"] = scan.hit
+            return p
+
         async for tok, fin, req in self.async_engine.generate_stream(ids, sampling):
             if tok >= 0:
-                delta = detok.push(tok)
+                delta, stopped = scan.push(detok.push(tok))
                 n += 1
-                if openai:
-                    payload = {
-                        "id": cid, "object": "text_completion", "model": self.model_name,
-                        "choices": [{"index": 0, "text": delta,
-                                     "finish_reason": req.finish_reason if fin else None}],
-                    }
-                else:
-                    payload = {"content": delta, "stop": bool(fin),
-                               "tokens_predicted": n}
-                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+                if stopped:
+                    self.async_engine.engine.cancel(req, "stop")
+                    await resp.write(
+                        f"data: {json.dumps(payload_for(delta, True, 'stop'))}\n\n".encode()
+                    )
+                    break
+                if fin:  # release any held-back tail with the final chunk
+                    delta += scan.flush()
+                await resp.write(
+                    f"data: {json.dumps(payload_for(delta, fin, req.finish_reason))}\n\n".encode()
+                )
+            elif fin:
+                await resp.write(
+                    f"data: {json.dumps(payload_for(scan.flush(), True, req.finish_reason or 'stop'))}\n\n".encode()
+                )
         if openai:
             await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
