@@ -136,6 +136,10 @@ class EngineConfig:
     # automatically use the full bf16 head (exact distribution). 0 = off.
     # Mutually exclusive with int8_logits (the approximate variant).
     exact_head_k: int = 0
+    # Ring-buffer width for repetition/presence/frequency penalties
+    # (device-resident last-W token window per slot; requests'
+    # penalty_last_n clamps to this). llama.cpp repeat_last_n default.
+    penalty_window: int = 64
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

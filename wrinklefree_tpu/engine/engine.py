@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import BitNetConfig, EngineConfig
 from ..kv.paged import PagedKV, paged_forward
-from ..ops.sampling import per_request_keys, sample_token
+from ..ops.sampling import apply_penalties, per_request_keys, sample_token
 from .page_allocator import PageAllocator
 from .radix_cache import RadixCache
 from .sampling_params import SamplingParams
@@ -233,6 +233,11 @@ class Engine:
         self.slot_counters = np.zeros((S,), np.int32)
         self.slot_temps = np.zeros((S,), np.float32)
         self.slot_tps = np.ones((S,), np.float32)
+        # penalty state: identity defaults + last-W token ring per slot
+        self.slot_reps = np.ones((S,), np.float32)
+        self.slot_pres = np.zeros((S,), np.float32)
+        self.slot_freqs = np.zeros((S,), np.float32)
+        self.slot_lastn = np.zeros((S,), np.int32)
         # device-resident copies of the scheduling state (uploaded lazily;
         # page_table sliced to the active-history bucket)
         self._dstate = None
@@ -284,9 +289,15 @@ class Engine:
         ek = self.ecfg.exact_head_k
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, temps, top_ps, slot_ids):
+                  counters, temps, top_ps, slot_ids, reps, pres, freqs,
+                  lastn, ring):
+            W = ring.shape[1]
+
             def one(carry, _):
-                pools, tok, sl, ctr = carry
+                pools, tok, sl, ctr, ring = carry
+                # the token being fed sits at position sl — it's part of
+                # the penalty window for the token sampled this step
+                ring = ring.at[jnp.arange(tok.shape[0]), sl % W].set(tok)
                 logits, pools = paged_forward(
                     params, cfg, tok[:, None], pools, page_table, sl,
                     jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
@@ -311,28 +322,38 @@ class Engine:
                         return greedy_exact_topk(h, params, cfg, k=ek)[0]
 
                     def sample(h):
-                        # some row samples: full bf16 head so the sampling
-                        # distribution is exact (int8 entries dropped)
+                        # some row samples or penalizes: full bf16 head so
+                        # the distribution is exact (int8 entries dropped)
                         clean = {kk: vv for kk, vv in params.items()
                                  if not kk.startswith("lm_head_")}
-                        lg = compute_logits(h, clean, cfg)
+                        lg = apply_penalties(
+                            compute_logits(h, clean, cfg),
+                            ring, sl + 1, lastn, reps, pres, freqs,
+                        )
                         return sample_token(
                             lg, keys, temperature=temps, top_p=top_ps
                         )
 
+                    pen_on = jnp.any(
+                        (reps != 1.0) | (pres != 0.0) | (freqs != 0.0)
+                    )
                     nxt = jax.lax.cond(
-                        jnp.any(temps > 0), sample, exact, hidden
+                        jnp.any(temps > 0) | pen_on, sample, exact, hidden
                     )
                 else:
                     nxt = sample_token(
-                        logits, keys, temperature=temps, top_p=top_ps
+                        apply_penalties(
+                            logits, ring, sl + 1, lastn, reps, pres, freqs
+                        ),
+                        keys, temperature=temps, top_p=top_ps,
                     )
-                return (pools, nxt, sl + 1, ctr + 1), nxt
+                return (pools, nxt, sl + 1, ctr + 1, ring), nxt
 
-            (pools, last, sl, ctr), toks = jax.lax.scan(
-                one, (pools, last_tokens, seq_lens, counters), None, length=K
+            (pools, last, sl, ctr, ring), toks = jax.lax.scan(
+                one, (pools, last_tokens, seq_lens, counters, ring), None,
+                length=K,
             )
-            return toks, pools, last, sl, ctr
+            return toks, pools, last, sl, ctr, ring
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -340,11 +361,11 @@ class Engine:
             from ..parallel.sharding import param_partition_specs
 
             pool_spec = self._pool_spec()
-            rep8 = tuple(P() for _ in range(8))
+            rep13 = tuple(P() for _ in range(13))
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
-                in_specs=(param_partition_specs(self.params), pool_spec) + rep8,
-                out_specs=(P(), pool_spec, P(), P(), P()),
+                in_specs=(param_partition_specs(self.params), pool_spec) + rep13,
+                out_specs=(P(), pool_spec, P(), P(), P(), P()),
                 check_vma=False,
             )
         return functools.partial(jax.jit, donate_argnums=(1,))(burst)
@@ -419,7 +440,8 @@ class Engine:
             ek = self.ecfg.exact_head_k
 
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
-                        seeds, counters, temp, top_p, slot_ids):
+                        seeds, counters, temp, top_p, slot_ids, reps, pres,
+                        freqs, lastn, ring):
                 if ek:
                     # exact-head mode: prefill always uses the clean bf16
                     # head (its cost is negligible next to prefill compute)
@@ -429,6 +451,9 @@ class Engine:
                     params, cfg, tokens, pools, page_table, seq_len, new_len,
                     linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,
                     slot_ids=slot_ids,
+                )
+                logits = apply_penalties(
+                    logits, ring, seq_len + new_len, lastn, reps, pres, freqs
                 )
                 keys = per_request_keys(seeds, counters)
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
@@ -442,10 +467,10 @@ class Engine:
                 from ..parallel.sharding import param_partition_specs
 
                 pool_spec = self._pool_spec()
-                rep9 = tuple(P() for _ in range(9))
+                rep14 = tuple(P() for _ in range(14))
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
-                    in_specs=(param_partition_specs(self.params), pool_spec) + rep9,
+                    in_specs=(param_partition_specs(self.params), pool_spec) + rep14,
                     out_specs=(P(), pool_spec),
                     check_vma=False,
                 )
@@ -535,6 +560,10 @@ class Engine:
                     "top_k": s.top_k,
                     "stop_token_ids": list(s.stop_token_ids or []),
                     "ignore_eos": s.ignore_eos,
+                    "repetition_penalty": s.repetition_penalty,
+                    "presence_penalty": s.presence_penalty,
+                    "frequency_penalty": s.frequency_penalty,
+                    "penalty_last_n": s.penalty_last_n,
                 })
             return {"version": 1, "requests": reqs}
 
@@ -551,6 +580,10 @@ class Engine:
                 top_k=d["top_k"], max_new_tokens=d["max_new_tokens"],
                 stop_token_ids=d["stop_token_ids"] or None,
                 ignore_eos=d["ignore_eos"], seed=d["seed"],
+                repetition_penalty=d.get("repetition_penalty", 1.0),
+                presence_penalty=d.get("presence_penalty", 0.0),
+                frequency_penalty=d.get("frequency_penalty", 0.0),
+                penalty_last_n=d.get("penalty_last_n", 64),
             )
             cb = on_token_factory(d) if on_token_factory else None
             r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
@@ -692,6 +725,13 @@ class Engine:
         self.slot_counters[slot] = req.counter_base
         self.slot_temps[slot] = req.sampling.temperature
         self.slot_tps[slot] = req.sampling.top_p
+        s = req.sampling
+        self.slot_reps[slot] = s.repetition_penalty
+        self.slot_pres[slot] = s.presence_penalty
+        self.slot_freqs[slot] = s.frequency_penalty
+        W = self.ecfg.penalty_window
+        ln = s.penalty_last_n
+        self.slot_lastn[slot] = W if ln < 0 else min(ln, W)
         self._dirty = True
 
     def _prefill_round(self) -> bool:
@@ -744,6 +784,12 @@ class Engine:
         temps = np.ones((B,), np.float32)
         tps = np.ones((B,), np.float32)
         sids = np.full((B,), NS, np.int32)  # dummy rows -> trash staging
+        W = self.ecfg.penalty_window
+        reps = np.ones((B,), np.float32)
+        pres = np.zeros((B,), np.float32)
+        freqs = np.zeros((B,), np.float32)
+        lastn = np.zeros((B,), np.int32)
+        ring = np.full((B, W), -1, np.int32)
         for j, (i, r, chunk) in enumerate(chunks):
             toks[j, : len(chunk)] = chunk
             pt[j] = self.page_table[i, :mp_pre]
@@ -754,13 +800,24 @@ class Engine:
             temps[j] = r.sampling.temperature
             tps[j] = r.sampling.top_p
             sids[j] = i
+            if r.sampling.has_penalties:
+                reps[j] = self.slot_reps[i]
+                pres[j] = self.slot_pres[i]
+                freqs[j] = self.slot_freqs[i]
+                lastn[j] = self.slot_lastn[i]
+                # window over the prompt as cached so far + this chunk
+                stream = r.prompt_ids + r.output_ids
+                n = r.seq_len + len(chunk)
+                for p in range(max(0, n - W), min(n, len(stream))):
+                    ring[j, p % W] = stream[p]
 
         fn = self._prefill_for_bucket(bucket)
         nxt, self.pools = fn(
             self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
             jnp.asarray(seq), jnp.asarray(new), jnp.asarray(seeds),
             jnp.asarray(ctrs), jnp.asarray(temps), jnp.asarray(tps),
-            jnp.asarray(sids),
+            jnp.asarray(sids), jnp.asarray(reps), jnp.asarray(pres),
+            jnp.asarray(freqs), jnp.asarray(lastn), jnp.asarray(ring),
         )
         nxt_np = None
         for j, (i, r, chunk) in enumerate(chunks):
@@ -800,6 +857,18 @@ class Engine:
                 sl[i] = 0
                 last[i] = 0
                 sids[i] = NS
+        # penalty ring: token at seq position p lives at ring[slot, p % W]
+        # (reconstructed from request token streams on every upload — the
+        # decode burst keeps it current on-device between uploads)
+        W = self.ecfg.penalty_window
+        ring = np.full((NS, W), -1, np.int32)
+        for i, r in enumerate(self.slots):
+            if r is None or r.pending:
+                continue
+            toks_all = r.prompt_ids + r.output_ids
+            n = int(self.seq_lens[i])
+            for p in range(max(0, n - W), min(n, len(toks_all))):
+                ring[i, p % W] = toks_all[p]
         self._dstate = (
             jnp.asarray(last),
             jnp.asarray(pt),
@@ -809,6 +878,11 @@ class Engine:
             jnp.asarray(self.slot_temps),
             jnp.asarray(self.slot_tps),
             jnp.asarray(sids),
+            jnp.asarray(self.slot_reps),
+            jnp.asarray(self.slot_pres),
+            jnp.asarray(self.slot_freqs),
+            jnp.asarray(self.slot_lastn),
+            jnp.asarray(ring),
         )
         if self.ecfg.speculative_k > 0:
             # device-resident token history for n-gram drafting:
@@ -848,7 +922,9 @@ class Engine:
             spec_k > 0
             and self.mesh is None
             and all(
-                self.slots[i].sampling.temperature == 0.0 for i in active
+                self.slots[i].sampling.temperature == 0.0
+                and not self.slots[i].sampling.has_penalties
+                for i in active
             )
         )
         adv = K * (spec_k + 1) if spec else K  # max positions per burst
@@ -880,8 +956,8 @@ class Engine:
         mp = self._pages_bucket(int(max_seq) + adv)
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
-        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
-         d_sids) = self._dstate
+        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps, d_sids,
+         d_reps, d_pres, d_freqs, d_lastn, d_ring) = self._dstate
         room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
 
         if spec:
@@ -894,7 +970,8 @@ class Engine:
                 )
             )
             self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps,
-                            d_tps, d_sids)
+                            d_tps, d_sids, d_reps, d_pres, d_freqs,
+                            d_lastn, d_ring)
             toks = np.asarray(toks_d)  # [K, S, k+1]
             counts = np.asarray(counts_d)  # [K, S]
             self.stats["decode_steps"] += K
@@ -924,12 +1001,12 @@ class Engine:
                             self.last_tokens[i] = tok
             return True
 
-        toks_d, self.pools, d_last, d_sl, d_ctr = self._decode_jit(
+        toks_d, self.pools, d_last, d_sl, d_ctr, d_ring = self._decode_jit(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
-            d_temps, d_tps, d_sids,
+            d_temps, d_tps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring,
         )
         self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
-                        d_sids)
+                        d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring)
         toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
         self.stats["decode_steps"] += K
 

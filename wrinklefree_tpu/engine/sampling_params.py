@@ -16,3 +16,18 @@ class SamplingParams:
     stop_token_ids: Optional[List[int]] = None
     ignore_eos: bool = False
     seed: Optional[int] = None
+    # Penalties (llama.cpp repeat_penalty / OpenAI presence+frequency;
+    # identity defaults). Window is llama.cpp `repeat_last_n` semantics,
+    # clamped to EngineConfig.penalty_window at admission.
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    penalty_last_n: int = 64
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.repetition_penalty != 1.0
+            or self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+        )

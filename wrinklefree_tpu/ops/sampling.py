@@ -40,6 +40,50 @@ def apply_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     return jnp.take_along_axis(masked, inv, axis=-1)
 
 
+def apply_penalties(
+    logits: jax.Array,  # [B, V] float32
+    ring: jax.Array,  # [B, W] int32 — token at seq position p at ring[b, p%W];
+    # never-written slots hold -1
+    seq_lens: jax.Array,  # [B] int32 tokens so far (next position index)
+    last_n: jax.Array,  # [B] int32 penalty window (<= W)
+    rep: jax.Array,  # [B] repetition penalty (1.0 = off)
+    pres: jax.Array,  # [B] presence penalty (0.0 = off)
+    freq: jax.Array,  # [B] frequency penalty (0.0 = off)
+) -> jax.Array:
+    """Repetition / presence / frequency penalties over a rolling window.
+
+    Semantics match llama.cpp's sampler (the reference's BitNet.cpp
+    backend, SURVEY.md §0 backend 2): for tokens seen in the last
+    `last_n` positions, positive logits divide by `rep` and negative
+    ones multiply by it; OpenAI-style `pres`/`freq` subtract
+    pres*[count>0] + freq*count. Defaults (1, 0, 0) are an exact
+    identity, and the whole pass is skipped via `lax.cond` when every
+    row is at defaults (a [B, V] scatter per decode step is not free).
+    """
+    B, V = logits.shape
+    W = ring.shape[1]
+
+    def _apply(lg):
+        j = jnp.arange(W)[None, :]
+        # seq position held by ring slot j: largest p <= seq_len-1 with
+        # p % W == j (the ring is written at position p -> slot p % W)
+        d = (seq_lens[:, None] - 1 - j) % W
+        p = seq_lens[:, None] - 1 - d
+        valid = (p >= 0) & (p >= seq_lens[:, None] - last_n[:, None])
+        ids = jnp.where(valid & (ring >= 0), ring, V)  # V -> dropped
+        cnt = jnp.zeros((B, V), jnp.float32).at[
+            jnp.arange(B)[:, None], ids
+        ].add(1.0, mode="drop")
+        present = cnt > 0
+        r = rep[:, None]
+        rp = jnp.where(lg > 0, lg / r, lg * r)
+        out = jnp.where(present, rp, lg)
+        return out - freq[:, None] * cnt - pres[:, None] * present.astype(jnp.float32)
+
+    active = jnp.any((rep != 1.0) | (pres != 0.0) | (freq != 0.0))
+    return jax.lax.cond(active, _apply, lambda lg: lg, logits)
+
+
 def sample_token(
     logits: jax.Array,  # [B, V] float32
     rng: jax.Array,

@@ -134,12 +134,24 @@ class InferenceServer:
                 max_new = 512
         else:
             max_new = int(body.get("max_tokens", body.get("max_new_tokens", 128)))
+        # llama.cpp names: repeat_penalty / repeat_last_n; OpenAI names:
+        # presence_penalty / frequency_penalty (+ the common
+        # repetition_penalty extension) — reference client request fields
+        # (client/bitnet_client.py) and llama-server sampler params.
+        rep = float(
+            body.get("repeat_penalty", body.get("repetition_penalty", 1.0))
+        )
+        last_n = int(body.get("repeat_last_n", body.get("penalty_last_n", 64)))
         return SamplingParams(
             temperature=float(body.get("temperature", 0.7)),
             top_p=float(body.get("top_p", 0.9)),
             top_k=int(body.get("top_k", 0)),
             max_new_tokens=max(1, max_new),
             ignore_eos=bool(body.get("ignore_eos", False)),
+            repetition_penalty=rep,
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+            penalty_last_n=last_n,
         )
 
     def _encode(self, prompt) -> List[int]:
