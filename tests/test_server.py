@@ -274,3 +274,95 @@ class TestCancel:
         stats = requests.get(f"{server_url}/stats", timeout=10).json()
         assert stats["active_slots"] == 0
         assert stats["queued"] == 0
+
+
+class TestLogprobs:
+    """Logprobs over the three API dialects (OpenAI chat `logprobs`/
+    `top_logprobs`, legacy completions `logprobs: int`, llama.cpp
+    `n_probs`). Engine-side math is covered in test_logprobs.py; these
+    assert the wire formats."""
+
+    def test_chat_logprobs(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 4, "temperature": 0.0,
+                  "logprobs": True, "top_logprobs": 2},
+            timeout=120,
+        ).json()
+        choice = r["choices"][0]
+        content = choice["logprobs"]["content"]
+        assert len(content) == r["usage"]["completion_tokens"]
+        for e in content:
+            assert set(e) == {"token", "logprob", "bytes", "top_logprobs"}
+            assert e["logprob"] <= 0.0
+            assert len(e["top_logprobs"]) == 2
+            # greedy: chosen token is the top-1 alternative
+            assert e["top_logprobs"][0]["token"] == e["token"]
+
+    def test_chat_without_logprobs_has_no_field(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 2, "temperature": 0.0},
+            timeout=120,
+        ).json()
+        assert "logprobs" not in r["choices"][0]
+
+    def test_completions_legacy_logprobs(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hello", "max_tokens": 4,
+                  "temperature": 0.0, "logprobs": 2},
+            timeout=120,
+        ).json()
+        lp = r["choices"][0]["logprobs"]
+        n = r["usage"]["completion_tokens"]
+        assert len(lp["tokens"]) == len(lp["token_logprobs"]) == n
+        assert len(lp["top_logprobs"]) == len(lp["text_offset"]) == n
+        assert all(len(d) <= 2 for d in lp["top_logprobs"])
+        # text offsets are cumulative over the token strings
+        assert lp["text_offset"] == sorted(lp["text_offset"])
+
+    def test_llamacpp_n_probs(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "hello", "n_predict": 4, "temperature": 0.0,
+                  "n_probs": 3},
+            timeout=120,
+        ).json()
+        probs = r["completion_probabilities"]
+        assert len(probs) == r["tokens_predicted"]
+        for e in probs:
+            assert len(e["probs"]) == 3
+            for p in e["probs"]:
+                assert 0.0 <= p["prob"] <= 1.0
+
+    def test_chat_stream_logprobs(self, server_url):
+        import json as _json
+
+        with requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 4, "temperature": 0.0, "stream": True,
+                  "logprobs": True, "top_logprobs": 1},
+            stream=True, timeout=120,
+        ) as resp:
+            entries = []
+            for line in resp.iter_lines():
+                if not line or not line.startswith(b"data: "):
+                    continue
+                data = line[6:]
+                if data == b"[DONE]":
+                    break
+                choice = _json.loads(data)["choices"][0]
+                lp = choice.get("logprobs")
+                if lp:
+                    entries.extend(lp["content"])
+        assert len(entries) == 4
+        for e in entries:
+            assert e["logprob"] <= 0.0
+            assert len(e["top_logprobs"]) == 1

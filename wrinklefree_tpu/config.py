@@ -140,6 +140,10 @@ class EngineConfig:
     # (device-resident last-W token window per slot; requests'
     # penalty_last_n clamps to this). llama.cpp repeat_last_n default.
     penalty_window: int = 64
+    # Static top-N width of the logprobs decode/prefill program variants
+    # (built lazily on the first logprobs request; per-request logprobs_k
+    # clamps to this).
+    logprobs_top: int = 8
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

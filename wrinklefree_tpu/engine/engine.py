@@ -54,6 +54,10 @@ class Request:
     matched_tokens: int = 0
     seq_len: int = 0
     pending: List[int] = dataclasses.field(default_factory=list)  # prompt tokens not yet prefilled
+    # per emitted token, when sampling.logprobs_k > 0:
+    # (chosen_logprob, [(token_id, logprob), ...] top-k) — appended
+    # BEFORE on_token fires so stream consumers can read it
+    logprobs_seq: List[tuple] = dataclasses.field(default_factory=list)
     # sampling-stream offset for requests resumed from a snapshot: the
     # per-request RNG key is fold_in(seed, counter_base + #sampled)
     counter_base: int = 0
@@ -250,6 +254,7 @@ class Engine:
         self._lock = threading.Lock()
 
         self._decode_jit = self._build_decode()
+        self._decode_lp_jit = None  # built lazily (first logprobs request)
         self._decode_spec_jit = None  # built lazily (speculative_k > 0)
         self._dhist = None
         self._prefill_jits: Dict[int, Callable] = {}
@@ -273,25 +278,35 @@ class Engine:
             None if self.pools.staging is None else spec,
         )
 
-    def _build_decode(self):
+    def _build_decode(self, with_logprobs: bool = False):
         """Fused K-step decode burst: a device-side `lax.scan` samples K
         tokens per slot per dispatch, so tunnel/host round-trips are paid
         once per K tokens instead of per token (the decode-loop-overhead
         trap, SURVEY.md §7; measured 100x on a remote-tunnel TPU).
 
         State arrays live on device between bursts; the host re-uploads
-        them only after scheduling events (admission/finish)."""
+        them only after scheduling events (admission/finish).
+
+        ``with_logprobs`` builds the logprobs variant (chosen-token
+        logprob + top-N per step; full bf16 head — the int8-scan exact
+        head can't produce a distribution); the engine selects it per
+        burst when an active request asked for logprobs."""
         cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
         kvw = self._kv_write
         K = self.ecfg.decode_burst
         tp_axis = "model" if self.mesh is not None else None
         fd = self.ecfg.flash_decode
-        ek = self.ecfg.exact_head_k
+        ek = 0 if with_logprobs else self.ecfg.exact_head_k
+        lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps, slot_ids, reps, pres, freqs,
                   lastn, ring):
             W = ring.shape[1]
+            if lp_n and self.ecfg.exact_head_k:
+                # logprobs need the clean bf16 head distribution
+                params = {kk: vv for kk, vv in params.items()
+                          if not kk.startswith("lm_head_")}
 
             def one(carry, _):
                 pools, tok, sl, ctr, ring = carry
@@ -341,19 +356,30 @@ class Engine:
                         jnp.any(temps > 0) | pen_on, sample, exact, hidden
                     )
                 else:
-                    nxt = sample_token(
-                        apply_penalties(
-                            logits, ring, sl + 1, lastn, reps, pres, freqs
-                        ),
-                        keys, temperature=temps, top_p=top_ps,
+                    pen = apply_penalties(
+                        logits, ring, sl + 1, lastn, reps, pres, freqs
                     )
-                return (pools, nxt, sl + 1, ctr + 1, ring), nxt
+                    nxt = sample_token(
+                        pen, keys, temperature=temps, top_p=top_ps
+                    )
+                if lp_n:
+                    # distribution the step actually sampled from
+                    # (penalized, pre-temperature), OpenAI/llama.cpp style
+                    full_lp = jax.nn.log_softmax(pen, axis=-1)
+                    chosen = jnp.take_along_axis(
+                        full_lp, nxt[:, None], axis=1
+                    )[:, 0]
+                    top_lps, top_ids = jax.lax.top_k(full_lp, lp_n)
+                    out = (nxt, chosen, top_ids.astype(jnp.int32), top_lps)
+                else:
+                    out = nxt
+                return (pools, nxt, sl + 1, ctr + 1, ring), out
 
-            (pools, last, sl, ctr, ring), toks = jax.lax.scan(
+            (pools, last, sl, ctr, ring), outs = jax.lax.scan(
                 one, (pools, last_tokens, seq_lens, counters, ring), None,
                 length=K,
             )
-            return toks, pools, last, sl, ctr, ring
+            return outs, pools, last, sl, ctr, ring
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -362,10 +388,11 @@ class Engine:
 
             pool_spec = self._pool_spec()
             rep13 = tuple(P() for _ in range(13))
+            out0 = (P(), P(), P(), P()) if with_logprobs else P()
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
                 in_specs=(param_partition_specs(self.params), pool_spec) + rep13,
-                out_specs=(P(), pool_spec, P(), P(), P(), P()),
+                out_specs=(out0, pool_spec, P(), P(), P(), P()),
                 check_vma=False,
             )
         return functools.partial(jax.jit, donate_argnums=(1,))(burst)
@@ -431,13 +458,15 @@ class Engine:
 
         return functools.partial(jax.jit, donate_argnums=(1,))(burst)
 
-    def _prefill_for_bucket(self, bucket: int):
-        if bucket not in self._prefill_jits:
+    def _prefill_for_bucket(self, bucket: int, with_logprobs: bool = False):
+        key = (bucket, with_logprobs)
+        if key not in self._prefill_jits:
             cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
             kvw = self._kv_write
             tp_axis = "model" if self.mesh is not None else None
 
             ek = self.ecfg.exact_head_k
+            lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
                         seeds, counters, temp, top_p, slot_ids, reps, pres,
@@ -459,7 +488,16 @@ class Engine:
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
                 # pad: single-element D2H fetches hit a pathological slow
                 # path over remote-tunnel transports
-                return jnp.pad(nxt, (0, 63)), pools
+                padded = jnp.pad(nxt, (0, 63))
+                if lp_n:
+                    full_lp = jax.nn.log_softmax(logits, axis=-1)
+                    chosen = jnp.take_along_axis(
+                        full_lp, nxt[:, None], axis=1
+                    )[:, 0]
+                    top_lps, top_ids = jax.lax.top_k(full_lp, lp_n)
+                    return (padded, chosen, top_ids.astype(jnp.int32),
+                            top_lps), pools
+                return padded, pools
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -468,16 +506,17 @@ class Engine:
 
                 pool_spec = self._pool_spec()
                 rep14 = tuple(P() for _ in range(14))
+                out0 = (P(), P(), P(), P()) if with_logprobs else P()
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
                     in_specs=(param_partition_specs(self.params), pool_spec) + rep14,
-                    out_specs=(P(), pool_spec),
+                    out_specs=(out0, pool_spec),
                     check_vma=False,
                 )
-            self._prefill_jits[bucket] = functools.partial(
+            self._prefill_jits[key] = functools.partial(
                 jax.jit, donate_argnums=(1,)
             )(prefill)
-        return self._prefill_jits[bucket]
+        return self._prefill_jits[key]
 
     # ------------------------------------------------------------------
     # public API
@@ -564,6 +603,7 @@ class Engine:
                     "presence_penalty": s.presence_penalty,
                     "frequency_penalty": s.frequency_penalty,
                     "penalty_last_n": s.penalty_last_n,
+                    "logprobs_k": s.logprobs_k,
                 })
             return {"version": 1, "requests": reqs}
 
@@ -584,6 +624,7 @@ class Engine:
                 presence_penalty=d.get("presence_penalty", 0.0),
                 frequency_penalty=d.get("frequency_penalty", 0.0),
                 penalty_last_n=d.get("penalty_last_n", 64),
+                logprobs_k=d.get("logprobs_k", 0),
             )
             cb = on_token_factory(d) if on_token_factory else None
             r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
@@ -811,14 +852,24 @@ class Engine:
                 for p in range(max(0, n - W), min(n, len(stream))):
                     ring[j, p % W] = stream[p]
 
-        fn = self._prefill_for_bucket(bucket)
-        nxt, self.pools = fn(
+        want_lp = any(
+            r.sampling.logprobs_k > 0 and len(r.pending) <= bucket
+            for _, r, _ in chunks
+        )
+        fn = self._prefill_for_bucket(bucket, with_logprobs=want_lp)
+        out, self.pools = fn(
             self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
             jnp.asarray(seq), jnp.asarray(new), jnp.asarray(seeds),
             jnp.asarray(ctrs), jnp.asarray(temps), jnp.asarray(tps),
             jnp.asarray(sids), jnp.asarray(reps), jnp.asarray(pres),
             jnp.asarray(freqs), jnp.asarray(lastn), jnp.asarray(ring),
         )
+        if want_lp:
+            nxt, chosen_d, tids_d, tlps_d = out
+            lp_np = (np.asarray(chosen_d), np.asarray(tids_d),
+                     np.asarray(tlps_d))
+        else:
+            nxt, lp_np = out, None
         nxt_np = None
         for j, (i, r, chunk) in enumerate(chunks):
             r.pending = r.pending[len(chunk):]
@@ -829,7 +880,10 @@ class Engine:
                 if nxt_np is None:
                     nxt_np = np.asarray(nxt)
                 first_tok = int(nxt_np[j])
-                self._emit_token(r, first_tok)
+                lp = None
+                if lp_np is not None and r.sampling.logprobs_k > 0:
+                    lp = (lp_np[0][j], lp_np[1][j], lp_np[2][j])
+                self._emit_token(r, first_tok, lp)
                 if not r.finished:
                     self.last_tokens[i] = first_tok
                 self.slot_counters[i] = r.counter_base + len(r.output_ids)
@@ -918,9 +972,11 @@ class Engine:
         K = self.ecfg.decode_burst
         ps = self.page_size
         spec_k = self.ecfg.speculative_k
+        want_lp = any(self.slots[i].sampling.logprobs_k > 0 for i in active)
         spec = (
             spec_k > 0
             and self.mesh is None
+            and not want_lp
             and all(
                 self.slots[i].sampling.temperature == 0.0
                 and not self.slots[i].sampling.has_penalties
@@ -1001,12 +1057,24 @@ class Engine:
                             self.last_tokens[i] = tok
             return True
 
-        toks_d, self.pools, d_last, d_sl, d_ctr, d_ring = self._decode_jit(
+        if want_lp:
+            if self._decode_lp_jit is None:
+                self._decode_lp_jit = self._build_decode(with_logprobs=True)
+            fn = self._decode_lp_jit
+        else:
+            fn = self._decode_jit
+        outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
             d_temps, d_tps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring,
         )
         self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
                         d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring)
+        if want_lp:
+            toks_d, chosen_d, tids_d, tlps_d = outs_d
+            lp_data = (np.asarray(chosen_d), np.asarray(tids_d),
+                       np.asarray(tlps_d))  # [K,S], [K,S,N], [K,S,N]
+        else:
+            toks_d, lp_data = outs_d, None
         toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
         self.stats["decode_steps"] += K
 
@@ -1023,7 +1091,10 @@ class Engine:
                 tok = int(toks[k, i])
                 self.stats["decode_tokens"] += 1
                 self.slot_counters[i] += 1
-                self._emit_token(req, tok)
+                lp = None
+                if lp_data is not None and req.sampling.logprobs_k > 0:
+                    lp = (lp_data[0][k, i], lp_data[1][k, i], lp_data[2][k, i])
+                self._emit_token(req, tok, lp)
                 if not req.finished:
                     self.last_tokens[i] = tok
         return True
@@ -1032,10 +1103,17 @@ class Engine:
     # finishing
     # ------------------------------------------------------------------
 
-    def _emit_token(self, req: Request, tok: int):
+    def _emit_token(self, req: Request, tok: int, lp=None):
         if req.first_token_t is None:
             req.first_token_t = time.monotonic()
         req.output_ids.append(tok)
+        if lp is not None:
+            chosen, tids, tlps = lp
+            k = min(req.sampling.logprobs_k, len(tids))
+            req.logprobs_seq.append(
+                (float(chosen),
+                 [(int(tids[j]), float(tlps[j])) for j in range(k)])
+            )
         s = req.sampling
         finished = False
         reason = ""

@@ -23,6 +23,10 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     penalty_last_n: int = 64
+    # Logprobs (OpenAI logprobs/top_logprobs, llama.cpp n_probs): 0 = off;
+    # k >= 1 returns the chosen token's logprob + the top-k alternatives
+    # per step (clamped to EngineConfig.logprobs_top).
+    logprobs_k: int = 0
 
     @property
     def has_penalties(self) -> bool:

@@ -24,14 +24,18 @@ def completion_id() -> str:
 
 
 def chat_chunk(
-    cid: str, model: str, delta: Dict[str, Any], finish_reason: Optional[str] = None
+    cid: str, model: str, delta: Dict[str, Any], finish_reason: Optional[str] = None,
+    logprobs: Optional[Dict[str, Any]] = None,
 ) -> str:
+    choice: Dict[str, Any] = {"index": 0, "delta": delta, "finish_reason": finish_reason}
+    if logprobs is not None:
+        choice["logprobs"] = logprobs
     payload = {
         "id": cid,
         "object": "chat.completion.chunk",
         "created": int(time.time()),
         "model": model,
-        "choices": [{"index": 0, "delta": delta, "finish_reason": finish_reason}],
+        "choices": [choice],
     }
     return f"data: {json.dumps(payload)}\n\n"
 
@@ -39,19 +43,21 @@ def chat_chunk(
 def chat_response(
     cid: str, model: str, text: str, finish_reason: str,
     prompt_tokens: int, completion_tokens: int,
+    logprobs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
+    choice: Dict[str, Any] = {
+        "index": 0,
+        "message": {"role": "assistant", "content": text},
+        "finish_reason": finish_reason,
+    }
+    if logprobs is not None:
+        choice["logprobs"] = logprobs
     return {
         "id": cid,
         "object": "chat.completion",
         "created": int(time.time()),
         "model": model,
-        "choices": [
-            {
-                "index": 0,
-                "message": {"role": "assistant", "content": text},
-                "finish_reason": finish_reason,
-            }
-        ],
+        "choices": [choice],
         "usage": {
             "prompt_tokens": prompt_tokens,
             "completion_tokens": completion_tokens,
@@ -63,13 +69,18 @@ def chat_response(
 def completion_response(
     cid: str, model: str, text: str, finish_reason: str,
     prompt_tokens: int, completion_tokens: int,
+    logprobs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
+    choice: Dict[str, Any] = {
+        "index": 0, "text": text, "finish_reason": finish_reason,
+        "logprobs": logprobs,
+    }
     return {
         "id": cid,
         "object": "text_completion",
         "created": int(time.time()),
         "model": model,
-        "choices": [{"index": 0, "text": text, "finish_reason": finish_reason}],
+        "choices": [choice],
         "usage": {
             "prompt_tokens": prompt_tokens,
             "completion_tokens": completion_tokens,

@@ -142,6 +142,18 @@ class InferenceServer:
             body.get("repeat_penalty", body.get("repetition_penalty", 1.0))
         )
         last_n = int(body.get("repeat_last_n", body.get("penalty_last_n", 64)))
+        # Logprobs: llama.cpp `n_probs` (llama-server sampler field); OpenAI
+        # chat `logprobs: bool` + `top_logprobs: int`; legacy OpenAI
+        # completions `logprobs: int`. Engine-side k must be >= 1 whenever
+        # the chosen token's logprob is wanted, even with 0 alternatives.
+        if is_llamacpp:
+            lp_k = int(body.get("n_probs", 0) or 0)
+        else:
+            lp = body.get("logprobs")
+            if isinstance(lp, bool):
+                lp_k = max(1, int(body.get("top_logprobs", 0) or 0)) if lp else 0
+            else:
+                lp_k = int(lp or 0)
         return SamplingParams(
             temperature=float(body.get("temperature", 0.7)),
             top_p=float(body.get("top_p", 0.9)),
@@ -152,7 +164,88 @@ class InferenceServer:
             presence_penalty=float(body.get("presence_penalty", 0.0)),
             frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             penalty_last_n=last_n,
+            logprobs_k=max(0, lp_k),
         )
+
+    # -- logprobs rendering --------------------------------------------------
+    # Per-token data comes from Request.logprobs_seq: one
+    # (chosen_logprob, [(token_id, logprob), ...]) tuple per emitted token,
+    # computed inside the jitted decode/prefill programs (engine/engine.py).
+
+    def _tok_str(self, tok: int) -> str:
+        return self.tokenizer.decode([tok], skip_special_tokens=False)
+
+    def _chat_lp_entry(self, tok: int, entry, top_n: int) -> dict:
+        chosen, tops = entry
+        s = self._tok_str(tok)
+        return {
+            "token": s,
+            "logprob": chosen,
+            "bytes": list(s.encode("utf-8")),
+            "top_logprobs": [
+                {
+                    "token": self._tok_str(t),
+                    "logprob": lp,
+                    "bytes": list(self._tok_str(t).encode("utf-8")),
+                }
+                for t, lp in tops[:top_n]
+            ],
+        }
+
+    def _chat_logprobs(self, req, top_n: int) -> dict:
+        """OpenAI chat `choices[].logprobs` object."""
+        return {
+            "content": [
+                self._chat_lp_entry(tok, e, top_n)
+                for tok, e in zip(req.output_ids, req.logprobs_seq)
+            ]
+        }
+
+    def _completion_logprobs(self, req, top_n: int) -> dict:
+        """Legacy OpenAI completions `logprobs` object."""
+        tokens, token_logprobs, top_logprobs, offsets = [], [], [], []
+        off = 0
+        for tok, (chosen, tops) in zip(req.output_ids, req.logprobs_seq):
+            s = self._tok_str(tok)
+            tokens.append(s)
+            token_logprobs.append(chosen)
+            top_logprobs.append({self._tok_str(t): lp for t, lp in tops[:top_n]})
+            offsets.append(off)
+            off += len(s)
+        return {
+            "tokens": tokens,
+            "token_logprobs": token_logprobs,
+            "top_logprobs": top_logprobs,
+            "text_offset": offsets,
+        }
+
+    def _lp_chunk_openai(self, tok: int, entry, top_n: int) -> dict:
+        """Single-token legacy logprobs object for streamed completions."""
+        chosen, tops = entry
+        s = self._tok_str(tok)
+        return {
+            "tokens": [s],
+            "token_logprobs": [chosen],
+            "top_logprobs": [{self._tok_str(t): lp for t, lp in tops[:top_n]}],
+            "text_offset": [0],
+        }
+
+    def _llamacpp_probs(self, req, top_n: int) -> list:
+        """llama.cpp `completion_probabilities` (n_probs)."""
+        import math
+
+        out = []
+        for tok, (_, tops) in zip(req.output_ids, req.logprobs_seq):
+            out.append(
+                {
+                    "content": self._tok_str(tok),
+                    "probs": [
+                        {"tok_str": self._tok_str(t), "prob": math.exp(lp)}
+                        for t, lp in tops[:top_n]
+                    ],
+                }
+            )
+        return out
 
     def _encode(self, prompt) -> List[int]:
         if isinstance(prompt, list):  # already token ids
@@ -213,14 +306,22 @@ class InferenceServer:
         sampling = self._sampling_from(body)
         stops = _parse_stops(body)
         cid = chat_completion_id()
+        lp_top = (
+            int(body.get("top_logprobs", 0) or 0)
+            if body.get("logprobs") is True
+            else None
+        )
         try:
             if body.get("stream"):
-                return await self._stream_chat(request, cid, ids, sampling, stops)
+                return await self._stream_chat(
+                    request, cid, ids, sampling, stops, lp_top=lp_top
+                )
             req, text, hit = await self._run(ids, sampling, stops)
             reason = "stop" if hit is not None else (req.finish_reason or "stop")
+            lp = self._chat_logprobs(req, lp_top) if lp_top is not None else None
             return web.json_response(
                 chat_response(cid, self.model_name, text, reason,
-                              len(ids), len(req.output_ids))
+                              len(ids), len(req.output_ids), logprobs=lp)
             )
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
@@ -232,17 +333,20 @@ class InferenceServer:
         sampling = self._sampling_from(body)
         stops = _parse_stops(body)
         cid = completion_id()
+        lp_top = int(body.get("logprobs") or 0) or None
         try:
             if body.get("stream"):
                 return await self._stream_completion(
-                    request, cid, ids, sampling, openai=True, stops=stops
+                    request, cid, ids, sampling, openai=True, stops=stops,
+                    lp_top=lp_top,
                 )
             req, text, hit = await self._run(ids, sampling, stops)
             reason = "stop" if hit is not None else (req.finish_reason or "stop")
+            lp = self._completion_logprobs(req, lp_top) if lp_top else None
             return web.json_response(
                 completion_response(cid, self.model_name, text,
                                     reason, len(ids),
-                                    len(req.output_ids))
+                                    len(req.output_ids), logprobs=lp)
             )
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
@@ -253,15 +357,22 @@ class InferenceServer:
         ids = self._encode(body.get("prompt", ""))
         sampling = self._sampling_from(body, is_llamacpp=True)
         stops = _parse_stops(body)
+        n_probs = int(body.get("n_probs", 0) or 0)
         try:
             if body.get("stream"):
                 return await self._stream_completion(
                     request, completion_id(), ids, sampling, openai=False,
-                    stops=stops,
+                    stops=stops, lp_top=n_probs or None,
                 )
             req, text, hit = await self._run(ids, sampling, stops)
+            extra = (
+                {"completion_probabilities": self._llamacpp_probs(req, n_probs)}
+                if n_probs
+                else {}
+            )
             return web.json_response(
                 {
+                    **extra,
                     "content": text,
                     "stop": True,
                     "stopped_eos": req.finish_reason == "stop" and hit is None,
@@ -296,7 +407,8 @@ class InferenceServer:
             parts.append(scan.flush())
         return req, "".join(parts), scan.hit
 
-    async def _stream_chat(self, request, cid, ids, sampling, stops=None):
+    async def _stream_chat(self, request, cid, ids, sampling, stops=None,
+                           lp_top=None):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -311,12 +423,20 @@ class InferenceServer:
         detok = _Detokenizer(self.tokenizer)
         scan = _StopScan(stops)
         finish = "stop"
+        n = 0
         async for tok, fin, req in self.async_engine.generate_stream(ids, sampling):
             if tok >= 0:
                 delta, stopped = scan.push(detok.push(tok))
-                if delta:
+                lp = None
+                if lp_top is not None and n < len(req.logprobs_seq):
+                    lp = {"content": [
+                        self._chat_lp_entry(tok, req.logprobs_seq[n], lp_top)
+                    ]}
+                n += 1
+                if delta or lp is not None:
                     await resp.write(
-                        chat_chunk(cid, self.model_name, {"content": delta}).encode()
+                        chat_chunk(cid, self.model_name, {"content": delta},
+                                   logprobs=lp).encode()
                     )
                 if stopped:
                     self.async_engine.engine.cancel(req, "stop")
@@ -336,7 +456,7 @@ class InferenceServer:
         return resp
 
     async def _stream_completion(self, request, cid, ids, sampling, openai: bool,
-                                 stops=None):
+                                 stops=None, lp_top=None):
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
         )
@@ -344,15 +464,31 @@ class InferenceServer:
         detok = _Detokenizer(self.tokenizer)
         scan = _StopScan(stops)
         n = 0
+        cur_lp = [None, None]  # (token, logprobs_seq entry) for this chunk
 
         def payload_for(text, fin, reason):
             if openai:
+                lp = None
+                if lp_top and cur_lp[1] is not None:
+                    lp = self._lp_chunk_openai(cur_lp[0], cur_lp[1], lp_top)
                 return {
                     "id": cid, "object": "text_completion", "model": self.model_name,
                     "choices": [{"index": 0, "text": text,
+                                 "logprobs": lp,
                                  "finish_reason": reason if fin else None}],
                 }
             p = {"content": text, "stop": bool(fin), "tokens_predicted": n}
+            if lp_top and cur_lp[1] is not None:
+                _, tops = cur_lp[1]
+                import math
+
+                p["completion_probabilities"] = [{
+                    "content": self._tok_str(cur_lp[0]),
+                    "probs": [
+                        {"tok_str": self._tok_str(t), "prob": math.exp(v)}
+                        for t, v in tops[:lp_top]
+                    ],
+                }]
             if fin and scan.hit is not None:
                 p["stopped_word"] = True
                 p["stopping_word"] = scan.hit
@@ -360,6 +496,11 @@ class InferenceServer:
 
         async for tok, fin, req in self.async_engine.generate_stream(ids, sampling):
             if tok >= 0:
+                cur_lp = (
+                    [tok, req.logprobs_seq[n]]
+                    if lp_top and n < len(req.logprobs_seq)
+                    else [None, None]
+                )
                 delta, stopped = scan.push(detok.push(tok))
                 n += 1
                 if stopped:
@@ -374,6 +515,7 @@ class InferenceServer:
                     f"data: {json.dumps(payload_for(delta, fin, req.finish_reason))}\n\n".encode()
                 )
             elif fin:
+                cur_lp = [None, None]
                 await resp.write(
                     f"data: {json.dumps(payload_for(scan.flush(), True, req.finish_reason or 'stop'))}\n\n".encode()
                 )
