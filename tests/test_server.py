@@ -366,3 +366,42 @@ class TestLogprobs:
         for e in entries:
             assert e["logprob"] <= 0.0
             assert len(e["top_logprobs"]) == 1
+
+
+class TestSamplerParams:
+    """seed / top_k / min_p over the wire (llama.cpp + OpenAI names)."""
+
+    def test_seed_determinism_at_temp1(self, server_url):
+        def run(seed):
+            return requests.post(
+                f"{server_url}/v1/chat/completions",
+                json={"model": "m",
+                      "messages": [{"role": "user", "content": "hello"}],
+                      "max_tokens": 12, "temperature": 1.0, "seed": seed},
+                timeout=120,
+            ).json()["choices"][0]["message"]["content"]
+
+        a, b, c = run(42), run(42), run(43)
+        assert a == b
+        assert a != c  # 12 tokens over a 250-symbol vocab: collision ~0
+
+    def test_top_k_one_equals_greedy(self, server_url):
+        def run(extra):
+            return requests.post(
+                f"{server_url}/completion",
+                json={"prompt": "hello", "n_predict": 10, **extra},
+                timeout=120,
+            ).json()["content"]
+
+        greedy = run({"temperature": 0.0})
+        assert run({"temperature": 1.0, "top_k": 1}) == greedy
+        assert run({"temperature": 1.0, "min_p": 1.0}) == greedy
+
+    def test_min_p_parsed_and_served(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "hi", "n_predict": 4, "temperature": 0.9,
+                  "min_p": 0.05, "seed": 7},
+            timeout=120,
+        ).json()
+        assert r["tokens_predicted"] == 4

@@ -237,6 +237,8 @@ class Engine:
         self.slot_counters = np.zeros((S,), np.int32)
         self.slot_temps = np.zeros((S,), np.float32)
         self.slot_tps = np.ones((S,), np.float32)
+        self.slot_topks = np.zeros((S,), np.int32)
+        self.slot_minps = np.zeros((S,), np.float32)
         # penalty state: identity defaults + last-W token ring per slot
         self.slot_reps = np.ones((S,), np.float32)
         self.slot_pres = np.zeros((S,), np.float32)
@@ -300,8 +302,8 @@ class Engine:
         lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, temps, top_ps, slot_ids, reps, pres, freqs,
-                  lastn, ring):
+                  counters, temps, top_ps, top_ks, min_ps, slot_ids, reps,
+                  pres, freqs, lastn, ring):
             W = ring.shape[1]
             if lp_n and self.ecfg.exact_head_k:
                 # logprobs need the clean bf16 head distribution
@@ -346,7 +348,8 @@ class Engine:
                             ring, sl + 1, lastn, reps, pres, freqs,
                         )
                         return sample_token(
-                            lg, keys, temperature=temps, top_p=top_ps
+                            lg, keys, temperature=temps, top_p=top_ps,
+                            top_k=top_ks, min_p=min_ps,
                         )
 
                     pen_on = jnp.any(
@@ -360,7 +363,8 @@ class Engine:
                         logits, ring, sl + 1, lastn, reps, pres, freqs
                     )
                     nxt = sample_token(
-                        pen, keys, temperature=temps, top_p=top_ps
+                        pen, keys, temperature=temps, top_p=top_ps,
+                        top_k=top_ks, min_p=min_ps,
                     )
                 if lp_n:
                     # distribution the step actually sampled from
@@ -387,11 +391,11 @@ class Engine:
             from ..parallel.sharding import param_partition_specs
 
             pool_spec = self._pool_spec()
-            rep13 = tuple(P() for _ in range(13))
+            rep15 = tuple(P() for _ in range(15))
             out0 = (P(), P(), P(), P()) if with_logprobs else P()
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
-                in_specs=(param_partition_specs(self.params), pool_spec) + rep13,
+                in_specs=(param_partition_specs(self.params), pool_spec) + rep15,
                 out_specs=(out0, pool_spec, P(), P(), P(), P()),
                 check_vma=False,
             )
@@ -469,8 +473,8 @@ class Engine:
             lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
-                        seeds, counters, temp, top_p, slot_ids, reps, pres,
-                        freqs, lastn, ring):
+                        seeds, counters, temp, top_p, top_k, min_p, slot_ids,
+                        reps, pres, freqs, lastn, ring):
                 if ek:
                     # exact-head mode: prefill always uses the clean bf16
                     # head (its cost is negligible next to prefill compute)
@@ -485,7 +489,8 @@ class Engine:
                     logits, ring, seq_len + new_len, lastn, reps, pres, freqs
                 )
                 keys = per_request_keys(seeds, counters)
-                nxt = sample_token(logits, keys, temperature=temp, top_p=top_p)
+                nxt = sample_token(logits, keys, temperature=temp, top_p=top_p,
+                                   top_k=top_k, min_p=min_p)
                 # pad: single-element D2H fetches hit a pathological slow
                 # path over remote-tunnel transports
                 padded = jnp.pad(nxt, (0, 63))
@@ -505,11 +510,11 @@ class Engine:
                 from ..parallel.sharding import param_partition_specs
 
                 pool_spec = self._pool_spec()
-                rep14 = tuple(P() for _ in range(14))
+                rep16 = tuple(P() for _ in range(16))
                 out0 = (P(), P(), P(), P()) if with_logprobs else P()
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
-                    in_specs=(param_partition_specs(self.params), pool_spec) + rep14,
+                    in_specs=(param_partition_specs(self.params), pool_spec) + rep16,
                     out_specs=(out0, pool_spec),
                     check_vma=False,
                 )
@@ -597,6 +602,7 @@ class Engine:
                     "temperature": s.temperature,
                     "top_p": s.top_p,
                     "top_k": s.top_k,
+                    "min_p": s.min_p,
                     "stop_token_ids": list(s.stop_token_ids or []),
                     "ignore_eos": s.ignore_eos,
                     "repetition_penalty": s.repetition_penalty,
@@ -617,7 +623,8 @@ class Engine:
         for d in snap["requests"]:
             sp = SamplingParams(
                 temperature=d["temperature"], top_p=d["top_p"],
-                top_k=d["top_k"], max_new_tokens=d["max_new_tokens"],
+                top_k=d["top_k"], min_p=d.get("min_p", 0.0),
+                max_new_tokens=d["max_new_tokens"],
                 stop_token_ids=d["stop_token_ids"] or None,
                 ignore_eos=d["ignore_eos"], seed=d["seed"],
                 repetition_penalty=d.get("repetition_penalty", 1.0),
@@ -767,6 +774,8 @@ class Engine:
         self.slot_temps[slot] = req.sampling.temperature
         self.slot_tps[slot] = req.sampling.top_p
         s = req.sampling
+        self.slot_topks[slot] = max(0, s.top_k)
+        self.slot_minps[slot] = max(0.0, s.min_p)
         self.slot_reps[slot] = s.repetition_penalty
         self.slot_pres[slot] = s.presence_penalty
         self.slot_freqs[slot] = s.frequency_penalty
@@ -824,6 +833,8 @@ class Engine:
         ctrs = np.zeros((B,), np.int32)
         temps = np.ones((B,), np.float32)
         tps = np.ones((B,), np.float32)
+        topks = np.zeros((B,), np.int32)
+        minps = np.zeros((B,), np.float32)
         sids = np.full((B,), NS, np.int32)  # dummy rows -> trash staging
         W = self.ecfg.penalty_window
         reps = np.ones((B,), np.float32)
@@ -840,6 +851,8 @@ class Engine:
             ctrs[j] = r.counter_base + len(r.output_ids)
             temps[j] = r.sampling.temperature
             tps[j] = r.sampling.top_p
+            topks[j] = self.slot_topks[i]
+            minps[j] = self.slot_minps[i]
             sids[j] = i
             if r.sampling.has_penalties:
                 reps[j] = self.slot_reps[i]
@@ -861,6 +874,7 @@ class Engine:
             self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
             jnp.asarray(seq), jnp.asarray(new), jnp.asarray(seeds),
             jnp.asarray(ctrs), jnp.asarray(temps), jnp.asarray(tps),
+            jnp.asarray(topks), jnp.asarray(minps),
             jnp.asarray(sids), jnp.asarray(reps), jnp.asarray(pres),
             jnp.asarray(freqs), jnp.asarray(lastn), jnp.asarray(ring),
         )
@@ -931,6 +945,8 @@ class Engine:
             jnp.asarray(self.slot_counters),
             jnp.asarray(self.slot_temps),
             jnp.asarray(self.slot_tps),
+            jnp.asarray(self.slot_topks),
+            jnp.asarray(self.slot_minps),
             jnp.asarray(sids),
             jnp.asarray(self.slot_reps),
             jnp.asarray(self.slot_pres),
@@ -1012,8 +1028,8 @@ class Engine:
         mp = self._pages_bucket(int(max_seq) + adv)
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
-        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps, d_sids,
-         d_reps, d_pres, d_freqs, d_lastn, d_ring) = self._dstate
+        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps, d_topks,
+         d_minps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring) = self._dstate
         room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
 
         if spec:
@@ -1026,8 +1042,8 @@ class Engine:
                 )
             )
             self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps,
-                            d_tps, d_sids, d_reps, d_pres, d_freqs,
-                            d_lastn, d_ring)
+                            d_tps, d_topks, d_minps, d_sids, d_reps,
+                            d_pres, d_freqs, d_lastn, d_ring)
             toks = np.asarray(toks_d)  # [K, S, k+1]
             counts = np.asarray(counts_d)  # [K, S]
             self.stats["decode_steps"] += K
@@ -1065,10 +1081,12 @@ class Engine:
             fn = self._decode_jit
         outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
-            d_temps, d_tps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring,
+            d_temps, d_tps, d_topks, d_minps, d_sids, d_reps, d_pres,
+            d_freqs, d_lastn, d_ring,
         )
         self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
-                        d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring)
+                        d_topks, d_minps, d_sids, d_reps, d_pres, d_freqs,
+                        d_lastn, d_ring)
         if want_lp:
             toks_d, chosen_d, tids_d, tlps_d = outs_d
             lp_data = (np.asarray(chosen_d), np.asarray(tids_d),

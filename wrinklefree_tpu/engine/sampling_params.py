@@ -23,6 +23,9 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     penalty_last_n: int = 64
+    # llama.cpp min_p sampler: drop tokens with prob < min_p * p(max).
+    # 0.0 = off (llama-server's own default is 0.05).
+    min_p: float = 0.0
     # Logprobs (OpenAI logprobs/top_logprobs, llama.cpp n_probs): 0 = off;
     # k >= 1 returns the chosen token's logprob + the top-k alternatives
     # per step (clamped to EngineConfig.logprobs_top).

@@ -89,11 +89,18 @@ def sample_token(
     rng: jax.Array,
     temperature=0.0,
     top_p=1.0,
-    top_k: int = 0,
+    top_k=0,
+    min_p=0.0,
     nucleus_candidates: int = 256,
 ) -> jax.Array:
-    """Returns next token ids [B] int32. temperature/top_p may be scalars
-    or per-row [B] arrays; temperature == 0 rows decode greedily.
+    """Returns next token ids [B] int32. temperature/top_p/top_k/min_p may
+    be scalars or per-row [B] arrays; temperature == 0 rows decode
+    greedily; top_k == 0 and min_p == 0 are identities.
+
+    min_p follows llama.cpp semantics (its default sampler): drop tokens
+    whose probability is below min_p * p(max). Because p_i/p_max =
+    exp(v_i - v_max) is invariant under masking other entries, the test
+    runs directly on shifted logits and commutes with top-k/top-p.
 
     Hot-path design: top-p runs over the `nucleus_candidates` largest
     logits only (a full-vocab sort of [B, 128K] costs tens of ms per
@@ -103,6 +110,8 @@ def sample_token(
     B, V = logits.shape
     temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))
+    top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,))
+    min_p = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,))
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -111,9 +120,13 @@ def sample_token(
         scaled = logits / safe_t[:, None]
         c = min(nucleus_candidates, V)
         vals, idx = jax.lax.top_k(scaled, c)  # [B, c] descending
-        if top_k:
-            ki = jnp.minimum(top_k, c) - 1
-            vals = jnp.where(jnp.arange(c)[None, :] <= ki, vals, -jnp.inf)
+        k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, c), c)
+        vals = jnp.where(jnp.arange(c)[None, :] < k_eff[:, None], vals, -jnp.inf)
+        # min_p: p_i/p_max >= min_p  <=>  v_i - v_max >= log(min_p)
+        keep_mp = (vals - vals[:, :1]) >= jnp.log(
+            jnp.maximum(min_p, 1e-38)
+        )[:, None]
+        vals = jnp.where(keep_mp | (min_p <= 0.0)[:, None], vals, -jnp.inf)
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         keep = (cum - probs) <= top_p[:, None]

@@ -160,6 +160,13 @@ class InferenceServer:
             top_k=int(body.get("top_k", 0)),
             max_new_tokens=max(1, max_new),
             ignore_eos=bool(body.get("ignore_eos", False)),
+            min_p=float(body.get("min_p", 0.0)),
+            # OpenAI/llama.cpp `seed`: llama.cpp uses -1 for "random"
+            seed=(
+                int(body["seed"])
+                if body.get("seed") is not None and int(body.get("seed", -1)) >= 0
+                else None
+            ),
             repetition_penalty=rep,
             presence_penalty=float(body.get("presence_penalty", 0.0)),
             frequency_penalty=float(body.get("frequency_penalty", 0.0)),
