@@ -405,3 +405,82 @@ class TestSamplerParams:
             timeout=120,
         ).json()
         assert r["tokens_predicted"] == 4
+
+
+class TestOpenAIExtras:
+    """OpenAI `n` (multiple choices), `echo`, `stream_options.include_usage`."""
+
+    def test_n_choices(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 6, "temperature": 1.0, "n": 3},
+            timeout=120,
+        ).json()
+        assert [c["index"] for c in r["choices"]] == [0, 1, 2]
+        texts = [c["message"]["content"] for c in r["choices"]]
+        assert len(set(texts)) > 1  # independent samples
+        # EOS may end a choice early at temp 1: bounded, not exact
+        assert 3 <= r["usage"]["completion_tokens"] <= 18
+
+    def test_n_with_seed_is_deterministic(self, server_url):
+        def run():
+            r = requests.post(
+                f"{server_url}/v1/completions",
+                json={"model": "m", "prompt": "hello", "max_tokens": 5,
+                      "temperature": 1.0, "n": 2, "seed": 9},
+                timeout=120,
+            ).json()
+            return [c["text"] for c in r["choices"]]
+
+        a, b = run(), run()
+        assert a == b
+        assert a[0] != a[1]  # choice i samples on seed+i
+
+    def test_echo(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hello", "max_tokens": 3,
+                  "temperature": 0.0, "echo": True},
+            timeout=120,
+        ).json()
+        no_echo = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hello", "max_tokens": 3,
+                  "temperature": 0.0},
+            timeout=120,
+        ).json()
+        assert r["choices"][0]["text"].endswith(no_echo["choices"][0]["text"])
+        assert len(r["choices"][0]["text"]) > len(no_echo["choices"][0]["text"])
+
+    def test_stream_include_usage(self, server_url):
+        import json as _json
+
+        with requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 5, "temperature": 0.0, "stream": True,
+                  "stream_options": {"include_usage": True}},
+            stream=True, timeout=120,
+        ) as resp:
+            usage = None
+            for line in resp.iter_lines():
+                if not line or not line.startswith(b"data: ") or line == b"data: [DONE]":
+                    continue
+                d = _json.loads(line[6:])
+                if d.get("usage"):
+                    assert d["choices"] == []
+                    usage = d["usage"]
+        assert usage is not None and usage["completion_tokens"] == 5
+
+    def test_stream_n_gt_1_rejected(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 4, "stream": True, "n": 2},
+            timeout=120,
+        )
+        assert r.status_code == 400

@@ -318,18 +318,36 @@ class InferenceServer:
             if body.get("logprobs") is True
             else None
         )
+        n = max(1, int(body.get("n", 1)))
         try:
             if body.get("stream"):
+                if n > 1:
+                    return web.json_response(
+                        {"error": {"message": "stream with n > 1 not supported"}},
+                        status=400,
+                    )
                 return await self._stream_chat(
-                    request, cid, ids, sampling, stops, lp_top=lp_top
+                    request, cid, ids, sampling, stops, lp_top=lp_top,
+                    usage=self._want_usage(body),
                 )
-            req, text, hit = await self._run(ids, sampling, stops)
-            reason = "stop" if hit is not None else (req.finish_reason or "stop")
-            lp = self._chat_logprobs(req, lp_top) if lp_top is not None else None
-            return web.json_response(
-                chat_response(cid, self.model_name, text, reason,
-                              len(ids), len(req.output_ids), logprobs=lp)
+            runs = await self._run_n(ids, sampling, stops, n)
+            choices, completion_toks = [], 0
+            for i, (req, text, hit) in enumerate(runs):
+                reason = "stop" if hit is not None else (req.finish_reason or "stop")
+                choice = {
+                    "index": i,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": reason,
+                }
+                if lp_top is not None:
+                    choice["logprobs"] = self._chat_logprobs(req, lp_top)
+                choices.append(choice)
+                completion_toks += len(req.output_ids)
+            payload = chat_response(
+                cid, self.model_name, "", "stop", len(ids), completion_toks
             )
+            payload["choices"] = choices
+            return web.json_response(payload)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
 
@@ -341,20 +359,40 @@ class InferenceServer:
         stops = _parse_stops(body)
         cid = completion_id()
         lp_top = int(body.get("logprobs") or 0) or None
+        n = max(1, int(body.get("n", 1)))
+        echo = bool(body.get("echo", False))
+        prompt_text = prompt if isinstance(prompt, str) else (
+            self.tokenizer.decode(ids, skip_special_tokens=True)
+        )
         try:
             if body.get("stream"):
+                if n > 1:
+                    return web.json_response(
+                        {"error": {"message": "stream with n > 1 not supported"}},
+                        status=400,
+                    )
                 return await self._stream_completion(
                     request, cid, ids, sampling, openai=True, stops=stops,
-                    lp_top=lp_top,
+                    lp_top=lp_top, echo_text=prompt_text if echo else None,
                 )
-            req, text, hit = await self._run(ids, sampling, stops)
-            reason = "stop" if hit is not None else (req.finish_reason or "stop")
-            lp = self._completion_logprobs(req, lp_top) if lp_top else None
-            return web.json_response(
-                completion_response(cid, self.model_name, text,
-                                    reason, len(ids),
-                                    len(req.output_ids), logprobs=lp)
+            runs = await self._run_n(ids, sampling, stops, n)
+            choices, completion_toks = [], 0
+            for i, (req, text, hit) in enumerate(runs):
+                reason = "stop" if hit is not None else (req.finish_reason or "stop")
+                choices.append({
+                    "index": i,
+                    "text": (prompt_text + text) if echo else text,
+                    "finish_reason": reason,
+                    "logprobs": (
+                        self._completion_logprobs(req, lp_top) if lp_top else None
+                    ),
+                })
+                completion_toks += len(req.output_ids)
+            payload = completion_response(
+                cid, self.model_name, "", "stop", len(ids), completion_toks
             )
+            payload["choices"] = choices
+            return web.json_response(payload)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
 
@@ -395,6 +433,29 @@ class InferenceServer:
 
     # -- generation helpers -------------------------------------------------
 
+    @staticmethod
+    def _want_usage(body: dict) -> bool:
+        """OpenAI `stream_options: {"include_usage": true}`."""
+        so = body.get("stream_options") or {}
+        return bool(isinstance(so, dict) and so.get("include_usage"))
+
+    async def _run_n(self, ids, sampling, stops, n: int):
+        """n independent completions (OpenAI `n`). With an explicit seed,
+        choice i samples on stream seed+i (same-seed choices would be
+        identical by design of the per-request RNG)."""
+        import dataclasses as _dc
+
+        if n == 1:
+            return [await self._run(ids, sampling, stops)]
+        samps = [
+            sampling if sampling.seed is None
+            else _dc.replace(sampling, seed=sampling.seed + i)
+            for i in range(n)
+        ]
+        return list(
+            await asyncio.gather(*(self._run(ids, s, stops) for s in samps))
+        )
+
     async def _run(self, ids, sampling, stops=None):
         detok = _Detokenizer(self.tokenizer)
         scan = _StopScan(stops)
@@ -415,7 +476,7 @@ class InferenceServer:
         return req, "".join(parts), scan.hit
 
     async def _stream_chat(self, request, cid, ids, sampling, stops=None,
-                           lp_top=None):
+                           lp_top=None, usage=False):
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -458,16 +519,35 @@ class InferenceServer:
                     chat_chunk(cid, self.model_name, {"content": tail}).encode()
                 )
         await resp.write(chat_chunk(cid, self.model_name, {}, finish).encode())
+        if usage:
+            payload = {
+                "id": cid, "object": "chat.completion.chunk",
+                "created": int(time.time()), "model": self.model_name,
+                "choices": [],
+                "usage": {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": n,
+                    "total_tokens": len(ids) + n,
+                },
+            }
+            await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
 
     async def _stream_completion(self, request, cid, ids, sampling, openai: bool,
-                                 stops=None, lp_top=None):
+                                 stops=None, lp_top=None, echo_text=None):
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
         )
         await resp.prepare(request)
+        if echo_text:  # OpenAI `echo`: the prompt leads the stream
+            first = {
+                "id": cid, "object": "text_completion", "model": self.model_name,
+                "choices": [{"index": 0, "text": echo_text, "logprobs": None,
+                             "finish_reason": None}],
+            }
+            await resp.write(f"data: {json.dumps(first)}\n\n".encode())
         detok = _Detokenizer(self.tokenizer)
         scan = _StopScan(stops)
         n = 0
