@@ -407,6 +407,89 @@ class TestSamplerParams:
         assert r["tokens_predicted"] == 4
 
 
+class TestOpsEndpoints:
+    """llama.cpp ops surface: /props, /slots, Prometheus /metrics."""
+
+    def test_props(self, server_url):
+        r = requests.get(f"{server_url}/props", timeout=30).json()
+        assert r["total_slots"] == 4
+        assert r["default_generation_settings"]["n_ctx"] > 0
+
+    def test_slots_reflect_occupancy(self, server_url):
+        r = requests.get(f"{server_url}/slots", timeout=30).json()
+        assert len(r) == 4
+        assert all(s["state"] in ("idle", "prefill", "decoding") for s in r)
+
+    def test_metrics_prometheus(self, server_url):
+        # generate something first so counters are non-zero
+        requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hi", "max_tokens": 2,
+                  "temperature": 0.0},
+            timeout=120,
+        )
+        resp = requests.get(f"{server_url}/metrics", timeout=30)
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        metrics = {}
+        for line in resp.text.splitlines():
+            if line and not line.startswith("#"):
+                k, v = line.rsplit(" ", 1)
+                metrics[k] = float(v)
+        assert metrics["wf_requests_total"] >= 1
+        assert metrics["wf_decode_tokens_total"] >= 1
+        assert metrics["wf_slots_total"] == 4
+        assert metrics["wf_uptime_seconds"] > 0
+
+
+class TestEmbeddings:
+    """OpenAI /v1/embeddings + llama.cpp /embedding (llama-server
+    surface): masked mean-pool of final hidden states, L2-normalized."""
+
+    def test_openai_single(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/embeddings",
+            json={"model": "m", "input": "hello world"},
+            timeout=120,
+        ).json()
+        assert r["object"] == "list" and len(r["data"]) == 1
+        emb = r["data"][0]["embedding"]
+        assert len(emb) > 0
+        import math
+
+        norm = math.sqrt(sum(x * x for x in emb))
+        assert abs(norm - 1.0) < 1e-3  # L2-normalized
+        assert r["usage"]["prompt_tokens"] == 11
+
+    def test_openai_batch_and_determinism(self, server_url):
+        def get(texts):
+            return requests.post(
+                f"{server_url}/v1/embeddings",
+                json={"model": "m", "input": texts},
+                timeout=120,
+            ).json()["data"]
+
+        a = get(["alpha", "beta"])
+        b = get(["alpha"])
+        assert [d["index"] for d in a] == [0, 1]
+        assert a[0]["embedding"] == b[0]["embedding"]  # deterministic
+        assert a[0]["embedding"] != a[1]["embedding"]
+
+    def test_padding_invariance(self, server_url):
+        """Bucket padding must not change the embedding: a 17-char input
+        (bucket 32) equals itself; different-length inputs sharing a
+        prefix differ — and the same text via both endpoints matches."""
+        text = "abcdefghijklmnopq"  # 17 bytes -> bucket 32
+        oa = requests.post(
+            f"{server_url}/v1/embeddings",
+            json={"model": "m", "input": text}, timeout=120,
+        ).json()["data"][0]["embedding"]
+        lc = requests.post(
+            f"{server_url}/embedding",
+            json={"content": text}, timeout=120,
+        ).json()["embedding"]
+        assert oa == lc
+
+
 class TestOpenAIExtras:
     """OpenAI `n` (multiple choices), `echo`, `stream_options.include_usage`."""
 
@@ -474,6 +557,51 @@ class TestOpenAIExtras:
                     assert d["choices"] == []
                     usage = d["usage"]
         assert usage is not None and usage["completion_tokens"] == 5
+
+    def test_logit_bias_openai_dict(self, server_url):
+        # tiny ByteTokenizer decodes id -> chr(96 + id % 26): 88 -> 'j'.
+        # +100 dominates the tiny model's ~±1 logits: every step picks it.
+        r = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hello", "max_tokens": 4,
+                  "temperature": 0.0, "logit_bias": {"88": 100}},
+            timeout=120,
+        ).json()
+        assert r["choices"][0]["text"] == "jjjj"
+
+    def test_logit_bias_ban_beats_positive(self, server_url):
+        # 88 at +100 would win, but -100 maps to a hard ban (-1e9), so
+        # 91 at +90 ('m') takes over
+        r = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hello", "max_tokens": 3,
+                  "temperature": 0.0,
+                  "logit_bias": {"88": -100, "91": 90}},
+            timeout=120,
+        ).json()
+        assert r["choices"][0]["text"] == "mmm"
+
+    def test_logit_bias_llamacpp_array(self, server_url):
+        # llama.cpp form: [[id, bias]]; 89 -> 'k'
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "hi", "n_predict": 3, "temperature": 0.0,
+                  "logit_bias": [[89, 100.0]]},
+            timeout=120,
+        ).json()
+        assert r["content"] == "kkk"
+
+    def test_logit_bias_parse_mapping(self, server_url):
+        # -100 (OpenAI) and `false` (llama.cpp) both map to a hard ban
+        from wrinklefree_tpu.server.http import InferenceServer
+
+        s = InferenceServer.__new__(InferenceServer)
+        sp = s._sampling_from({"logit_bias": {"7": -100, "9": 55}})
+        assert sp.logit_bias == [(7, -1e9), (9, 55.0)]
+        sp = s._sampling_from(
+            {"logit_bias": [[7, False], [9, -2.5]]}, is_llamacpp=True
+        )
+        assert sp.logit_bias == [(7, -1e9), (9, -2.5)]
 
     def test_stream_n_gt_1_rejected(self, server_url):
         r = requests.post(

@@ -144,6 +144,9 @@ class EngineConfig:
     # (built lazily on the first logprobs request; per-request logprobs_k
     # clamps to this).
     logprobs_top: int = 8
+    # Max distinct (token_id, bias) logit-bias pairs per request
+    # (device-resident [S, K] id/value arrays; submit() rejects longer).
+    logit_bias_slots: int = 16
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

@@ -31,7 +31,12 @@ import numpy as np
 
 from ..config import BitNetConfig, EngineConfig
 from ..kv.paged import PagedKV, paged_forward
-from ..ops.sampling import apply_penalties, per_request_keys, sample_token
+from ..ops.sampling import (
+    apply_logit_bias,
+    apply_penalties,
+    per_request_keys,
+    sample_token,
+)
 from .page_allocator import PageAllocator
 from .radix_cache import RadixCache
 from .sampling_params import SamplingParams
@@ -244,6 +249,9 @@ class Engine:
         self.slot_pres = np.zeros((S,), np.float32)
         self.slot_freqs = np.zeros((S,), np.float32)
         self.slot_lastn = np.zeros((S,), np.int32)
+        Kb = e.logit_bias_slots
+        self.slot_bias_ids = np.full((S, Kb), -1, np.int32)
+        self.slot_bias_vals = np.zeros((S, Kb), np.float32)
         # device-resident copies of the scheduling state (uploaded lazily;
         # page_table sliced to the active-history bucket)
         self._dstate = None
@@ -303,7 +311,7 @@ class Engine:
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps, top_ks, min_ps, slot_ids, reps,
-                  pres, freqs, lastn, ring):
+                  pres, freqs, lastn, ring, bias_ids, bias_vals):
             W = ring.shape[1]
             if lp_n and self.ecfg.exact_head_k:
                 # logprobs need the clean bf16 head distribution
@@ -343,9 +351,12 @@ class Engine:
                         # the distribution is exact (int8 entries dropped)
                         clean = {kk: vv for kk, vv in params.items()
                                  if not kk.startswith("lm_head_")}
-                        lg = apply_penalties(
-                            compute_logits(h, clean, cfg),
-                            ring, sl + 1, lastn, reps, pres, freqs,
+                        lg = apply_logit_bias(
+                            apply_penalties(
+                                compute_logits(h, clean, cfg),
+                                ring, sl + 1, lastn, reps, pres, freqs,
+                            ),
+                            bias_ids, bias_vals,
                         )
                         return sample_token(
                             lg, keys, temperature=temps, top_p=top_ps,
@@ -354,13 +365,16 @@ class Engine:
 
                     pen_on = jnp.any(
                         (reps != 1.0) | (pres != 0.0) | (freqs != 0.0)
-                    )
+                    ) | jnp.any(bias_ids >= 0)
                     nxt = jax.lax.cond(
                         jnp.any(temps > 0) | pen_on, sample, exact, hidden
                     )
                 else:
-                    pen = apply_penalties(
-                        logits, ring, sl + 1, lastn, reps, pres, freqs
+                    pen = apply_logit_bias(
+                        apply_penalties(
+                            logits, ring, sl + 1, lastn, reps, pres, freqs
+                        ),
+                        bias_ids, bias_vals,
                     )
                     nxt = sample_token(
                         pen, keys, temperature=temps, top_p=top_ps,
@@ -391,11 +405,11 @@ class Engine:
             from ..parallel.sharding import param_partition_specs
 
             pool_spec = self._pool_spec()
-            rep15 = tuple(P() for _ in range(15))
+            rep17 = tuple(P() for _ in range(17))
             out0 = (P(), P(), P(), P()) if with_logprobs else P()
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
-                in_specs=(param_partition_specs(self.params), pool_spec) + rep15,
+                in_specs=(param_partition_specs(self.params), pool_spec) + rep17,
                 out_specs=(out0, pool_spec, P(), P(), P(), P()),
                 check_vma=False,
             )
@@ -474,7 +488,7 @@ class Engine:
 
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
                         seeds, counters, temp, top_p, top_k, min_p, slot_ids,
-                        reps, pres, freqs, lastn, ring):
+                        reps, pres, freqs, lastn, ring, bias_ids, bias_vals):
                 if ek:
                     # exact-head mode: prefill always uses the clean bf16
                     # head (its cost is negligible next to prefill compute)
@@ -485,8 +499,12 @@ class Engine:
                     linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,
                     slot_ids=slot_ids,
                 )
-                logits = apply_penalties(
-                    logits, ring, seq_len + new_len, lastn, reps, pres, freqs
+                logits = apply_logit_bias(
+                    apply_penalties(
+                        logits, ring, seq_len + new_len, lastn, reps, pres,
+                        freqs,
+                    ),
+                    bias_ids, bias_vals,
                 )
                 keys = per_request_keys(seeds, counters)
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p,
@@ -510,11 +528,11 @@ class Engine:
                 from ..parallel.sharding import param_partition_specs
 
                 pool_spec = self._pool_spec()
-                rep16 = tuple(P() for _ in range(16))
+                rep18 = tuple(P() for _ in range(18))
                 out0 = (P(), P(), P(), P()) if with_logprobs else P()
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
-                    in_specs=(param_partition_specs(self.params), pool_spec) + rep16,
+                    in_specs=(param_partition_specs(self.params), pool_spec) + rep18,
                     out_specs=(out0, pool_spec),
                     check_vma=False,
                 )
@@ -538,6 +556,12 @@ class Engine:
         if len(prompt_ids) >= limit:
             raise ValueError(
                 f"prompt too long: {len(prompt_ids)} >= max_context {limit}"
+            )
+        if sampling.logit_bias and len(sampling.logit_bias) > self.ecfg.logit_bias_slots:
+            raise ValueError(
+                f"logit_bias has {len(sampling.logit_bias)} entries; "
+                f"engine supports {self.ecfg.logit_bias_slots} "
+                "(EngineConfig.logit_bias_slots)"
             )
         req = Request(next(self._rid), list(prompt_ids), sampling, on_token)
         req.seed = (
@@ -610,6 +634,9 @@ class Engine:
                     "frequency_penalty": s.frequency_penalty,
                     "penalty_last_n": s.penalty_last_n,
                     "logprobs_k": s.logprobs_k,
+                    "logit_bias": [
+                        [int(t), float(b)] for t, b in (s.logit_bias or [])
+                    ],
                 })
             return {"version": 1, "requests": reqs}
 
@@ -632,6 +659,9 @@ class Engine:
                 frequency_penalty=d.get("frequency_penalty", 0.0),
                 penalty_last_n=d.get("penalty_last_n", 64),
                 logprobs_k=d.get("logprobs_k", 0),
+                logit_bias=[
+                    (int(t), float(b)) for t, b in d.get("logit_bias", [])
+                ] or None,
             )
             cb = on_token_factory(d) if on_token_factory else None
             r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
@@ -782,6 +812,12 @@ class Engine:
         W = self.ecfg.penalty_window
         ln = s.penalty_last_n
         self.slot_lastn[slot] = W if ln < 0 else min(ln, W)
+        self.slot_bias_ids[slot] = -1
+        self.slot_bias_vals[slot] = 0.0
+        if s.logit_bias:
+            for k, (tid, bv) in enumerate(s.logit_bias):
+                self.slot_bias_ids[slot, k] = int(tid)
+                self.slot_bias_vals[slot, k] = float(bv)
         self._dirty = True
 
     def _prefill_round(self) -> bool:
@@ -842,6 +878,9 @@ class Engine:
         freqs = np.zeros((B,), np.float32)
         lastn = np.zeros((B,), np.int32)
         ring = np.full((B, W), -1, np.int32)
+        Kb = self.ecfg.logit_bias_slots
+        bias_ids = np.full((B, Kb), -1, np.int32)
+        bias_vals = np.zeros((B, Kb), np.float32)
         for j, (i, r, chunk) in enumerate(chunks):
             toks[j, : len(chunk)] = chunk
             pt[j] = self.page_table[i, :mp_pre]
@@ -853,6 +892,8 @@ class Engine:
             tps[j] = r.sampling.top_p
             topks[j] = self.slot_topks[i]
             minps[j] = self.slot_minps[i]
+            bias_ids[j] = self.slot_bias_ids[i]
+            bias_vals[j] = self.slot_bias_vals[i]
             sids[j] = i
             if r.sampling.has_penalties:
                 reps[j] = self.slot_reps[i]
@@ -877,6 +918,7 @@ class Engine:
             jnp.asarray(topks), jnp.asarray(minps),
             jnp.asarray(sids), jnp.asarray(reps), jnp.asarray(pres),
             jnp.asarray(freqs), jnp.asarray(lastn), jnp.asarray(ring),
+            jnp.asarray(bias_ids), jnp.asarray(bias_vals),
         )
         if want_lp:
             nxt, chosen_d, tids_d, tlps_d = out
@@ -953,6 +995,8 @@ class Engine:
             jnp.asarray(self.slot_freqs),
             jnp.asarray(self.slot_lastn),
             jnp.asarray(ring),
+            jnp.asarray(self.slot_bias_ids),
+            jnp.asarray(self.slot_bias_vals),
         )
         if self.ecfg.speculative_k > 0:
             # device-resident token history for n-gram drafting:
@@ -996,6 +1040,7 @@ class Engine:
             and all(
                 self.slots[i].sampling.temperature == 0.0
                 and not self.slots[i].sampling.has_penalties
+                and not self.slots[i].sampling.has_logit_bias
                 for i in active
             )
         )
@@ -1029,7 +1074,8 @@ class Engine:
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
         (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps, d_topks,
-         d_minps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring) = self._dstate
+         d_minps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring,
+         d_bids, d_bvals) = self._dstate
         room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
 
         if spec:
@@ -1043,7 +1089,8 @@ class Engine:
             )
             self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps,
                             d_tps, d_topks, d_minps, d_sids, d_reps,
-                            d_pres, d_freqs, d_lastn, d_ring)
+                            d_pres, d_freqs, d_lastn, d_ring, d_bids,
+                            d_bvals)
             toks = np.asarray(toks_d)  # [K, S, k+1]
             counts = np.asarray(counts_d)  # [K, S]
             self.stats["decode_steps"] += K
@@ -1082,11 +1129,11 @@ class Engine:
         outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
             d_temps, d_tps, d_topks, d_minps, d_sids, d_reps, d_pres,
-            d_freqs, d_lastn, d_ring,
+            d_freqs, d_lastn, d_ring, d_bids, d_bvals,
         )
         self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
                         d_topks, d_minps, d_sids, d_reps, d_pres, d_freqs,
-                        d_lastn, d_ring)
+                        d_lastn, d_ring, d_bids, d_bvals)
         if want_lp:
             toks_d, chosen_d, tids_d, tlps_d = outs_d
             lp_data = (np.asarray(chosen_d), np.asarray(tids_d),

@@ -30,6 +30,16 @@ class SamplingParams:
     # k >= 1 returns the chosen token's logprob + the top-k alternatives
     # per step (clamped to EngineConfig.logprobs_top).
     logprobs_k: int = 0
+    # Additive logit bias (OpenAI `logit_bias` {token_id: -100..100},
+    # llama.cpp `logit_bias` [[id, bias|false]]): list of (token_id,
+    # bias) pairs, at most EngineConfig.logit_bias_slots per request.
+    # Use a large negative bias (the server maps `false`/-100 to -1e9)
+    # to ban a token outright.
+    logit_bias: Optional[List] = None  # [(token_id, bias), ...]
+
+    @property
+    def has_logit_bias(self) -> bool:
+        return bool(self.logit_bias)
 
     @property
     def has_penalties(self) -> bool:

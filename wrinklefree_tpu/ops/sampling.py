@@ -84,6 +84,30 @@ def apply_penalties(
     return jax.lax.cond(active, _apply, lambda lg: lg, logits)
 
 
+def apply_logit_bias(
+    logits: jax.Array,  # [B, V] float32
+    bias_ids: jax.Array,  # [B, K] int32 token ids; -1 = empty slot
+    bias_vals: jax.Array,  # [B, K] float32 additive bias
+) -> jax.Array:
+    """Per-request additive logit bias (OpenAI `logit_bias`, llama.cpp
+    `logit_bias`). Each request carries up to K (id, bias) pairs; empty
+    slots hold id -1. Bias is added to the logits before sampling (and
+    before the logprob distribution is taken), matching OpenAI's
+    "added to the logits prior to sampling". The whole scatter is
+    skipped via `lax.cond` when no row carries a bias."""
+    B, V = logits.shape
+
+    def _apply(lg):
+        ids = jnp.where(bias_ids >= 0, bias_ids, V)  # V -> dropped
+        add = jnp.zeros((B, V), jnp.float32).at[
+            jnp.arange(B)[:, None], ids
+        ].add(bias_vals, mode="drop")
+        return lg + add
+
+    active = jnp.any(bias_ids >= 0)
+    return jax.lax.cond(active, _apply, lambda lg: lg, logits)
+
+
 def sample_token(
     logits: jax.Array,  # [B, V] float32
     rng: jax.Array,

@@ -154,6 +154,20 @@ class InferenceServer:
                 lp_k = max(1, int(body.get("top_logprobs", 0) or 0)) if lp else 0
             else:
                 lp_k = int(lp or 0)
+        # OpenAI `logit_bias`: {"token_id": -100..100} — -100 bans the
+        # token; llama.cpp `logit_bias`: [[id, bias]] with `false` = ban.
+        lb = body.get("logit_bias")
+        bias = []
+        if isinstance(lb, dict):
+            for k, v in lb.items():
+                b = float(v)
+                bias.append((int(k), -1e9 if b <= -100.0 else b))
+        elif isinstance(lb, list):
+            for pair in lb:
+                if not (isinstance(pair, (list, tuple)) and len(pair) == 2):
+                    continue
+                tid, v = pair
+                bias.append((int(tid), -1e9 if v is False else float(v)))
         return SamplingParams(
             temperature=float(body.get("temperature", 0.7)),
             top_p=float(body.get("top_p", 0.9)),
@@ -172,6 +186,7 @@ class InferenceServer:
             frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             penalty_last_n=last_n,
             logprobs_k=max(0, lp_k),
+            logit_bias=bias or None,
         )
 
     # -- logprobs rendering --------------------------------------------------
@@ -287,6 +302,180 @@ class InferenceServer:
                 "queued": eng.waiting.qsize(),
             }
         )
+
+    async def props(self, request):
+        """llama.cpp `/props`: server properties + generation defaults
+        (llama-server ops surface; the reference's BitNet.cpp backend
+        serves the same endpoint)."""
+        eng = self.async_engine.engine
+        return web.json_response(
+            {
+                "model_path": self.model_name,
+                "total_slots": len(eng.slots),
+                "chat_template": getattr(self.tokenizer, "chat_template", None)
+                or "",
+                "default_generation_settings": {
+                    "n_ctx": eng.ecfg.max_context,
+                    "params": {
+                        "temperature": 0.7,
+                        "top_p": 0.9,
+                        "top_k": 0,
+                        "min_p": 0.0,
+                        "n_predict": 128,
+                    },
+                },
+            }
+        )
+
+    async def slots(self, request):
+        """llama.cpp `/slots`: per-slot occupancy and progress."""
+        eng = self.async_engine.engine
+        out = []
+        for i, r in enumerate(eng.slots):
+            if r is None:
+                out.append({"id": i, "state": "idle"})
+            else:
+                out.append({
+                    "id": i,
+                    "state": "prefill" if r.pending else "decoding",
+                    "request_id": r.rid,
+                    "prompt_tokens": len(r.prompt_ids),
+                    "generated_tokens": len(r.output_ids),
+                    "seq_len": int(r.seq_len),
+                })
+        return web.json_response(out)
+
+    async def metrics(self, request):
+        """Prometheus text exposition (llama-server `/metrics` analog;
+        reference ops parity — SURVEY.md §5.5 metrics schema)."""
+        eng = self.async_engine.engine
+        s = eng.stats
+        busy = sum(x is not None for x in eng.slots)
+        lines = [
+            "# TYPE wf_requests_total counter",
+            f"wf_requests_total {s.get('requests', 0)}",
+            "# TYPE wf_decode_tokens_total counter",
+            f"wf_decode_tokens_total {s.get('decode_tokens', 0)}",
+            "# TYPE wf_prefill_tokens_total counter",
+            f"wf_prefill_tokens_total {s.get('prefill_tokens', 0)}",
+            "# TYPE wf_decode_steps_total counter",
+            f"wf_decode_steps_total {s.get('decode_steps', 0)}",
+            "# TYPE wf_radix_hit_tokens_total counter",
+            f"wf_radix_hit_tokens_total {s.get('radix_hit_tokens', 0)}",
+            "# TYPE wf_slots_busy gauge",
+            f"wf_slots_busy {busy}",
+            "# TYPE wf_slots_total gauge",
+            f"wf_slots_total {len(eng.slots)}",
+            "# TYPE wf_queue_waiting gauge",
+            f"wf_queue_waiting {eng.waiting.qsize()}",
+            "# TYPE wf_kv_pages_free gauge",
+            f"wf_kv_pages_free {eng.allocator.num_free}",
+            "# TYPE wf_kv_pages_cached gauge",
+            f"wf_kv_pages_cached "
+            f"{eng.radix.num_cached_pages if eng.radix else 0}",
+            "# TYPE wf_uptime_seconds gauge",
+            f"wf_uptime_seconds {round(time.time() - self.start_time, 1)}",
+        ]
+        return web.Response(
+            text="\n".join(lines) + "\n",
+            content_type="text/plain",
+        )
+
+    # -- embeddings ---------------------------------------------------------
+    # OpenAI /v1/embeddings + llama.cpp /embedding (llama-server surface;
+    # the reference's BitNet.cpp backend serves the same endpoint).
+    # Masked mean-pool over final hidden states, L2-normalized; one jitted
+    # program per pow2 length bucket.
+
+    def _embed_program(self, bucket: int):
+        progs = getattr(self, "_embed_jits", None)
+        if progs is None:
+            progs = self._embed_jits = {}
+        if bucket not in progs:
+            import jax
+            import jax.numpy as jnp
+
+            eng = self.async_engine.engine
+            cfg = eng.cfg
+            lf = eng._linear_fn
+
+            @jax.jit
+            def run(params, toks, length):  # toks [1, bucket], length []
+                from ..models.bitnet import KVCache, forward
+
+                cache = KVCache.zeros(cfg, 1, bucket)
+                hidden, _ = forward(
+                    params, cfg, toks, cache, jnp.zeros((1,), jnp.int32),
+                    logits_all=True, head_fn=lambda h, p: h, linear_fn=lf,
+                )  # [1, bucket, H]
+                mask = (jnp.arange(bucket) < length)[None, :, None]
+                s = jnp.sum(
+                    hidden.astype(jnp.float32) * mask, axis=1
+                ) / jnp.maximum(length, 1)
+                emb = s / jnp.clip(
+                    jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-9
+                )
+                return emb[0]
+
+            progs[bucket] = run
+        return progs[bucket]
+
+    def _embed_one(self, ids):
+        import numpy as np
+        import jax.numpy as jnp
+
+        eng = self.async_engine.engine
+        if eng.mesh is not None:
+            raise ValueError("embeddings not supported with tp > 1")
+        ids = ids[: eng.ecfg.max_context]
+        bucket = 16
+        while bucket < len(ids):
+            bucket *= 2
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, : len(ids)] = ids
+        fn = self._embed_program(bucket)
+        out = fn(eng.params, jnp.asarray(toks), jnp.asarray(len(ids)))
+        return np.asarray(out).tolist()
+
+    async def embeddings(self, request):
+        """OpenAI `/v1/embeddings`."""
+        body = await request.json()
+        inp = body.get("input", "")
+        items = [inp] if isinstance(inp, str) else list(inp)
+        if not items or len(items) > 64:
+            return web.json_response(
+                {"error": {"message": "input must be 1..64 strings"}},
+                status=400,
+            )
+        loop = asyncio.get_running_loop()
+        data, total = [], 0
+        try:
+            for i, text in enumerate(items):
+                ids = self._encode(text) if isinstance(text, str) else list(text)
+                emb = await loop.run_in_executor(None, self._embed_one, ids)
+                data.append(
+                    {"object": "embedding", "embedding": emb, "index": i}
+                )
+                total += len(ids)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response({
+            "object": "list",
+            "model": self.model_name,
+            "data": data,
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
+
+    async def llamacpp_embedding(self, request):
+        """llama.cpp `/embedding`."""
+        body = await request.json()
+        ids = self._encode(body.get("content", ""))
+        loop = asyncio.get_running_loop()
+        try:
+            emb = await loop.run_in_executor(None, self._embed_one, ids)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response({"embedding": emb})
 
     async def tokenize(self, request):
         body = await request.json()
@@ -619,9 +808,14 @@ def build_app(server: InferenceServer) -> web.Application:
             web.get("/health", server.health),
             web.get("/v1/models", server.models),
             web.get("/stats", server.stats),
+            web.get("/props", server.props),
+            web.get("/slots", server.slots),
+            web.get("/metrics", server.metrics),
             web.post("/v1/chat/completions", server.chat_completions),
             web.post("/v1/completions", server.completions),
             web.post("/completion", server.llamacpp_completion),
+            web.post("/v1/embeddings", server.embeddings),
+            web.post("/embedding", server.llamacpp_embedding),
             web.post("/tokenize", server.tokenize),
             web.post("/detokenize", server.detokenize),
         ]
