@@ -420,6 +420,32 @@ class TestOpsEndpoints:
         assert len(r) == 4
         assert all(s["state"] in ("idle", "prefill", "decoding") for s in r)
 
+    def test_latency_percentiles(self, server_url):
+        """/stats latency window + Prometheus TTFT/e2e summaries appear
+        after a request finishes (reference BenchmarkMetrics schema,
+        legacy/benchmark/metrics.py — live instead of offline)."""
+        requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "warm", "max_tokens": 2,
+                  "temperature": 0.0},
+            timeout=120,
+        )
+        lat = requests.get(f"{server_url}/stats", timeout=30).json()["latency"]
+        assert lat["window"] >= 1
+        assert 0 < lat["ttft_s"]["p50"] <= lat["ttft_s"]["p99"]
+        assert lat["ttft_s"]["p50"] <= lat["e2e_s"]["p50"]
+        text = requests.get(f"{server_url}/metrics", timeout=30).text
+        assert 'wf_ttft_seconds{quantile="0.50"}' in text
+        assert 'wf_e2e_latency_seconds{quantile="0.99"}' in text
+
+    def test_client_embeddings(self, server_url):
+        from wrinklefree_tpu.client import InferenceClient
+
+        c = InferenceClient(server_url)
+        e1 = c.embed("hello")
+        (e2,) = c.embeddings("hello")
+        assert e1 == e2 and len(e1) > 0
+
     def test_metrics_prometheus(self, server_url):
         # generate something first so counters are non-zero
         requests.post(

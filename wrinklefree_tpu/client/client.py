@@ -53,6 +53,25 @@ class InferenceClient:
         r.raise_for_status()
         return r.json()
 
+    def embed(self, text: str) -> List[float]:
+        """llama.cpp `/embedding` (single input)."""
+        r = self.session.post(
+            f"{self.base_url}/embedding", json={"content": text},
+            timeout=self.timeout,
+        )
+        r.raise_for_status()
+        return r.json()["embedding"]
+
+    def embeddings(self, inputs: "str | List[str]", model: str = "") -> List[List[float]]:
+        """OpenAI `/v1/embeddings` (batch)."""
+        r = self.session.post(
+            f"{self.base_url}/v1/embeddings",
+            json={"model": model, "input": inputs},
+            timeout=self.timeout,
+        )
+        r.raise_for_status()
+        return [d["embedding"] for d in r.json()["data"]]
+
     # -- generation --------------------------------------------------------
 
     def generate(

@@ -272,6 +272,12 @@ class Engine:
         # metrics
         self.stats = {"decode_steps": 0, "decode_tokens": 0, "prefill_tokens": 0,
                       "radix_hit_tokens": 0, "requests": 0}
+        # rolling (ttft_s, e2e_s, n_tokens) of the last 512 finished
+        # requests — the reference's BenchmarkMetrics percentile schema
+        # (legacy/benchmark/metrics.py), kept live instead of offline
+        import collections
+
+        self.latency_log = collections.deque(maxlen=512)
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -1221,11 +1227,36 @@ class Engine:
             self._finish(req, reason)
             return True
 
+    def latency_summary(self) -> dict:
+        """p50/p95/p99 TTFT and end-to-end latency over the rolling
+        window of finished requests (empty dict until one finishes)."""
+        log = list(self.latency_log)
+        if not log:
+            return {}
+        ttfts = np.asarray([x[0] for x in log])
+        e2es = np.asarray([x[1] for x in log])
+        q = [50, 95, 99]
+        t50, t95, t99 = np.percentile(ttfts, q)
+        e50, e95, e99 = np.percentile(e2es, q)
+        return {
+            "window": len(log),
+            "ttft_s": {"p50": round(float(t50), 4), "p95": round(float(t95), 4),
+                       "p99": round(float(t99), 4)},
+            "e2e_s": {"p50": round(float(e50), 4), "p95": round(float(e95), 4),
+                      "p99": round(float(e99), 4)},
+        }
+
     def _finish(self, req: Request, reason: str):
         self._dirty = True
         req.finished = True
         req.finish_reason = reason
         req.finish_t = time.monotonic()
+        if req.first_token_t is not None:
+            self.latency_log.append((
+                req.first_token_t - req.arrival_t,
+                req.finish_t - req.arrival_t,
+                len(req.output_ids),
+            ))
         slot = req.slot
         if slot >= 0 and self.slots[slot] is req:
             self.slots[slot] = None

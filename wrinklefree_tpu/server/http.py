@@ -300,6 +300,7 @@ class InferenceServer:
                 "cached_pages": eng.radix.num_cached_pages if eng.radix else 0,
                 "active_slots": sum(s is not None for s in eng.slots),
                 "queued": eng.waiting.qsize(),
+                "latency": eng.latency_summary(),
             }
         )
 
@@ -376,6 +377,18 @@ class InferenceServer:
             "# TYPE wf_uptime_seconds gauge",
             f"wf_uptime_seconds {round(time.time() - self.start_time, 1)}",
         ]
+        lat = eng.latency_summary()
+        if lat:
+            lines.append("# TYPE wf_ttft_seconds summary")
+            for p, v in lat["ttft_s"].items():
+                lines.append(
+                    f'wf_ttft_seconds{{quantile="0.{p[1:]}"}} {v}'
+                )
+            lines.append("# TYPE wf_e2e_latency_seconds summary")
+            for p, v in lat["e2e_s"].items():
+                lines.append(
+                    f'wf_e2e_latency_seconds{{quantile="0.{p[1:]}"}} {v}'
+                )
         return web.Response(
             text="\n".join(lines) + "\n",
             content_type="text/plain",
