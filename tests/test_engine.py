@@ -231,3 +231,72 @@ class TestInterleavedPrefill:
         while not (a.finished and b.finished):
             eng.step()
         assert a.finish_reason and b.finish_reason
+
+
+class TestSchedulerKnobs:
+    """Opt-in scheduler refinements: decode-slot reservation
+    (max_prefill_slots) and all-rows prefill rounds (prefill_round_mode).
+    Both must be token-identical to the defaults."""
+
+    def _run_all(self, eng, prompts, max_new=6):
+        reqs = [eng.submit(p, SamplingParams(max_new_tokens=max_new))
+                for p in prompts]
+        while not all(r.finished for r in reqs):
+            eng.step()
+        return [r.output_ids for r in reqs]
+
+    def test_all_rows_mode_matches_bucket_mode(self, params):
+        rng = np.random.default_rng(3)
+        # mixed pending lengths across buckets, > slots (queue waves)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(n,)).tolist()
+                   for n in (5, 30, 12, 21, 7, 26)]
+        want = self._run_all(Engine(params, CFG, ECFG), prompts)
+        ecfg = EngineConfig(**{**ECFG.__dict__, "prefill_round_mode": "all"})
+        got = self._run_all(Engine(params, CFG, ecfg), prompts)
+        assert got == want
+
+    def test_all_rows_mode_fewer_rounds(self, params):
+        """Same mixed-bucket wave: 'all' mode advances every row per
+        round, so it needs no more (usually fewer) prefill dispatches."""
+        rng = np.random.default_rng(4)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(n,)).tolist()
+                   for n in (30, 5, 26, 7)]
+
+        def rounds(ecfg):
+            eng = Engine(params, CFG, ecfg)
+            reqs = [eng.submit(p, SamplingParams(max_new_tokens=2))
+                    for p in prompts]
+            n = 0
+            while not all(r.finished for r in reqs):
+                before = eng.stats["prefill_tokens"]
+                eng.step()
+                n += eng.stats["prefill_tokens"] > before
+            return n
+
+        n_bucket = rounds(ECFG)
+        n_all = rounds(
+            EngineConfig(**{**ECFG.__dict__, "prefill_round_mode": "all"})
+        )
+        assert n_all <= n_bucket
+
+    def test_max_prefill_slots_reserves_decode(self, params):
+        """With a cap of 1, a decoding request keeps its slot while a
+        wave of new prompts is admitted one at a time; outputs still
+        match the uncapped engine."""
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(n,)).tolist()
+                   for n in (4, 18, 25, 9, 14)]
+        want = self._run_all(Engine(params, CFG, ECFG), prompts)
+        ecfg = EngineConfig(**{**ECFG.__dict__, "max_prefill_slots": 1})
+        eng = Engine(params, CFG, ecfg)
+        reqs = [eng.submit(p, SamplingParams(max_new_tokens=6))
+                for p in prompts]
+        max_prefilling = 0
+        while not all(r.finished for r in reqs):
+            eng.step()
+            max_prefilling = max(
+                max_prefilling,
+                sum(1 for r in eng.slots if r is not None and r.pending),
+            )
+        assert max_prefilling <= 1
+        assert [r.output_ids for r in reqs] == want

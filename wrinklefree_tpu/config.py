@@ -147,6 +147,16 @@ class EngineConfig:
     # Max distinct (token_id, bias) logit-bias pairs per request
     # (device-resident [S, K] id/value arrays; submit() rejects longer).
     logit_bias_slots: int = 16
+    # Decode-slot reservation: cap on concurrently-prefilling slots so
+    # sustained admission can't turn the whole batch into prefill waves.
+    # None = no cap (measured default; see RESULTS.md serving rows).
+    max_prefill_slots: "int | None" = None
+    # Prefill round membership: "bucket" (default) runs only the oldest
+    # row's chunk-bucket group per round; "all" advances every
+    # mid-prefill row each round at that bucket width (more padding
+    # compute, fewer dispatches — candidate win on high-latency
+    # transports).
+    prefill_round_mode: str = "bucket"
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

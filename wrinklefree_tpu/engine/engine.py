@@ -735,9 +735,18 @@ class Engine:
 
     def _admit(self) -> bool:
         did = False
+        cap = self.ecfg.max_prefill_slots
         for slot in range(len(self.slots)):
             if self.slots[slot] is not None:
                 continue
+            if cap is not None and sum(
+                1 for r in self.slots if r is not None and r.pending
+            ) >= cap:
+                # decode-slot reservation: under sustained admission
+                # pressure, keep some slots decoding instead of turning
+                # the whole batch into prefill waves (SURVEY.md §2.3
+                # continuous batching; roadmap refinement)
+                break
             req = self._next_waiting()
             if req is None:
                 break
@@ -849,7 +858,15 @@ class Engine:
             by_bucket.setdefault(self._pick_bucket(len(r.pending)), []).append((i, r))
         oldest = min(rows, key=lambda ir: ir[1].arrival_t)
         bucket = self._pick_bucket(len(oldest[1].pending))
-        rows = by_bucket[bucket]
+        if self.ecfg.prefill_round_mode == "all":
+            # every mid-prefill row advances each round at the oldest
+            # row's bucket width (short rows pad, long rows take a
+            # bucket-sized chunk): more padding compute, ~half the
+            # dispatches — wins when round trips dominate (tunnel
+            # transports pay ~30 ms per dispatch; see RESULTS.md)
+            pass
+        else:  # "bucket" (default): only the oldest row's bucket group
+            rows = by_bucket[bucket]
         # bound the round's write transients: shrink the bucket until
         # rows x bucket fits the budget (never below the smallest bucket)
         budget = self.ecfg.max_prefill_tokens_per_round
