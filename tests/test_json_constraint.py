@@ -1,0 +1,169 @@
+"""JSON-prefix validator + engine constrained-decoding tests
+(OpenAI `response_format: {"type": "json_object"}`; llama-server
+grammar surface analog)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wrinklefree_tpu.engine.json_constraint import JsonPrefixValidator
+
+
+def run(text):
+    return JsonPrefixValidator().advance(text)
+
+
+class TestValidator:
+    @pytest.mark.parametrize("text", [
+        '{}', '{"a": 1}', '{"a": [1, 2, {"b": null}], "c": "x"}',
+        '{"s": "es\\"c \\u00ff"}', '{"n": -0.5e+10}',
+        '  {"a": true, "b": false}  ',
+    ])
+    def test_complete_objects(self, text):
+        assert run(text) == "complete"
+        json.loads(text)  # agree with the stdlib
+
+    @pytest.mark.parametrize("text", [
+        '{', '{"a"', '{"a": ', '{"a": [1,', '{"a": "unterminated',
+        '{"a": 1.2e', '{"a": tru', '', '   ', '{"a": -',
+    ])
+    def test_valid_prefixes(self, text):
+        assert run(text) == "ok"
+
+    @pytest.mark.parametrize("text", [
+        '[1]',        # top level must be an object
+        '"str"', '1', 'x', '{,}', '{"a" 1}', '{"a": 01}',
+        '{"a": 1,,}', '{"a": 1}}', '{"a": .5}', '{"a": +1}',
+        '{"a": 1} x', '{"a": tr0}', '{"a": "\\q"}', '{]',
+    ])
+    def test_dead(self, text):
+        assert run(text) == "dead"
+
+    def test_incremental_equals_oneshot(self):
+        text = '{"k": [1, {"x": "y\\n"}, -2.5e3, true], "z": {}}'
+        v = JsonPrefixValidator()
+        results = [v.advance(ch) for ch in text]
+        assert results[-1] == "complete"
+        assert "dead" not in results
+        assert run(text) == "complete"
+
+    def test_clone_is_independent(self):
+        v = JsonPrefixValidator()
+        v.advance('{"a": [')
+        c = v.clone()
+        assert c.advance("1]}") == "complete"
+        assert v.advance('2, 3') == "ok"  # original unaffected by clone
+        assert v.advance(']}') == "complete"
+
+    def test_number_delimiter_reprocessed(self):
+        v = JsonPrefixValidator()
+        assert v.advance('{"a": 12}') == "complete"  # '}' both ends 12 and closes
+
+
+from wrinklefree_tpu.config import BitNetConfig, EngineConfig
+from wrinklefree_tpu.engine import Engine, SamplingParams
+from wrinklefree_tpu.models.bitnet import init_params
+
+CFG = BitNetConfig.tiny()
+ECFG = EngineConfig(
+    max_batch_slots=4, page_size=8, num_pages=64, max_context=64,
+    prefill_buckets=(8, 16, 32),
+)
+# id i -> chr(i) over printable ASCII so JSON structure chars exist
+PIECES = [chr(i) if 32 <= i < 127 else "" for i in range(CFG.vocab_size)]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, seed=0)
+
+
+def make_engine(params, **over):
+    ecfg = EngineConfig(**{**ECFG.__dict__, **over}) if over else ECFG
+    eng = Engine(params, CFG, ecfg)
+    eng.token_pieces = PIECES
+    return eng
+
+
+class TestEngineJsonMode:
+    def _text(self, req):
+        return "".join(PIECES[t] for t in req.output_ids)
+
+    def test_output_is_valid_json_prefix(self, params):
+        eng = make_engine(params)
+        req = eng.generate(
+            [1, 5, 9, 2, 7],
+            SamplingParams(max_new_tokens=24, json_mode=True, ignore_eos=True),
+        )
+        text = self._text(req)
+        assert text.startswith("{")
+        v = JsonPrefixValidator()
+        assert v.advance(text) in ("ok", "complete")
+        if req.finish_reason == "stop":  # grammar completed
+            json.loads(text)
+
+    def test_greedy_deterministic(self, params):
+        eng = make_engine(params)
+        sp = SamplingParams(max_new_tokens=12, json_mode=True, ignore_eos=True)
+        a = eng.generate([1, 5, 9], sp).output_ids
+        b = eng.generate([1, 5, 9], sp).output_ids
+        assert a == b
+
+    def test_seeded_sampling_reproducible_and_valid(self, params):
+        eng = make_engine(params)
+        sp = SamplingParams(max_new_tokens=16, temperature=1.0, seed=11,
+                            json_mode=True, ignore_eos=True)
+        a = eng.generate([1, 5, 9], sp)
+        b = eng.generate([1, 5, 9], sp)
+        assert a.output_ids == b.output_ids
+        v = JsonPrefixValidator()
+        assert v.advance(self._text(a)) in ("ok", "complete")
+
+    def test_mixed_batch_unconstrained_rows_unaffected_tokens(self, params):
+        """Unconstrained rows decode correct tokens (single-step mode)
+        while a constrained row shares the batch."""
+        eng0 = make_engine(params)
+        want = eng0.generate(
+            [4, 4, 4], SamplingParams(max_new_tokens=6, ignore_eos=True)
+        ).output_ids
+        eng = make_engine(params)
+        r_con = eng.submit(
+            [1, 5, 9],
+            SamplingParams(max_new_tokens=20, json_mode=True, ignore_eos=True),
+        )
+        r_plain = eng.submit(
+            [4, 4, 4], SamplingParams(max_new_tokens=6, ignore_eos=True)
+        )
+        while not (r_con.finished and r_plain.finished):
+            eng.step()
+        assert r_plain.output_ids == want
+        v = JsonPrefixValidator()
+        assert v.advance(self._text(r_con)) in ("ok", "complete")
+
+    def test_requires_token_pieces(self, params):
+        eng = Engine(params, CFG, ECFG)  # token_pieces not set
+        with pytest.raises(ValueError, match="token_pieces"):
+            eng.submit([1, 2], SamplingParams(json_mode=True))
+
+    def test_logprobs_combo_rejected(self, params):
+        eng = make_engine(params)
+        with pytest.raises(ValueError, match="logprobs"):
+            eng.submit([1, 2], SamplingParams(json_mode=True, logprobs_k=2))
+
+    def test_snapshot_restore_continues_grammar(self, params):
+        eng = make_engine(params)
+        sp = SamplingParams(max_new_tokens=40, json_mode=True, ignore_eos=True)
+        req = eng.submit([1, 5, 9, 2], sp)
+        for _ in range(4):
+            eng.step()
+        if req.finished:
+            pytest.skip("completed before snapshot")
+        snap = eng.snapshot()
+        eng2 = make_engine(params)
+        (r2,) = eng2.restore(snap)
+        while not r2.finished:
+            eng2.step()
+        text = self._text(req)[: len(req.output_ids)] + self._text(r2)
+        v = JsonPrefixValidator()
+        assert v.advance(text) in ("ok", "complete")

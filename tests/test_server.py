@@ -585,7 +585,7 @@ class TestOpenAIExtras:
         assert usage is not None and usage["completion_tokens"] == 5
 
     def test_logit_bias_openai_dict(self, server_url):
-        # tiny ByteTokenizer decodes id -> chr(96 + id % 26): 88 -> 'j'.
+        # tiny ByteTokenizer decodes id -> chr(id - 1): 88 -> 'W'.
         # +100 dominates the tiny model's ~±1 logits: every step picks it.
         r = requests.post(
             f"{server_url}/v1/completions",
@@ -593,11 +593,11 @@ class TestOpenAIExtras:
                   "temperature": 0.0, "logit_bias": {"88": 100}},
             timeout=120,
         ).json()
-        assert r["choices"][0]["text"] == "jjjj"
+        assert r["choices"][0]["text"] == "WWWW"
 
     def test_logit_bias_ban_beats_positive(self, server_url):
         # 88 at +100 would win, but -100 maps to a hard ban (-1e9), so
-        # 91 at +90 ('m') takes over
+        # 91 at +90 ('Z') takes over
         r = requests.post(
             f"{server_url}/v1/completions",
             json={"model": "m", "prompt": "hello", "max_tokens": 3,
@@ -605,17 +605,17 @@ class TestOpenAIExtras:
                   "logit_bias": {"88": -100, "91": 90}},
             timeout=120,
         ).json()
-        assert r["choices"][0]["text"] == "mmm"
+        assert r["choices"][0]["text"] == "ZZZ"
 
     def test_logit_bias_llamacpp_array(self, server_url):
-        # llama.cpp form: [[id, bias]]; 89 -> 'k'
+        # llama.cpp form: [[id, bias]]; 89 -> 'X'
         r = requests.post(
             f"{server_url}/completion",
             json={"prompt": "hi", "n_predict": 3, "temperature": 0.0,
                   "logit_bias": [[89, 100.0]]},
             timeout=120,
         ).json()
-        assert r["content"] == "kkk"
+        assert r["content"] == "XXX"
 
     def test_logit_bias_parse_mapping(self, server_url):
         # -100 (OpenAI) and `false` (llama.cpp) both map to a hard ban
@@ -636,5 +636,62 @@ class TestOpenAIExtras:
                   "messages": [{"role": "user", "content": "hi"}],
                   "max_tokens": 4, "stream": True, "n": 2},
             timeout=120,
+        )
+        assert r.status_code == 400
+
+
+class TestJsonMode:
+    """OpenAI response_format json_object: output must be a valid JSON
+    object (or a valid prefix when cut by max_tokens)."""
+
+    def _check(self, text, reason):
+        from wrinklefree_tpu.engine.json_constraint import JsonPrefixValidator
+
+        v = JsonPrefixValidator()
+        r = v.advance(text)
+        assert r != "dead", text
+        if reason == "stop":
+            json.loads(text)
+
+    def test_completions_json_object(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "give me json", "max_tokens": 24,
+                  "temperature": 0.0,
+                  "response_format": {"type": "json_object"}},
+            timeout=300,
+        ).json()
+        c = r["choices"][0]
+        assert c["text"].lstrip().startswith("{")
+        self._check(c["text"], c["finish_reason"])
+
+    def test_chat_json_object_sampled(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "json please"}],
+                  "max_tokens": 24, "temperature": 0.8, "seed": 5,
+                  "response_format": {"type": "json_object"}},
+            timeout=300,
+        ).json()
+        c = r["choices"][0]
+        self._check(c["message"]["content"], c["finish_reason"])
+
+    def test_llamacpp_json_schema(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "json", "n_predict": 24, "temperature": 0.0,
+                  "json_schema": {}},
+            timeout=300,
+        ).json()
+        self._check(
+            r["content"], "stop" if r.get("stopped_eos") else "length"
+        )
+
+    def test_grammar_rejected(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "x", "n_predict": 4, "grammar": "root ::= \"a\""},
+            timeout=60,
         )
         assert r.status_code == 400

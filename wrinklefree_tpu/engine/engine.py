@@ -72,6 +72,9 @@ class Request:
     arrival_t: float = dataclasses.field(default_factory=time.monotonic)
     first_token_t: Optional[float] = None
     finish_t: Optional[float] = None
+    # incremental grammar state for json_mode (JsonPrefixValidator over
+    # emitted text so far); created at admission
+    grammar: object = None
 
 
 class Engine:
@@ -266,6 +269,10 @@ class Engine:
         self._decode_jit = self._build_decode()
         self._decode_lp_jit = None  # built lazily (first logprobs request)
         self._decode_spec_jit = None  # built lazily (speculative_k > 0)
+        self._decode_cand_jit = None  # built lazily (first json_mode request)
+        # id -> decoded text piece, set by the embedder (server) before
+        # json_mode requests can run; engine tests set it directly
+        self.token_pieces: "Optional[List[str]]" = None
         self._dhist = None
         self._prefill_jits: Dict[int, Callable] = {}
 
@@ -294,7 +301,8 @@ class Engine:
             None if self.pools.staging is None else spec,
         )
 
-    def _build_decode(self, with_logprobs: bool = False):
+    def _build_decode(self, with_logprobs: bool = False,
+                      return_logits: bool = False):
         """Fused K-step decode burst: a device-side `lax.scan` samples K
         tokens per slot per dispatch, so tunnel/host round-trips are paid
         once per K tokens instead of per token (the decode-loop-overhead
@@ -306,21 +314,28 @@ class Engine:
         ``with_logprobs`` builds the logprobs variant (chosen-token
         logprob + top-N per step; full bf16 head — the int8-scan exact
         head can't produce a distribution); the engine selects it per
-        burst when an active request asked for logprobs."""
+        burst when an active request asked for logprobs.
+
+        ``return_logits`` builds the constrained-decoding variant: ONE
+        step per dispatch that also returns the full post-penalty
+        logits, so the host can re-select tokens through a grammar
+        validator (engine json_mode path) and feed the corrected token
+        back — KV stays exact because a token's KV is written when it is
+        FED, not when it is sampled."""
         cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
         kvw = self._kv_write
-        K = self.ecfg.decode_burst
+        K = 1 if return_logits else self.ecfg.decode_burst
         tp_axis = "model" if self.mesh is not None else None
         fd = self.ecfg.flash_decode
-        ek = 0 if with_logprobs else self.ecfg.exact_head_k
+        ek = 0 if (with_logprobs or return_logits) else self.ecfg.exact_head_k
         lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
                   counters, temps, top_ps, top_ks, min_ps, slot_ids, reps,
                   pres, freqs, lastn, ring, bias_ids, bias_vals):
             W = ring.shape[1]
-            if lp_n and self.ecfg.exact_head_k:
-                # logprobs need the clean bf16 head distribution
+            if (lp_n or return_logits) and self.ecfg.exact_head_k:
+                # logprobs / host re-selection need the clean bf16 head
                 params = {kk: vv for kk, vv in params.items()
                           if not kk.startswith("lm_head_")}
 
@@ -395,6 +410,8 @@ class Engine:
                     )[:, 0]
                     top_lps, top_ids = jax.lax.top_k(full_lp, lp_n)
                     out = (nxt, chosen, top_ids.astype(jnp.int32), top_lps)
+                elif return_logits:
+                    out = (nxt, pen)
                 else:
                     out = nxt
                 return (pools, nxt, sl + 1, ctr + 1, ring), out
@@ -412,7 +429,10 @@ class Engine:
 
             pool_spec = self._pool_spec()
             rep17 = tuple(P() for _ in range(17))
-            out0 = (P(), P(), P(), P()) if with_logprobs else P()
+            out0 = (
+                (P(), P(), P(), P()) if with_logprobs
+                else ((P(), P()) if return_logits else P())
+            )
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
                 in_specs=(param_partition_specs(self.params), pool_spec) + rep17,
@@ -482,8 +502,9 @@ class Engine:
 
         return functools.partial(jax.jit, donate_argnums=(1,))(burst)
 
-    def _prefill_for_bucket(self, bucket: int, with_logprobs: bool = False):
-        key = (bucket, with_logprobs)
+    def _prefill_for_bucket(self, bucket: int, with_logprobs: bool = False,
+                            return_logits: bool = False):
+        key = (bucket, with_logprobs, return_logits)
         if key not in self._prefill_jits:
             cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
             kvw = self._kv_write
@@ -526,6 +547,10 @@ class Engine:
                     top_lps, top_ids = jax.lax.top_k(full_lp, lp_n)
                     return (padded, chosen, top_ids.astype(jnp.int32),
                             top_lps), pools
+                if return_logits:
+                    # constrained first token: host re-selects through
+                    # the grammar validator from the full distribution
+                    return (padded, logits), pools
                 return padded, pools
 
             if self.mesh is not None:
@@ -535,7 +560,10 @@ class Engine:
 
                 pool_spec = self._pool_spec()
                 rep18 = tuple(P() for _ in range(18))
-                out0 = (P(), P(), P(), P()) if with_logprobs else P()
+                out0 = (
+                    (P(), P(), P(), P()) if with_logprobs
+                    else ((P(), P()) if return_logits else P())
+                )
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
                     in_specs=(param_partition_specs(self.params), pool_spec) + rep18,
@@ -569,6 +597,14 @@ class Engine:
                 f"engine supports {self.ecfg.logit_bias_slots} "
                 "(EngineConfig.logit_bias_slots)"
             )
+        if sampling.json_mode:
+            if self.token_pieces is None:
+                raise ValueError(
+                    "json_mode requires Engine.token_pieces "
+                    "(id -> decoded text) to be set"
+                )
+            if sampling.logprobs_k > 0:
+                raise ValueError("json_mode with logprobs not supported")
         req = Request(next(self._rid), list(prompt_ids), sampling, on_token)
         req.seed = (
             sampling.seed
@@ -643,6 +679,7 @@ class Engine:
                     "logit_bias": [
                         [int(t), float(b)] for t, b in (s.logit_bias or [])
                     ],
+                    "json_mode": s.json_mode,
                 })
             return {"version": 1, "requests": reqs}
 
@@ -668,10 +705,19 @@ class Engine:
                 logit_bias=[
                     (int(t), float(b)) for t, b in d.get("logit_bias", [])
                 ] or None,
+                json_mode=d.get("json_mode", False),
             )
             cb = on_token_factory(d) if on_token_factory else None
             r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
             r.counter_base = d["counter_base"]
+            if sp.json_mode:
+                # the generated-so-far text is part of the restored
+                # prompt: replay it through a fresh validator
+                from .json_constraint import JsonPrefixValidator
+
+                r.grammar = JsonPrefixValidator()
+                for t in d["output_ids"]:
+                    r.grammar.advance(self.token_pieces[t])
             out.append(r)
         return out
 
@@ -827,6 +873,13 @@ class Engine:
         W = self.ecfg.penalty_window
         ln = s.penalty_last_n
         self.slot_lastn[slot] = W if ln < 0 else min(ln, W)
+        if s.json_mode and req.grammar is None:
+            from .json_constraint import JsonPrefixValidator
+
+            req.grammar = JsonPrefixValidator()
+            # restored/continued requests replay generated-so-far text
+            for t in req.output_ids:
+                req.grammar.advance(self.token_pieces[t])
         self.slot_bias_ids[slot] = -1
         self.slot_bias_vals[slot] = 0.0
         if s.logit_bias:
@@ -933,7 +986,17 @@ class Engine:
             r.sampling.logprobs_k > 0 and len(r.pending) <= bucket
             for _, r, _ in chunks
         )
-        fn = self._prefill_for_bucket(bucket, with_logprobs=want_lp)
+        want_cand = any(
+            r.sampling.json_mode and len(r.pending) <= bucket
+            for _, r, _ in chunks
+        )
+        # a round mixing logprobs rows and json_mode rows uses the
+        # full-logits variant; the logprobs entries are then computed
+        # host-side from the same logits
+        fn = self._prefill_for_bucket(
+            bucket, with_logprobs=want_lp and not want_cand,
+            return_logits=want_cand,
+        )
         out, self.pools = fn(
             self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
             jnp.asarray(seq), jnp.asarray(new), jnp.asarray(seeds),
@@ -943,7 +1006,12 @@ class Engine:
             jnp.asarray(freqs), jnp.asarray(lastn), jnp.asarray(ring),
             jnp.asarray(bias_ids), jnp.asarray(bias_vals),
         )
-        if want_lp:
+        logits_np = None
+        if want_cand:
+            nxt, logits_d = out
+            logits_np = np.asarray(logits_d)  # [B, V]
+            lp_np = None
+        elif want_lp:
             nxt, chosen_d, tids_d, tlps_d = out
             lp_np = (np.asarray(chosen_d), np.asarray(tids_d),
                      np.asarray(tlps_d))
@@ -958,11 +1026,32 @@ class Engine:
             if not r.pending:  # prompt fully cached: first sampled token
                 if nxt_np is None:
                     nxt_np = np.asarray(nxt)
-                first_tok = int(nxt_np[j])
+                status = ""
+                if r.sampling.json_mode:
+                    first_tok, status = self._select_constrained(
+                        r, logits_np[j]
+                    )
+                    if first_tok is None:
+                        self._finish_notify(r, "stop")
+                        continue
+                else:
+                    first_tok = int(nxt_np[j])
                 lp = None
-                if lp_np is not None and r.sampling.logprobs_k > 0:
-                    lp = (lp_np[0][j], lp_np[1][j], lp_np[2][j])
+                if r.sampling.logprobs_k > 0:
+                    if lp_np is not None:
+                        lp = (lp_np[0][j], lp_np[1][j], lp_np[2][j])
+                    elif logits_np is not None:
+                        # mixed round: logprobs from the full logits
+                        row = logits_np[j].astype(np.float64)
+                        lsm = row - (
+                            row.max() + np.log(np.exp(row - row.max()).sum())
+                        )
+                        n = self.ecfg.logprobs_top
+                        top = np.argsort(-lsm)[:n]
+                        lp = (lsm[first_tok], top, lsm[top])
                 self._emit_token(r, first_tok, lp)
+                if not r.finished and status == "complete":
+                    self._finish_notify(r, "stop")
                 if not r.finished:
                     self.last_tokens[i] = first_tok
                 self.slot_counters[i] = r.counter_base + len(r.output_ids)
@@ -1044,6 +1133,70 @@ class Engine:
             mp *= 2
         return min(mp, self.max_pages_per_seq)
 
+    def _finish_notify(self, req: Request, reason: str):
+        """Finish without a token emission (grammar dead-end/complete):
+        stream consumers still need a final (fin=True) notification."""
+        req.finish_reason = reason
+        req.finished = True
+        if req.on_token is not None:
+            req.on_token(-1, True)
+        self._finish(req, reason)
+
+    def _select_constrained(self, req: Request, logits_row: np.ndarray):
+        """Next token for a json_mode request from full post-penalty
+        logits: walk candidates in preference order, accept the first
+        whose decoded piece keeps the JSON-prefix validator alive.
+
+        Greedy preference = descending logits (matches the device
+        sampler exactly when the best token is legal). Sampled
+        preference uses the gumbel-top-k trick: argsort of
+        (logits/T + gumbel) yields a categorical draw followed by
+        sampling-without-replacement from the renormalized remainder —
+        exactly the llama.cpp resample-until-grammar-accepts semantics
+        in one sort. Deterministic per (seed, step) numpy stream.
+
+        Returns (token, status) with status "ok"/"complete", or
+        (None, "dead") when no candidate is acceptable."""
+        s = req.sampling
+        pieces = self.token_pieces
+        lg = logits_row.astype(np.float64)
+        V = lg.shape[0]
+        if s.temperature > 0:
+            t = lg / s.temperature
+            # top-k / min_p / top-p masks (device-sampler semantics)
+            if s.top_k > 0:
+                kth = np.partition(t, -s.top_k)[-s.top_k]
+                t[t < kth] = -np.inf
+            if s.min_p > 0:
+                t[t - t.max() < np.log(max(s.min_p, 1e-38))] = -np.inf
+            if s.top_p < 1.0:
+                order0 = np.argsort(-t)
+                p = np.exp(t[order0] - t[order0[0]])
+                p /= p.sum()
+                cum = np.cumsum(p)
+                drop = order0[1:][cum[:-1] > s.top_p]  # keep first always
+                t[drop] = -np.inf
+            rng = np.random.default_rng(
+                (int(req.seed) << 20)
+                ^ (req.counter_base + len(req.output_ids))
+            )
+            score = t + rng.gumbel(size=V)
+        else:
+            score = lg
+        order = np.argsort(-score)
+        for tok in order[:4096]:
+            if not np.isfinite(score[tok]):
+                break
+            piece = pieces[tok]
+            if not piece:  # specials decode to "" — never legal JSON
+                continue
+            cand = req.grammar.clone()
+            r = cand.advance(piece)
+            if r != "dead":
+                req.grammar = cand
+                return int(tok), r
+        return None, "dead"
+
     def _decode(self) -> bool:
         # mid-prefill slots don't decode (masked to trash in _upload_state)
         active = [
@@ -1064,6 +1217,7 @@ class Engine:
                 self.slots[i].sampling.temperature == 0.0
                 and not self.slots[i].sampling.has_penalties
                 and not self.slots[i].sampling.has_logit_bias
+                and not self.slots[i].sampling.json_mode
                 for i in active
             )
         )
@@ -1141,6 +1295,53 @@ class Engine:
                         self._emit_token(req, tok)
                         if not req.finished:
                             self.last_tokens[i] = tok
+            return True
+
+        if any(self.slots[i].sampling.json_mode for i in active):
+            # constrained mode: single-step dispatches + host re-selection
+            # through the JSON validator. Unconstrained rows in the same
+            # batch advance one token per dispatch too (documented QoS
+            # tradeoff while a json_mode request is active).
+            if self._decode_cand_jit is None:
+                self._decode_cand_jit = self._build_decode(return_logits=True)
+            outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = (
+                self._decode_cand_jit(
+                    self.params, self.pools, d_last, d_pt, d_sl, d_seeds,
+                    d_ctr, d_temps, d_tps, d_topks, d_minps, d_sids,
+                    d_reps, d_pres, d_freqs, d_lastn, d_ring, d_bids,
+                    d_bvals,
+                )
+            )
+            toks_d, logits_d = outs_d
+            toks = np.asarray(toks_d)  # [1, S]
+            logits = np.asarray(logits_d)  # [1, S, V]
+            self.stats["decode_steps"] += 1
+            for i in active:
+                req = self.slots[i]
+                if req.finished:
+                    continue
+                if req.seq_len >= room_cap:
+                    self._finish(req, "length")
+                    continue
+                req.seq_len += 1
+                self.seq_lens[i] = req.seq_len
+                if req.sampling.json_mode:
+                    tok, status = self._select_constrained(req, logits[0, i])
+                    if tok is None:  # dead end: no legal continuation
+                        self._finish_notify(req, "stop")
+                        continue
+                else:
+                    tok, status = int(toks[0, i]), ""
+                self.stats["decode_tokens"] += 1
+                self.slot_counters[i] += 1
+                self._emit_token(req, tok)
+                if not req.finished and status == "complete":
+                    self._finish_notify(req, "stop")
+                if not req.finished:
+                    self.last_tokens[i] = tok
+            # host-corrected tokens must reach the device: force a state
+            # re-upload before the next dispatch
+            self._dirty = True
             return True
 
         if want_lp:

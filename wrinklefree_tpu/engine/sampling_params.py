@@ -36,6 +36,12 @@ class SamplingParams:
     # Use a large negative bias (the server maps `false`/-100 to -1e9)
     # to ban a token outright.
     logit_bias: Optional[List] = None  # [(token_id, bias), ...]
+    # Constrained decoding: force the output to be a valid JSON object
+    # (OpenAI `response_format: {"type": "json_object"}`; llama-server
+    # grammar surface analog). Requires Engine.token_pieces; the request
+    # runs on single-step decode dispatches with host-side candidate
+    # re-selection through a JSON-prefix validator.
+    json_mode: bool = False
 
     @property
     def has_logit_bias(self) -> bool:

@@ -44,7 +44,9 @@ class ByteTokenizer:
         return [1 + (b % 250) for b in text.encode("utf-8")][:2048]
 
     def decode(self, ids, **kw) -> str:
-        return "".join(chr(96 + (i % 26)) if i > 0 else "" for i in ids)
+        # exact inverse of encode for ASCII (id i -> chr(i - 1)); every
+        # non-eos id renders one char so detok/usage stay aligned
+        return "".join(chr((i - 1) % 250) if i > 0 else "" for i in ids)
 
 
 class _Detokenizer:
@@ -168,6 +170,22 @@ class InferenceServer:
                     continue
                 tid, v = pair
                 bias.append((int(tid), -1e9 if v is False else float(v)))
+        # OpenAI `response_format`: json_object/json_schema force a valid
+        # JSON object (schema contents are not enforced beyond JSON-ness);
+        # llama.cpp `json_schema` maps the same way. GBNF `grammar` is
+        # not supported.
+        rf = body.get("response_format")
+        json_mode = bool(
+            (isinstance(rf, dict) and rf.get("type") in ("json_object", "json_schema"))
+            or body.get("json_schema") is not None
+        )
+        if body.get("grammar"):
+            raise ValueError(
+                "GBNF 'grammar' not supported; use response_format "
+                "{'type': 'json_object'}"
+            )
+        if json_mode:
+            self._ensure_token_pieces()
         return SamplingParams(
             temperature=float(body.get("temperature", 0.7)),
             top_p=float(body.get("top_p", 0.9)),
@@ -187,7 +205,19 @@ class InferenceServer:
             penalty_last_n=last_n,
             logprobs_k=max(0, lp_k),
             logit_bias=bias or None,
+            json_mode=json_mode,
         )
+
+    def _ensure_token_pieces(self):
+        """Populate Engine.token_pieces (id -> decoded text) once; the
+        constrained-decoding validator checks candidate pieces against
+        it (engine/json_constraint.py)."""
+        eng = self.async_engine.engine
+        if eng.token_pieces is None:
+            eng.token_pieces = [
+                self.tokenizer.decode([i], skip_special_tokens=False)
+                for i in range(eng.cfg.vocab_size)
+            ]
 
     # -- logprobs rendering --------------------------------------------------
     # Per-token data comes from Request.logprobs_seq: one
@@ -512,7 +542,10 @@ class InferenceServer:
             )
         prompt = format_chat_prompt(messages, self.tokenizer)
         ids = self._encode(prompt)
-        sampling = self._sampling_from(body)
+        try:
+            sampling = self._sampling_from(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
         stops = _parse_stops(body)
         cid = chat_completion_id()
         lp_top = (
@@ -557,7 +590,10 @@ class InferenceServer:
         body = await request.json()
         prompt = body.get("prompt", "")
         ids = self._encode(prompt)
-        sampling = self._sampling_from(body)
+        try:
+            sampling = self._sampling_from(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
         stops = _parse_stops(body)
         cid = completion_id()
         lp_top = int(body.get("logprobs") or 0) or None
@@ -602,7 +638,10 @@ class InferenceServer:
         """llama.cpp-style /completion (reference client/bitnet_client.py:50-104)."""
         body = await request.json()
         ids = self._encode(body.get("prompt", ""))
-        sampling = self._sampling_from(body, is_llamacpp=True)
+        try:
+            sampling = self._sampling_from(body, is_llamacpp=True)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
         stops = _parse_stops(body)
         n_probs = int(body.get("n_probs", 0) or 0)
         try:
