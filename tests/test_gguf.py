@@ -115,3 +115,46 @@ class TestHFConversion:
         w, gt = tensors["blk.0.attn_q.weight"]
         assert gt == GGML_F16 and w.dtype == np.float16
         assert w.shape == (128, 128)  # [out, in]
+
+
+class TestGGUFLoad:
+    """load_params_gguf: serve directly from a GGUF artifact (the
+    reference flow's primary format — BitNet.cpp setup_env generates
+    GGUF i2_s, SURVEY.md §2.2)."""
+
+    def test_gguf_roundtrip_matches_safetensors_load(self, tmp_path):
+        import jax.numpy as jnp
+
+        from wrinklefree_tpu.convert.gguf import load_params_gguf
+        from wrinklefree_tpu.models.bitnet import KVCache, forward
+        from wrinklefree_tpu.models.loader import load_params
+
+        src = _make_model_dir(tmp_path, dtype="ternary_float")
+        out = convert_hf_to_gguf(src, tmp_path / "m.gguf", quant_type="i2_s")
+        p_st, cfg_st = load_params(src)
+        p_gg, cfg_gg = load_params_gguf(out)
+        assert cfg_gg.num_layers == cfg_st.num_layers
+        assert cfg_gg.hidden_size == cfg_st.hidden_size
+        assert cfg_gg.sub_norms == cfg_st.sub_norms
+
+        toks = jnp.asarray([[1, 5, 9, 2]])
+        la, _ = forward(p_st, cfg_st, toks, KVCache.zeros(cfg_st, 1, 8),
+                        jnp.asarray([0]))
+        lb, _ = forward(p_gg, cfg_gg, toks, KVCache.zeros(cfg_gg, 1, 8),
+                        jnp.asarray([0]))
+        a, b = np.asarray(la, np.float32), np.asarray(lb, np.float32)
+        # ternary projections round-trip bit-exactly (see
+        # test_i2s_export_roundtrips_exactly); embed/norm tensors pass
+        # through GGUF f16, so logits agree to f16 precision
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-2)
+        np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+    def test_f16_gguf_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from wrinklefree_tpu.convert.gguf import load_params_gguf
+
+        src = _make_model_dir(tmp_path, dtype="ternary_float")
+        out = convert_hf_to_gguf(src, tmp_path / "m16.gguf", quant_type="f16")
+        with _pytest.raises(ValueError, match="i2_s"):
+            load_params_gguf(out)

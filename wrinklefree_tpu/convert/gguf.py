@@ -291,3 +291,94 @@ def convert_hf_to_gguf(
     path = write_gguf(output_path, meta, out)
     logger.info("wrote GGUF (%s, %d tensors): %s", quant_type, len(out), path)
     return path
+
+
+# llama.cpp block-tensor naming -> loader shorts (inverse of _LAYER_MAP)
+_GGUF_PROJS = {
+    "q": "attn_q.weight", "k": "attn_k.weight", "v": "attn_v.weight",
+    "o": "attn_output.weight", "gate": "ffn_gate.weight",
+    "up": "ffn_up.weight", "down": "ffn_down.weight",
+}
+_GGUF_NORMS = {
+    "input_ln": "attn_norm.weight", "post_ln": "ffn_norm.weight",
+    "attn_sub": "attn_sub_norm.weight", "ffn_sub": "ffn_sub_norm.weight",
+}
+
+
+def load_params_gguf(path: Path | str, dtype=None):
+    """Load a wf-exported i2_s GGUF -> (params, BitNetConfig): the
+    inverse of `convert_hf_to_gguf`, so a GGUF artifact (the reference
+    flow's primary format — BitNet.cpp setup_env generates GGUF,
+    SURVEY.md §2.2) can be served directly."""
+    import jax.numpy as jnp
+
+    from ..config import BitNetConfig
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    meta, tensors = read_gguf(path)
+    if meta.get("bitnet.quant_type", "i2_s") != "i2_s":
+        raise ValueError(
+            "only i2_s GGUF is loadable; f16/f32 exports need the "
+            "HF-dir path (convert + load_params)"
+        )
+    n_heads = int(meta["llama.attention.head_count"])
+    hidden = int(meta["llama.embedding_length"])
+    vocab = int(meta["llama.vocab_size"])
+    cfg = BitNetConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        intermediate_size=int(meta["llama.feed_forward_length"]),
+        num_layers=int(meta["llama.block_count"]),
+        num_heads=n_heads,
+        num_kv_heads=int(meta["llama.attention.head_count_kv"]),
+        head_dim=hidden // n_heads,
+        rms_norm_eps=float(meta["llama.attention.layer_norm_rms_epsilon"]),
+        rope_theta=float(meta["llama.rope.freq_base"]),
+        max_position=int(meta["llama.context_length"]),
+        sub_norms=meta.get("general.architecture") == "bitnet",
+        mlp_act="relu2" if meta.get("general.architecture") == "bitnet"
+        else "silu",
+        tie_word_embeddings="output.weight" not in tensors,
+    )
+
+    def arr(name):
+        return np.asarray(tensors[name][0])
+
+    layers = {}
+    scales = {}
+    sub_dims = {"attn_sub": cfg.q_dim, "ffn_sub": cfg.intermediate_size}
+    for short, g in _GGUF_NORMS.items():
+        rows = []
+        for i in range(cfg.num_layers):
+            key = f"blk.{i}.{g}"
+            if key in tensors:
+                rows.append(arr(key).astype(np.float32))
+            else:  # Llama-family: uniform pytree placeholder (loader.py)
+                rows.append(np.ones((sub_dims[short],), np.float32))
+        layers[short] = np.stack(rows)
+    for short, g in _GGUF_PROJS.items():
+        qws, scs = [], []
+        for i in range(cfg.num_layers):
+            qws.append(arr(f"blk.{i}.{g}"))
+            scs.append(float(arr(f"blk.{i}.{g}.scale")[0]))
+        layers[f"{short}_qw"] = np.stack(qws)
+        scales[short] = np.asarray(scs, np.float32)
+
+    import jax
+
+    stacked = {}
+    for short in _GGUF_NORMS:
+        stacked[short] = jnp.asarray(layers[short], dtype)
+    for short in _GGUF_PROJS:
+        stacked[f"{short}_qw"] = jnp.asarray(layers[f"{short}_qw"])
+        stacked[f"{short}_scale"] = jnp.asarray(scales[short])
+
+    params = {
+        "embed": jnp.asarray(arr("token_embd.weight"), dtype),
+        "final_norm": jnp.asarray(arr("output_norm.weight"), dtype),
+        "layers": stacked,
+    }
+    if "output.weight" in tensors:
+        params["lm_head"] = jnp.asarray(arr("output.weight"), dtype)
+    return params, cfg

@@ -882,9 +882,12 @@ def create_server(
     engine_config: Optional[EngineConfig] = None,
     use_pallas: Optional[bool] = None,
     tp: int = 1,
+    tokenizer_path: Optional[str] = None,
 ) -> InferenceServer:
     """tp > 1 runs the engine tensor-parallel over the first tp devices
-    (parallel/sharding.py layout)."""
+    (parallel/sharding.py layout). `model_path` may be an HF/wf-packed
+    directory or an i2_s .gguf file (pass `tokenizer_path` for GGUF —
+    the wf GGUF carries no tokenizer)."""
     from ..models.bitnet import init_params
     from ..models.loader import load_params, load_tokenizer
 
@@ -905,8 +908,15 @@ def create_server(
         name = "wrinklefree-tiny-test"
     else:
         assert model_path, "--model required unless --tiny"
-        params, cfg = load_params(model_path)
-        tokenizer = load_tokenizer(model_path)
+        if str(model_path).endswith(".gguf"):
+            from ..convert.gguf import load_params_gguf
+
+            params, cfg = load_params_gguf(model_path)
+            assert tokenizer_path, "--tokenizer required for .gguf models"
+            tokenizer = load_tokenizer(tokenizer_path)
+        else:
+            params, cfg = load_params(model_path)
+            tokenizer = load_tokenizer(tokenizer_path or model_path)
         ecfg = engine_config or EngineConfig()
         name = str(model_path)
 
@@ -921,7 +931,10 @@ def create_server(
 
 def main(argv=None):
     p = argparse.ArgumentParser("wrinklefree-tpu server")
-    p.add_argument("--model", default=None, help="model directory (HF or packed)")
+    p.add_argument("--model", default=None,
+                   help="model directory (HF or packed) or i2_s .gguf file")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer directory (required for .gguf models)")
     p.add_argument("--tiny", action="store_true", help="tiny random model (testing)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=30000)
@@ -965,6 +978,7 @@ def main(argv=None):
     server = create_server(
         args.model, tiny=args.tiny, engine_config=ecfg,
         use_pallas=False if args.no_pallas else None, tp=args.tp,
+        tokenizer_path=args.tokenizer,
     )
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
