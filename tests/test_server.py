@@ -695,3 +695,61 @@ class TestJsonMode:
             timeout=60,
         )
         assert r.status_code == 400
+
+
+class TestAdminSnapshot:
+    """Preemption over HTTP: /admin/snapshot captures in-flight requests
+    (token ids + sampling state, no tensors); /admin/restore resubmits
+    them — e.g. on a fresh server after a restart."""
+
+    def test_snapshot_empty(self, server_url):
+        snap = requests.post(f"{server_url}/admin/snapshot", timeout=30).json()
+        assert snap["version"] == 1 and isinstance(snap["requests"], list)
+
+    def test_snapshot_captures_inflight_and_restores(self, server_url):
+        import concurrent.futures as cf
+
+        def long_req():
+            return requests.post(
+                f"{server_url}/v1/completions",
+                json={"model": "m", "prompt": "slow", "max_tokens": 200,
+                      "temperature": 0.0, "ignore_eos": True},
+                timeout=300,
+            )
+
+        with cf.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(long_req)
+            snap = None
+            for _ in range(100):
+                snap = requests.post(
+                    f"{server_url}/admin/snapshot", timeout=30
+                ).json()
+                if snap["requests"]:
+                    break
+                time.sleep(0.05)
+            assert snap and len(snap["requests"]) == 1
+            d = snap["requests"][0]
+            assert d["max_new_tokens"] <= 200
+            assert d["prompt_ids"]
+            fut.result()
+
+        r = requests.post(
+            f"{server_url}/admin/restore",
+            json={"version": 1, "requests": [{
+                "prompt_ids": [105, 106], "output_ids": [], "counter_base": 0,
+                "seed": 1, "max_new_tokens": 3, "temperature": 0.0,
+                "top_p": 1.0, "top_k": 0, "min_p": 0.0,
+                "stop_token_ids": [], "ignore_eos": True,
+                "repetition_penalty": 1.0, "presence_penalty": 0.0,
+                "frequency_penalty": 0.0, "penalty_last_n": 64,
+                "logprobs_k": 0, "logit_bias": [], "json_mode": False,
+            }]},
+            timeout=60,
+        ).json()
+        assert r["restored"] == 1
+
+    def test_restore_bad_version(self, server_url):
+        r = requests.post(
+            f"{server_url}/admin/restore", json={"version": 99}, timeout=30
+        )
+        assert r.status_code == 400

@@ -520,6 +520,23 @@ class InferenceServer:
             return web.json_response({"error": {"message": str(e)}}, status=400)
         return web.json_response({"embedding": emb})
 
+    async def admin_snapshot(self, request):
+        """Request-level preemption snapshot (engine.snapshot): token ids
+        + sampling state only — KV is a recomputable cache (SURVEY.md
+        §5.3; reference has no elastic recovery). POST the result to
+        /admin/restore on this or another server to resume."""
+        return web.json_response(self.async_engine.engine.snapshot())
+
+    async def admin_restore(self, request):
+        body = await request.json()
+        if any(d.get("json_mode") for d in body.get("requests", [])):
+            self._ensure_token_pieces()
+        try:
+            reqs = self.async_engine.engine.restore(body)
+        except (ValueError, KeyError) as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response({"restored": len(reqs)})
+
     async def tokenize(self, request):
         body = await request.json()
         ids = self._encode(body.get("content", body.get("text", "")))
@@ -863,6 +880,8 @@ def build_app(server: InferenceServer) -> web.Application:
             web.get("/props", server.props),
             web.get("/slots", server.slots),
             web.get("/metrics", server.metrics),
+            web.post("/admin/snapshot", server.admin_snapshot),
+            web.post("/admin/restore", server.admin_restore),
             web.post("/v1/chat/completions", server.chat_completions),
             web.post("/v1/completions", server.completions),
             web.post("/completion", server.llamacpp_completion),
