@@ -619,9 +619,16 @@ class TestOpenAIExtras:
 
     def test_logit_bias_parse_mapping(self, server_url):
         # -100 (OpenAI) and `false` (llama.cpp) both map to a hard ban
+        import types
+
         from wrinklefree_tpu.server.http import InferenceServer
 
         s = InferenceServer.__new__(InferenceServer)
+        s.async_engine = types.SimpleNamespace(
+            engine=types.SimpleNamespace(
+                ecfg=types.SimpleNamespace(logit_bias_slots=16)
+            )
+        )
         sp = s._sampling_from({"logit_bias": {"7": -100, "9": 55}})
         assert sp.logit_bias == [(7, -1e9), (9, 55.0)]
         sp = s._sampling_from(
@@ -753,3 +760,113 @@ class TestAdminSnapshot:
             f"{server_url}/admin/restore", json={"version": 99}, timeout=30
         )
         assert r.status_code == 400
+
+
+class TestReviewRegressions:
+    """Fixes from the session code review."""
+
+    def test_stream_with_oversized_logit_bias_400s_cleanly(self, server_url):
+        # must 400 BEFORE SSE headers, not break mid-stream
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "x"}],
+                  "max_tokens": 4, "stream": True,
+                  "logit_bias": {str(i): 1 for i in range(17)}},
+            timeout=60,
+        )
+        assert r.status_code == 400
+        assert "logit_bias" in r.json()["error"]["message"]
+
+    def test_json_mode_plus_logprobs_400(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "x"}],
+                  "max_tokens": 4, "logprobs": True,
+                  "response_format": {"type": "json_object"}},
+            timeout=60,
+        )
+        assert r.status_code == 400
+
+    @pytest.mark.parametrize("bad_n", ["abc", 0, 17])
+    def test_bad_n_400(self, server_url, bad_n):
+        r = requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "x", "max_tokens": 2, "n": bad_n},
+            timeout=60,
+        )
+        assert r.status_code == 400
+
+    def test_embeddings_token_id_input(self, server_url):
+        # OpenAI allows input as one token-id list or a batch of them
+        one = requests.post(
+            f"{server_url}/v1/embeddings",
+            json={"model": "m", "input": [105, 102, 109]}, timeout=120,
+        ).json()
+        assert len(one["data"]) == 1
+        batch = requests.post(
+            f"{server_url}/v1/embeddings",
+            json={"model": "m", "input": [[105, 102, 109], [106]]},
+            timeout=120,
+        ).json()
+        assert len(batch["data"]) == 2
+        assert batch["data"][0]["embedding"] == one["data"][0]["embedding"]
+        bad = requests.post(
+            f"{server_url}/v1/embeddings",
+            json={"model": "m", "input": {"not": "valid"}}, timeout=60,
+        )
+        assert bad.status_code == 400
+
+    def test_completions_stream_include_usage(self, server_url):
+        with requests.post(
+            f"{server_url}/v1/completions",
+            json={"model": "m", "prompt": "hi", "max_tokens": 4,
+                  "temperature": 0.0, "stream": True,
+                  "stream_options": {"include_usage": True}},
+            stream=True, timeout=120,
+        ) as resp:
+            usage = None
+            for line in resp.iter_lines():
+                if not line or line == b"data: [DONE]":
+                    continue
+                d = json.loads(line[6:])
+                if d.get("usage"):
+                    usage = d["usage"]
+        assert usage is not None and usage["completion_tokens"] == 4
+
+    def test_logprobs_stay_aligned_while_json_mode_active(self, server_url):
+        """A logprobs request decoding concurrently with a json_mode
+        request must still get one logprobs entry per token."""
+        import concurrent.futures as cf
+
+        def json_req():
+            return requests.post(
+                f"{server_url}/v1/completions",
+                json={"model": "m", "prompt": "j", "max_tokens": 40,
+                      "temperature": 0.0, "ignore_eos": True,
+                      "response_format": {"type": "json_object"}},
+                timeout=300,
+            ).json()
+
+        def lp_req():
+            return requests.post(
+                f"{server_url}/v1/completions",
+                json={"model": "m", "prompt": "lp", "max_tokens": 8,
+                      "temperature": 0.0, "ignore_eos": True,
+                      "logprobs": 2},
+                timeout=300,
+            ).json()
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            fj = ex.submit(json_req)
+            time.sleep(0.3)  # let the json request occupy the batch
+            flp = ex.submit(lp_req)
+            lp = flp.result()
+            fj.result()
+        c = lp["choices"][0]
+        assert len(c["logprobs"]["tokens"]) == 8
+        assert len(c["logprobs"]["token_logprobs"]) == 8
+        assert c["logprobs"]["tokens"] == [
+            t for t in c["logprobs"]["tokens"]
+        ]  # present and aligned

@@ -257,6 +257,7 @@ def convert_hf_to_gguf(
         "llama.feed_forward_length": cfg.intermediate_size,
         "llama.attention.head_count": cfg.num_heads,
         "llama.attention.head_count_kv": cfg.num_kv_heads,
+        "llama.attention.key_length": cfg.head_dim,
         "llama.rope.freq_base": float(cfg.rope_theta),
         "llama.attention.layer_norm_rms_epsilon": float(cfg.rms_norm_eps),
         "llama.vocab_size": cfg.vocab_size,
@@ -332,7 +333,8 @@ def load_params_gguf(path: Path | str, dtype=None):
         num_layers=int(meta["llama.block_count"]),
         num_heads=n_heads,
         num_kv_heads=int(meta["llama.attention.head_count_kv"]),
-        head_dim=hidden // n_heads,
+        head_dim=int(meta.get("llama.attention.key_length",
+                              hidden // n_heads)),
         rms_norm_eps=float(meta["llama.attention.layer_norm_rms_epsilon"]),
         rope_theta=float(meta["llama.rope.freq_base"]),
         max_position=int(meta["llama.context_length"]),
@@ -347,7 +349,8 @@ def load_params_gguf(path: Path | str, dtype=None):
 
     layers = {}
     scales = {}
-    sub_dims = {"attn_sub": cfg.q_dim, "ffn_sub": cfg.intermediate_size}
+    norm_dims = {"input_ln": cfg.hidden_size, "post_ln": cfg.hidden_size,
+                 "attn_sub": cfg.q_dim, "ffn_sub": cfg.intermediate_size}
     for short, g in _GGUF_NORMS.items():
         rows = []
         for i in range(cfg.num_layers):
@@ -355,7 +358,7 @@ def load_params_gguf(path: Path | str, dtype=None):
             if key in tensors:
                 rows.append(arr(key).astype(np.float32))
             else:  # Llama-family: uniform pytree placeholder (loader.py)
-                rows.append(np.ones((sub_dims[short],), np.float32))
+                rows.append(np.ones((norm_dims[short],), np.float32))
         layers[short] = np.stack(rows)
     for short, g in _GGUF_PROJS.items():
         qws, scs = [], []

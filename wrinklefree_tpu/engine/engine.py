@@ -579,13 +579,7 @@ class Engine:
     # public API
     # ------------------------------------------------------------------
 
-    def submit(
-        self,
-        prompt_ids: List[int],
-        sampling: SamplingParams | None = None,
-        on_token: Optional[Callable[[int, bool], None]] = None,
-    ) -> Request:
-        sampling = sampling or SamplingParams()
+    def _validate_submit(self, prompt_ids, sampling: SamplingParams):
         limit = self.ecfg.max_context
         if len(prompt_ids) >= limit:
             raise ValueError(
@@ -605,6 +599,15 @@ class Engine:
                 )
             if sampling.logprobs_k > 0:
                 raise ValueError("json_mode with logprobs not supported")
+
+    def submit(
+        self,
+        prompt_ids: List[int],
+        sampling: SamplingParams | None = None,
+        on_token: Optional[Callable[[int, bool], None]] = None,
+    ) -> Request:
+        sampling = sampling or SamplingParams()
+        self._validate_submit(prompt_ids, sampling)
         req = Request(next(self._rid), list(prompt_ids), sampling, on_token)
         req.seed = (
             sampling.seed
@@ -689,7 +692,7 @@ class Engine:
         `on_token_factory(entry) -> callback` re-attaches streaming."""
         if snap.get("version") != 1:
             raise ValueError(f"unknown snapshot version: {snap.get('version')}")
-        out = []
+        entries = []
         for d in snap["requests"]:
             sp = SamplingParams(
                 temperature=d["temperature"], top_p=d["top_p"],
@@ -707,6 +710,13 @@ class Engine:
                 ] or None,
                 json_mode=d.get("json_mode", False),
             )
+            entries.append((d, sp))
+        # atomic: validate EVERY entry before submitting any, so a bad
+        # snapshot can't leave a partial restore running
+        for d, sp in entries:
+            self._validate_submit(d["prompt_ids"] + d["output_ids"], sp)
+        out = []
+        for d, sp in entries:
             cb = on_token_factory(d) if on_token_factory else None
             r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
             r.counter_base = d["counter_base"]
@@ -1334,7 +1344,18 @@ class Engine:
                     tok, status = int(toks[0, i]), ""
                 self.stats["decode_tokens"] += 1
                 self.slot_counters[i] += 1
-                self._emit_token(req, tok)
+                lp = None
+                if req.sampling.logprobs_k > 0:
+                    # concurrent logprobs rows: entries computed host-side
+                    # from the same full logits so logprobs_seq stays
+                    # aligned with output_ids while json_mode is active
+                    row = logits[0, i].astype(np.float64)
+                    lsm = row - (
+                        row.max() + np.log(np.exp(row - row.max()).sum())
+                    )
+                    top = np.argsort(-lsm)[: self.ecfg.logprobs_top]
+                    lp = (lsm[tok], top, lsm[top])
+                self._emit_token(req, tok, lp)
                 if not req.finished and status == "complete":
                     self._finish_notify(req, "stop")
                 if not req.finished:

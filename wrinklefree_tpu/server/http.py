@@ -184,8 +184,18 @@ class InferenceServer:
                 "GBNF 'grammar' not supported; use response_format "
                 "{'type': 'json_object'}"
             )
-        if json_mode:
-            self._ensure_token_pieces()
+        # engine-level constraints checked HERE so streaming handlers can
+        # 400 before SSE headers go out (submit() re-checks as defense)
+        ecfg = self.async_engine.engine.ecfg
+        if len(bias) > ecfg.logit_bias_slots:
+            raise ValueError(
+                f"logit_bias has {len(bias)} entries; max "
+                f"{ecfg.logit_bias_slots}"
+            )
+        if json_mode and lp_k > 0:
+            raise ValueError(
+                "response_format json_object with logprobs not supported"
+            )
         return SamplingParams(
             temperature=float(body.get("temperature", 0.7)),
             top_p=float(body.get("top_p", 0.9)),
@@ -211,13 +221,21 @@ class InferenceServer:
     def _ensure_token_pieces(self):
         """Populate Engine.token_pieces (id -> decoded text) once; the
         constrained-decoding validator checks candidate pieces against
-        it (engine/json_constraint.py)."""
+        it (engine/json_constraint.py). Special tokens must decode to ""
+        (the engine's never-legal-JSON guard keys on empty pieces), so
+        decoding skips specials. Heavy for 128K vocabs — handlers call
+        this via run_in_executor, not on the event loop."""
         eng = self.async_engine.engine
         if eng.token_pieces is None:
             eng.token_pieces = [
-                self.tokenizer.decode([i], skip_special_tokens=False)
+                self.tokenizer.decode([i], skip_special_tokens=True)
                 for i in range(eng.cfg.vocab_size)
             ]
+
+    async def _prepare_sampling(self, sampling):
+        if sampling.json_mode:
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self._ensure_token_pieces)
 
     # -- logprobs rendering --------------------------------------------------
     # Per-token data comes from Request.logprobs_seq: one
@@ -484,10 +502,30 @@ class InferenceServer:
         """OpenAI `/v1/embeddings`."""
         body = await request.json()
         inp = body.get("input", "")
-        items = [inp] if isinstance(inp, str) else list(inp)
-        if not items or len(items) > 64:
+        # OpenAI input forms: "str" | ["str", ...] | [int, ...] (one
+        # tokenized prompt) | [[int, ...], ...]
+        if isinstance(inp, str):
+            items = [inp]
+        elif isinstance(inp, list) and inp and all(
+            isinstance(x, int) for x in inp
+        ):
+            items = [inp]
+        elif isinstance(inp, list):
+            items = inp
+        else:
+            items = []
+        if (
+            not items
+            or len(items) > 64
+            or not all(
+                isinstance(x, str)
+                or (isinstance(x, list) and all(isinstance(t, int) for t in x))
+                for x in items
+            )
+        ):
             return web.json_response(
-                {"error": {"message": "input must be 1..64 strings"}},
+                {"error": {"message": "input must be 1..64 strings "
+                                      "or token-id lists"}},
                 status=400,
             )
         loop = asyncio.get_running_loop()
@@ -563,6 +601,7 @@ class InferenceServer:
             sampling = self._sampling_from(body)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
+        await self._prepare_sampling(sampling)
         stops = _parse_stops(body)
         cid = chat_completion_id()
         lp_top = (
@@ -570,7 +609,10 @@ class InferenceServer:
             if body.get("logprobs") is True
             else None
         )
-        n = max(1, int(body.get("n", 1)))
+        try:
+            n = self._parse_n(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
         try:
             if body.get("stream"):
                 if n > 1:
@@ -611,10 +653,14 @@ class InferenceServer:
             sampling = self._sampling_from(body)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
+        await self._prepare_sampling(sampling)
         stops = _parse_stops(body)
         cid = completion_id()
         lp_top = int(body.get("logprobs") or 0) or None
-        n = max(1, int(body.get("n", 1)))
+        try:
+            n = self._parse_n(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
         echo = bool(body.get("echo", False))
         prompt_text = prompt if isinstance(prompt, str) else (
             self.tokenizer.decode(ids, skip_special_tokens=True)
@@ -629,6 +675,7 @@ class InferenceServer:
                 return await self._stream_completion(
                     request, cid, ids, sampling, openai=True, stops=stops,
                     lp_top=lp_top, echo_text=prompt_text if echo else None,
+                    usage=self._want_usage(body),
                 )
             runs = await self._run_n(ids, sampling, stops, n)
             choices, completion_toks = [], 0
@@ -659,6 +706,7 @@ class InferenceServer:
             sampling = self._sampling_from(body, is_llamacpp=True)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
+        await self._prepare_sampling(sampling)
         stops = _parse_stops(body)
         n_probs = int(body.get("n_probs", 0) or 0)
         try:
@@ -692,6 +740,18 @@ class InferenceServer:
     # -- generation helpers -------------------------------------------------
 
     @staticmethod
+    def _parse_n(body: dict) -> int:
+        """OpenAI `n`: int, 1..16 here (each choice takes an engine
+        slot; OpenAI's own cap is 128)."""
+        try:
+            n = int(body.get("n", 1))
+        except (TypeError, ValueError):
+            raise ValueError("'n' must be an integer")
+        if not 1 <= n <= 16:
+            raise ValueError("'n' must be between 1 and 16")
+        return n
+
+    @staticmethod
     def _want_usage(body: dict) -> bool:
         """OpenAI `stream_options: {"include_usage": true}`."""
         so = body.get("stream_options") or {}
@@ -710,9 +770,18 @@ class InferenceServer:
             else _dc.replace(sampling, seed=sampling.seed + i)
             for i in range(n)
         ]
-        return list(
-            await asyncio.gather(*(self._run(ids, s, stops) for s in samps))
+        results = await asyncio.gather(
+            *(self._run(ids, s, stops) for s in samps),
+            return_exceptions=True,
         )
+        errs = [r for r in results if isinstance(r, BaseException)]
+        if errs:
+            # cancel surviving siblings so they don't decode headless
+            for r in results:
+                if not isinstance(r, BaseException) and not r[0].finished:
+                    self.async_engine.engine.cancel(r[0], "abort")
+            raise errs[0]
+        return list(results)
 
     async def _run(self, ids, sampling, stops=None):
         detok = _Detokenizer(self.tokenizer)
@@ -794,7 +863,8 @@ class InferenceServer:
         return resp
 
     async def _stream_completion(self, request, cid, ids, sampling, openai: bool,
-                                 stops=None, lp_top=None, echo_text=None):
+                                 stops=None, lp_top=None, echo_text=None,
+                                 usage=False):
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
         )
@@ -865,6 +935,18 @@ class InferenceServer:
                     f"data: {json.dumps(payload_for(scan.flush(), True, req.finish_reason or 'stop'))}\n\n".encode()
                 )
         if openai:
+            if usage:  # stream_options.include_usage: final usage chunk
+                payload = {
+                    "id": cid, "object": "text_completion",
+                    "created": int(time.time()), "model": self.model_name,
+                    "choices": [],
+                    "usage": {
+                        "prompt_tokens": len(ids),
+                        "completion_tokens": n,
+                        "total_tokens": len(ids) + n,
+                    },
+                }
+                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
