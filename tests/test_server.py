@@ -695,10 +695,28 @@ class TestJsonMode:
             r["content"], "stop" if r.get("stopped_eos") else "length"
         )
 
-    def test_grammar_rejected(self, server_url):
+    def test_grammar_constrains_output(self, server_url):
         r = requests.post(
             f"{server_url}/completion",
-            json={"prompt": "x", "n_predict": 4, "grammar": "root ::= \"a\""},
+            json={"prompt": "x", "n_predict": 8, "temperature": 0.0,
+                  "grammar": 'root ::= "yes" | "no"'},
+            timeout=300,
+        ).json()
+        assert r["content"] in ("yes", "no")
+
+    def test_grammar_digits_sampled(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "n", "n_predict": 8, "temperature": 1.0,
+                  "seed": 7, "grammar": "root ::= [0-9]{2,4}"},
+            timeout=300,
+        ).json()
+        assert r["content"].isdigit() and 2 <= len(r["content"]) <= 4
+
+    def test_bad_grammar_400(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "x", "n_predict": 4, "grammar": "root := nope"},
             timeout=60,
         )
         assert r.status_code == 400

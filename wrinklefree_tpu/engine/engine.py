@@ -591,14 +591,20 @@ class Engine:
                 f"engine supports {self.ecfg.logit_bias_slots} "
                 "(EngineConfig.logit_bias_slots)"
             )
-        if sampling.json_mode:
+        if sampling.constrained:
             if self.token_pieces is None:
                 raise ValueError(
-                    "json_mode requires Engine.token_pieces "
-                    "(id -> decoded text) to be set"
+                    "constrained decoding (json_mode/grammar) requires "
+                    "Engine.token_pieces (id -> decoded text) to be set"
                 )
             if sampling.logprobs_k > 0:
-                raise ValueError("json_mode with logprobs not supported")
+                raise ValueError(
+                    "constrained decoding with logprobs not supported"
+                )
+            if sampling.grammar and not sampling.json_mode:
+                from .gbnf import GbnfValidator
+
+                GbnfValidator(sampling.grammar)  # raises on parse errors
 
     def submit(
         self,
@@ -683,6 +689,7 @@ class Engine:
                         [int(t), float(b)] for t, b in (s.logit_bias or [])
                     ],
                     "json_mode": s.json_mode,
+                    "grammar": s.grammar,
                 })
             return {"version": 1, "requests": reqs}
 
@@ -709,6 +716,7 @@ class Engine:
                     (int(t), float(b)) for t, b in d.get("logit_bias", [])
                 ] or None,
                 json_mode=d.get("json_mode", False),
+                grammar=d.get("grammar"),
             )
             entries.append((d, sp))
         # atomic: validate EVERY entry before submitting any, so a bad
@@ -720,12 +728,10 @@ class Engine:
             cb = on_token_factory(d) if on_token_factory else None
             r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
             r.counter_base = d["counter_base"]
-            if sp.json_mode:
+            if sp.constrained:
                 # the generated-so-far text is part of the restored
                 # prompt: replay it through a fresh validator
-                from .json_constraint import JsonPrefixValidator
-
-                r.grammar = JsonPrefixValidator()
+                r.grammar = self._make_validator(sp)
                 for t in d["output_ids"]:
                     r.grammar.advance(self.token_pieces[t])
             out.append(r)
@@ -883,10 +889,8 @@ class Engine:
         W = self.ecfg.penalty_window
         ln = s.penalty_last_n
         self.slot_lastn[slot] = W if ln < 0 else min(ln, W)
-        if s.json_mode and req.grammar is None:
-            from .json_constraint import JsonPrefixValidator
-
-            req.grammar = JsonPrefixValidator()
+        if s.constrained and req.grammar is None:
+            req.grammar = self._make_validator(s)
             # restored/continued requests replay generated-so-far text
             for t in req.output_ids:
                 req.grammar.advance(self.token_pieces[t])
@@ -997,7 +1001,7 @@ class Engine:
             for _, r, _ in chunks
         )
         want_cand = any(
-            r.sampling.json_mode and len(r.pending) <= bucket
+            r.sampling.constrained and len(r.pending) <= bucket
             for _, r, _ in chunks
         )
         # a round mixing logprobs rows and json_mode rows uses the
@@ -1037,7 +1041,7 @@ class Engine:
                 if nxt_np is None:
                     nxt_np = np.asarray(nxt)
                 status = ""
-                if r.sampling.json_mode:
+                if r.sampling.constrained:
                     first_tok, status = self._select_constrained(
                         r, logits_np[j]
                     )
@@ -1152,6 +1156,15 @@ class Engine:
             req.on_token(-1, True)
         self._finish(req, reason)
 
+    def _make_validator(self, s: SamplingParams):
+        if s.json_mode or not s.grammar:
+            from .json_constraint import JsonPrefixValidator
+
+            return JsonPrefixValidator()
+        from .gbnf import GbnfValidator
+
+        return GbnfValidator(s.grammar)
+
     def _select_constrained(self, req: Request, logits_row: np.ndarray):
         """Next token for a json_mode request from full post-penalty
         logits: walk candidates in preference order, accept the first
@@ -1194,11 +1207,21 @@ class Engine:
         else:
             score = lg
         order = np.argsort(-score)
+        eos = self.eos_token_id
         for tok in order[:4096]:
             if not np.isfinite(score[tok]):
                 break
+            if (
+                eos is not None and tok == eos
+                and getattr(req.grammar, "completable", False)
+                and not s.ignore_eos
+            ):
+                # GBNF: input fully matches root and the model prefers
+                # EOS — accept it (llama.cpp: EOS legal when a parse
+                # stack is empty)
+                return int(tok), "complete"
             piece = pieces[tok]
-            if not piece:  # specials decode to "" — never legal JSON
+            if not piece:  # specials decode to "" — never legal text
                 continue
             cand = req.grammar.clone()
             r = cand.advance(piece)
@@ -1227,7 +1250,7 @@ class Engine:
                 self.slots[i].sampling.temperature == 0.0
                 and not self.slots[i].sampling.has_penalties
                 and not self.slots[i].sampling.has_logit_bias
-                and not self.slots[i].sampling.json_mode
+                and not self.slots[i].sampling.constrained
                 for i in active
             )
         )
@@ -1307,7 +1330,7 @@ class Engine:
                             self.last_tokens[i] = tok
             return True
 
-        if any(self.slots[i].sampling.json_mode for i in active):
+        if any(self.slots[i].sampling.constrained for i in active):
             # constrained mode: single-step dispatches + host re-selection
             # through the JSON validator. Unconstrained rows in the same
             # batch advance one token per dispatch too (documented QoS
@@ -1335,7 +1358,7 @@ class Engine:
                     continue
                 req.seq_len += 1
                 self.seq_lens[i] = req.seq_len
-                if req.sampling.json_mode:
+                if req.sampling.constrained:
                     tok, status = self._select_constrained(req, logits[0, i])
                     if tok is None:  # dead end: no legal continuation
                         self._finish_notify(req, "stop")

@@ -42,6 +42,14 @@ class SamplingParams:
     # runs on single-step decode dispatches with host-side candidate
     # re-selection through a JSON-prefix validator.
     json_mode: bool = False
+    # GBNF grammar text (llama-server `grammar` field); mutually
+    # exclusive with json_mode in spirit (json_mode wins if both set).
+    # Same host-re-selection machinery as json_mode (engine/gbnf.py).
+    grammar: Optional[str] = None
+
+    @property
+    def constrained(self) -> bool:
+        return self.json_mode or bool(self.grammar)
 
     @property
     def has_logit_bias(self) -> bool:

@@ -179,11 +179,14 @@ class InferenceServer:
             (isinstance(rf, dict) and rf.get("type") in ("json_object", "json_schema"))
             or body.get("json_schema") is not None
         )
-        if body.get("grammar"):
-            raise ValueError(
-                "GBNF 'grammar' not supported; use response_format "
-                "{'type': 'json_object'}"
-            )
+        # llama.cpp GBNF `grammar` (engine/gbnf.py); parse errors 400 here
+        grammar = body.get("grammar") or None
+        if grammar is not None:
+            if not isinstance(grammar, str):
+                raise ValueError("'grammar' must be a GBNF string")
+            from ..engine.gbnf import GbnfValidator
+
+            GbnfValidator(grammar)  # raises GbnfError (a ValueError)
         # engine-level constraints checked HERE so streaming handlers can
         # 400 before SSE headers go out (submit() re-checks as defense)
         ecfg = self.async_engine.engine.ecfg
@@ -192,9 +195,10 @@ class InferenceServer:
                 f"logit_bias has {len(bias)} entries; max "
                 f"{ecfg.logit_bias_slots}"
             )
-        if json_mode and lp_k > 0:
+        if (json_mode or grammar) and lp_k > 0:
             raise ValueError(
-                "response_format json_object with logprobs not supported"
+                "constrained decoding (json/grammar) with logprobs "
+                "not supported"
             )
         return SamplingParams(
             temperature=float(body.get("temperature", 0.7)),
@@ -216,6 +220,7 @@ class InferenceServer:
             logprobs_k=max(0, lp_k),
             logit_bias=bias or None,
             json_mode=json_mode,
+            grammar=grammar,
         )
 
     def _ensure_token_pieces(self):
@@ -233,7 +238,7 @@ class InferenceServer:
             ]
 
     async def _prepare_sampling(self, sampling):
-        if sampling.json_mode:
+        if sampling.constrained:
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(None, self._ensure_token_pieces)
 
@@ -567,8 +572,10 @@ class InferenceServer:
 
     async def admin_restore(self, request):
         body = await request.json()
-        if any(d.get("json_mode") for d in body.get("requests", [])):
-            self._ensure_token_pieces()
+        if any(d.get("json_mode") or d.get("grammar")
+               for d in body.get("requests", [])):
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self._ensure_token_pieces)
         try:
             reqs = self.async_engine.engine.restore(body)
         except (ValueError, KeyError) as e:
