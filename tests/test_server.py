@@ -888,3 +888,77 @@ class TestReviewRegressions:
         assert c["logprobs"]["tokens"] == [
             t for t in c["logprobs"]["tokens"]
         ]  # present and aligned
+
+
+class TestJsonSchema:
+    """OpenAI response_format json_schema / llama.cpp json_schema:
+    schema compiled to GBNF and enforced."""
+
+    SCHEMA = {
+        "type": "object",
+        "properties": {"n": {"type": "integer"}},
+        "required": ["n"],
+    }
+
+    def test_openai_json_schema_enforced(self, server_url):
+        r = requests.post(
+            f"{server_url}/v1/chat/completions",
+            json={"model": "m",
+                  "messages": [{"role": "user", "content": "count"}],
+                  "max_tokens": 40, "temperature": 0.0, "ignore_eos": True,
+                  "response_format": {
+                      "type": "json_schema",
+                      "json_schema": {"name": "count", "schema": self.SCHEMA},
+                  }},
+            timeout=300,
+        ).json()
+        c = r["choices"][0]
+        text = c["message"]["content"]
+        if c["finish_reason"] == "stop":
+            d = json.loads(text)
+            assert isinstance(d["n"], int)
+        else:  # cut by max_tokens: still a valid prefix of the schema
+            from wrinklefree_tpu.engine.gbnf import GbnfValidator
+            from wrinklefree_tpu.engine.schema_to_gbnf import schema_to_gbnf
+
+            assert GbnfValidator(
+                schema_to_gbnf(self.SCHEMA)
+            ).advance(text) in ("ok", "complete")
+
+    def test_llamacpp_json_schema_enforced(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "c", "n_predict": 40, "temperature": 0.0,
+                  "ignore_eos": True, "json_schema": self.SCHEMA},
+            timeout=300,
+        ).json()
+        text = r["content"]
+        if r.get("stopped_eos"):
+            d = json.loads(text)
+            assert isinstance(d["n"], int)
+        else:
+            from wrinklefree_tpu.engine.gbnf import GbnfValidator
+            from wrinklefree_tpu.engine.schema_to_gbnf import schema_to_gbnf
+
+            assert GbnfValidator(
+                schema_to_gbnf(self.SCHEMA)
+            ).advance(text) in ("ok", "complete")
+
+    def test_empty_schema_is_json_mode(self, server_url):
+        from wrinklefree_tpu.engine.json_constraint import JsonPrefixValidator
+
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "j", "n_predict": 16, "temperature": 0.0,
+                  "json_schema": {}},
+            timeout=300,
+        ).json()
+        assert JsonPrefixValidator().advance(r["content"]) != "dead"
+
+    def test_bad_schema_400(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "x", "n_predict": 4, "json_schema": "not a dict"},
+            timeout=60,
+        )
+        assert r.status_code == 400

@@ -1206,29 +1206,41 @@ class Engine:
             score = t + rng.gumbel(size=V)
         else:
             score = lg
-        order = np.argsort(-score)
         eos = self.eos_token_id
-        for tok in order[:4096]:
-            if not np.isfinite(score[tok]):
-                break
-            if (
-                eos is not None and tok == eos
-                and getattr(req.grammar, "completable", False)
-                and not s.ignore_eos
-            ):
-                # GBNF: input fully matches root and the model prefers
-                # EOS — accept it (llama.cpp: EOS legal when a parse
-                # stack is empty)
-                return int(tok), "complete"
-            piece = pieces[tok]
-            if not piece:  # specials decode to "" — never legal text
-                continue
-            cand = req.grammar.clone()
-            r = cand.advance(piece)
-            if r != "dead":
-                req.grammar = cand
-                return int(tok), r
-        return None, "dead"
+
+        def walk(order_scores):
+            order = np.argsort(-order_scores)
+            for tok in order[:4096]:
+                if not np.isfinite(order_scores[tok]):
+                    break
+                if (
+                    eos is not None and tok == eos
+                    and getattr(req.grammar, "completable", False)
+                    and not s.ignore_eos
+                ):
+                    # GBNF: input fully matches root and the model
+                    # prefers EOS — accept it (llama.cpp: EOS legal when
+                    # a parse stack is empty)
+                    return int(tok), "complete"
+                piece = pieces[tok]
+                if not piece:  # specials decode to "" — never legal text
+                    continue
+                cand = req.grammar.clone()
+                r = cand.advance(piece)
+                if r != "dead":
+                    req.grammar = cand
+                    return int(tok), r
+            return None, "dead"
+
+        tok, r = walk(score)
+        if tok is None and s.temperature > 0:
+            # every nucleus/top-k candidate was grammar-illegal: fall
+            # back to the unfiltered distribution so a legal token
+            # anywhere in the vocab keeps the request alive (llama.cpp's
+            # grammar resample never dead-ends while a legal token
+            # exists)
+            tok, r = walk(lg)
+        return tok, r
 
     def _decode(self) -> bool:
         # mid-prefill slots don't decode (masked to trash in _upload_state)

@@ -170,17 +170,31 @@ class InferenceServer:
                     continue
                 tid, v = pair
                 bias.append((int(tid), -1e9 if v is False else float(v)))
-        # OpenAI `response_format`: json_object/json_schema force a valid
-        # JSON object (schema contents are not enforced beyond JSON-ness);
-        # llama.cpp `json_schema` maps the same way. GBNF `grammar` is
-        # not supported.
+        # OpenAI `response_format`: json_object forces any valid JSON
+        # object; json_schema (and llama.cpp `json_schema`) compiles the
+        # schema to GBNF (engine/schema_to_gbnf.py) and enforces it.
         rf = body.get("response_format")
-        json_mode = bool(
-            (isinstance(rf, dict) and rf.get("type") in ("json_object", "json_schema"))
-            or body.get("json_schema") is not None
-        )
+        json_mode = isinstance(rf, dict) and rf.get("type") == "json_object"
+        schema = None
+        if isinstance(rf, dict) and rf.get("type") == "json_schema":
+            js = rf.get("json_schema")
+            schema = (js or {}).get("schema") if isinstance(js, dict) else None
+            if schema is None:
+                schema = {}
+        if body.get("json_schema") is not None:
+            schema = body.get("json_schema")
+        schema_grammar = None
+        if schema is not None:
+            if not isinstance(schema, dict):
+                raise ValueError("json_schema must be an object")
+            if schema:
+                from ..engine.schema_to_gbnf import schema_to_gbnf
+
+                schema_grammar = schema_to_gbnf(schema)
+            else:
+                json_mode = True  # empty schema: any JSON object
         # llama.cpp GBNF `grammar` (engine/gbnf.py); parse errors 400 here
-        grammar = body.get("grammar") or None
+        grammar = body.get("grammar") or schema_grammar or None
         if grammar is not None:
             if not isinstance(grammar, str):
                 raise ValueError("'grammar' must be a GBNF string")
