@@ -266,7 +266,14 @@ class TestServerParsing:
     def test_sampling_from_maps_both_dialects(self):
         from wrinklefree_tpu.server.http import InferenceServer
 
+        import types
+
         srv = InferenceServer.__new__(InferenceServer)  # parse-only
+        srv.async_engine = types.SimpleNamespace(
+            engine=types.SimpleNamespace(
+                ecfg=types.SimpleNamespace(logit_bias_slots=16)
+            )
+        )
         sp = srv._sampling_from({
             "max_tokens": 5, "presence_penalty": 0.5,
             "frequency_penalty": 0.25, "repetition_penalty": 1.3,

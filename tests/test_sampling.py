@@ -155,3 +155,71 @@ class TestEngineTopKMinP:
         eng2 = Engine(params, CFG, ECFG)
         (r,) = eng2.restore(snap)
         assert r.sampling.min_p == 0.25 and r.sampling.top_k == 7
+
+
+class TestTypicalAndTfs:
+    """llama.cpp typical_p (locally-typical) and tfs_z (tail-free)
+    samplers: identity at 1.0; tightening narrows the support."""
+
+    def _support(self, logits, n_draws=400, **kw):
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=tuple(kw))
+        def draws(lg, **kws):
+            def one(i):
+                return sample_token(
+                    lg[None, :], jax.random.PRNGKey(i), temperature=1.0,
+                    **kws,
+                )[0]
+
+            return jax.vmap(one)(jnp.arange(n_draws, dtype=jnp.uint32))
+
+        return set(np.asarray(draws(jnp.asarray(logits), **kw)).tolist())
+
+    def test_identity_at_one(self):
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(24,)).astype(np.float32) * 3
+        a = self._support(logits, n_draws=50)
+        b = self._support(logits, n_draws=50, typical_p=1.0, tfs_z=1.0)
+        assert a == b
+
+    def test_typical_p_narrows_support(self):
+        rng = np.random.default_rng(1)
+        logits = rng.normal(size=(32,)).astype(np.float32) * 4
+        full = self._support(logits)
+        typ = self._support(logits, typical_p=0.3)
+        assert typ.issubset(full)
+        assert len(typ) < len(full)
+
+    def test_tfs_narrows_support(self):
+        rng = np.random.default_rng(2)
+        logits = rng.normal(size=(32,)).astype(np.float32) * 4
+        full = self._support(logits)
+        tfs = self._support(logits, tfs_z=0.3)
+        assert tfs.issubset(full)
+        assert len(tfs) < len(full)
+
+    def test_per_row_params(self):
+        """Row 0 heavily filtered, row 1 unfiltered — independent."""
+        import jax
+
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32) * 5)
+
+        @jax.jit
+        def draws(lg):
+            def one(i):
+                keys = jax.vmap(jax.random.PRNGKey)(
+                    jnp.stack([2 * i, 2 * i + 1])
+                )
+                return sample_token(
+                    lg, keys, temperature=jnp.asarray([1.0, 1.0]),
+                    typical_p=jnp.asarray([0.2, 1.0]),
+                )
+
+            return jax.vmap(one)(jnp.arange(200, dtype=jnp.uint32))
+
+        t = np.asarray(draws(logits))  # [200, 2]
+        assert len(set(t[:, 0].tolist())) < len(set(t[:, 1].tolist()))

@@ -962,3 +962,16 @@ class TestJsonSchema:
             timeout=60,
         )
         assert r.status_code == 400
+
+
+class TestTypicalTfs:
+    def test_typical_and_tfs_accepted_and_seeded(self, server_url):
+        def run():
+            return requests.post(
+                f"{server_url}/completion",
+                json={"prompt": "hello", "n_predict": 6, "temperature": 1.0,
+                      "seed": 5, "typical_p": 0.5, "tfs_z": 0.9},
+                timeout=120,
+            ).json()["content"]
+
+        assert run() == run()  # seeded + filtered: reproducible

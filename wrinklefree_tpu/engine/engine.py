@@ -252,6 +252,8 @@ class Engine:
         self.slot_pres = np.zeros((S,), np.float32)
         self.slot_freqs = np.zeros((S,), np.float32)
         self.slot_lastn = np.zeros((S,), np.int32)
+        self.slot_typps = np.ones((S,), np.float32)
+        self.slot_tfs = np.ones((S,), np.float32)
         Kb = e.logit_bias_slots
         self.slot_bias_ids = np.full((S, Kb), -1, np.int32)
         self.slot_bias_vals = np.zeros((S, Kb), np.float32)
@@ -331,8 +333,15 @@ class Engine:
         lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, temps, top_ps, top_ks, min_ps, slot_ids, reps,
-                  pres, freqs, lastn, ring, bias_ids, bias_vals):
+                  counters, slot_ids, ring, samp):
+            # samp: per-slot sampler-state pytree (one dict entry per
+            # param — adding a sampler knob = one key, no re-plumbing)
+            temps, top_ps = samp["temps"], samp["tps"]
+            top_ks, min_ps = samp["topks"], samp["minps"]
+            typps, tfs = samp["typps"], samp["tfs"]
+            reps, pres, freqs = samp["reps"], samp["pres"], samp["freqs"]
+            lastn = samp["lastn"]
+            bias_ids, bias_vals = samp["bias_ids"], samp["bias_vals"]
             W = ring.shape[1]
             if (lp_n or return_logits) and self.ecfg.exact_head_k:
                 # logprobs / host re-selection need the clean bf16 head
@@ -381,7 +390,8 @@ class Engine:
                         )
                         return sample_token(
                             lg, keys, temperature=temps, top_p=top_ps,
-                            top_k=top_ks, min_p=min_ps,
+                            top_k=top_ks, min_p=min_ps, typical_p=typps,
+                            tfs_z=tfs,
                         )
 
                     pen_on = jnp.any(
@@ -399,7 +409,8 @@ class Engine:
                     )
                     nxt = sample_token(
                         pen, keys, temperature=temps, top_p=top_ps,
-                        top_k=top_ks, min_p=min_ps,
+                        top_k=top_ks, min_p=min_ps, typical_p=typps,
+                        tfs_z=tfs,
                     )
                 if lp_n:
                     # distribution the step actually sampled from
@@ -428,14 +439,16 @@ class Engine:
             from ..parallel.sharding import param_partition_specs
 
             pool_spec = self._pool_spec()
-            rep17 = tuple(P() for _ in range(17))
+            rep7 = tuple(P() for _ in range(7))
+            samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals")}
             out0 = (
                 (P(), P(), P(), P()) if with_logprobs
                 else ((P(), P()) if return_logits else P())
             )
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
-                in_specs=(param_partition_specs(self.params), pool_spec) + rep17,
+                in_specs=(param_partition_specs(self.params), pool_spec)
+                + rep7 + (samp_spec,),
                 out_specs=(out0, pool_spec, P(), P(), P(), P()),
                 check_vma=False,
             )
@@ -460,7 +473,7 @@ class Engine:
         from ..models.spec_decode import _draft_ngram
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, temps, top_ps, slot_ids, hist):
+                  counters, slot_ids, hist):
             if ek:
                 # spec verify needs full per-position logits: use the
                 # clean bf16 head so greedy streams stay exact
@@ -514,8 +527,13 @@ class Engine:
             lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
             def prefill(params, pools, tokens, page_table, seq_len, new_len,
-                        seeds, counters, temp, top_p, top_k, min_p, slot_ids,
-                        reps, pres, freqs, lastn, ring, bias_ids, bias_vals):
+                        seeds, counters, slot_ids, ring, samp):
+                temp, top_p = samp["temps"], samp["tps"]
+                top_k, min_p = samp["topks"], samp["minps"]
+                typp, tfs = samp["typps"], samp["tfs"]
+                reps, pres, freqs = samp["reps"], samp["pres"], samp["freqs"]
+                lastn = samp["lastn"]
+                bias_ids, bias_vals = samp["bias_ids"], samp["bias_vals"]
                 if ek:
                     # exact-head mode: prefill always uses the clean bf16
                     # head (its cost is negligible next to prefill compute)
@@ -535,7 +553,8 @@ class Engine:
                 )
                 keys = per_request_keys(seeds, counters)
                 nxt = sample_token(logits, keys, temperature=temp, top_p=top_p,
-                                   top_k=top_k, min_p=min_p)
+                                   top_k=top_k, min_p=min_p,
+                                   typical_p=typp, tfs_z=tfs)
                 # pad: single-element D2H fetches hit a pathological slow
                 # path over remote-tunnel transports
                 padded = jnp.pad(nxt, (0, 63))
@@ -559,14 +578,16 @@ class Engine:
                 from ..parallel.sharding import param_partition_specs
 
                 pool_spec = self._pool_spec()
-                rep18 = tuple(P() for _ in range(18))
+                rep8 = tuple(P() for _ in range(8))
+                samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals")}
                 out0 = (
                     (P(), P(), P(), P()) if with_logprobs
                     else ((P(), P()) if return_logits else P())
                 )
                 prefill = jax.shard_map(
                     prefill, mesh=self.mesh,
-                    in_specs=(param_partition_specs(self.params), pool_spec) + rep18,
+                    in_specs=(param_partition_specs(self.params), pool_spec)
+                    + rep8 + (samp_spec,),
                     out_specs=(out0, pool_spec),
                     check_vma=False,
                 )
@@ -678,6 +699,8 @@ class Engine:
                     "top_p": s.top_p,
                     "top_k": s.top_k,
                     "min_p": s.min_p,
+                    "typical_p": s.typical_p,
+                    "tfs_z": s.tfs_z,
                     "stop_token_ids": list(s.stop_token_ids or []),
                     "ignore_eos": s.ignore_eos,
                     "repetition_penalty": s.repetition_penalty,
@@ -704,6 +727,8 @@ class Engine:
             sp = SamplingParams(
                 temperature=d["temperature"], top_p=d["top_p"],
                 top_k=d["top_k"], min_p=d.get("min_p", 0.0),
+                typical_p=d.get("typical_p", 1.0),
+                tfs_z=d.get("tfs_z", 1.0),
                 max_new_tokens=d["max_new_tokens"],
                 stop_token_ids=d["stop_token_ids"] or None,
                 ignore_eos=d["ignore_eos"], seed=d["seed"],
@@ -883,6 +908,8 @@ class Engine:
         s = req.sampling
         self.slot_topks[slot] = max(0, s.top_k)
         self.slot_minps[slot] = max(0.0, s.min_p)
+        self.slot_typps[slot] = s.typical_p
+        self.slot_tfs[slot] = s.tfs_z
         self.slot_reps[slot] = s.repetition_penalty
         self.slot_pres[slot] = s.presence_penalty
         self.slot_freqs[slot] = s.frequency_penalty
@@ -961,6 +988,8 @@ class Engine:
         tps = np.ones((B,), np.float32)
         topks = np.zeros((B,), np.int32)
         minps = np.zeros((B,), np.float32)
+        typps = np.ones((B,), np.float32)
+        tfs = np.ones((B,), np.float32)
         sids = np.full((B,), NS, np.int32)  # dummy rows -> trash staging
         W = self.ecfg.penalty_window
         reps = np.ones((B,), np.float32)
@@ -982,6 +1011,8 @@ class Engine:
             tps[j] = r.sampling.top_p
             topks[j] = self.slot_topks[i]
             minps[j] = self.slot_minps[i]
+            typps[j] = self.slot_typps[i]
+            tfs[j] = self.slot_tfs[i]
             bias_ids[j] = self.slot_bias_ids[i]
             bias_vals[j] = self.slot_bias_vals[i]
             sids[j] = i
@@ -1011,14 +1042,19 @@ class Engine:
             bucket, with_logprobs=want_lp and not want_cand,
             return_logits=want_cand,
         )
+        samp = {
+            "temps": jnp.asarray(temps), "tps": jnp.asarray(tps),
+            "topks": jnp.asarray(topks), "minps": jnp.asarray(minps),
+            "typps": jnp.asarray(typps), "tfs": jnp.asarray(tfs),
+            "reps": jnp.asarray(reps), "pres": jnp.asarray(pres),
+            "freqs": jnp.asarray(freqs), "lastn": jnp.asarray(lastn),
+            "bias_ids": jnp.asarray(bias_ids),
+            "bias_vals": jnp.asarray(bias_vals),
+        }
         out, self.pools = fn(
             self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
             jnp.asarray(seq), jnp.asarray(new), jnp.asarray(seeds),
-            jnp.asarray(ctrs), jnp.asarray(temps), jnp.asarray(tps),
-            jnp.asarray(topks), jnp.asarray(minps),
-            jnp.asarray(sids), jnp.asarray(reps), jnp.asarray(pres),
-            jnp.asarray(freqs), jnp.asarray(lastn), jnp.asarray(ring),
-            jnp.asarray(bias_ids), jnp.asarray(bias_vals),
+            jnp.asarray(ctrs), jnp.asarray(sids), jnp.asarray(ring), samp,
         )
         logits_np = None
         if want_cand:
@@ -1105,24 +1141,29 @@ class Engine:
             n = int(self.seq_lens[i])
             for p in range(max(0, n - W), min(n, len(toks_all))):
                 ring[i, p % W] = toks_all[p]
+        samp = {
+            "temps": jnp.asarray(self.slot_temps),
+            "tps": jnp.asarray(self.slot_tps),
+            "topks": jnp.asarray(self.slot_topks),
+            "minps": jnp.asarray(self.slot_minps),
+            "typps": jnp.asarray(self.slot_typps),
+            "tfs": jnp.asarray(self.slot_tfs),
+            "reps": jnp.asarray(self.slot_reps),
+            "pres": jnp.asarray(self.slot_pres),
+            "freqs": jnp.asarray(self.slot_freqs),
+            "lastn": jnp.asarray(self.slot_lastn),
+            "bias_ids": jnp.asarray(self.slot_bias_ids),
+            "bias_vals": jnp.asarray(self.slot_bias_vals),
+        }
         self._dstate = (
             jnp.asarray(last),
             jnp.asarray(pt),
             jnp.asarray(sl),
             jnp.asarray(self.slot_seeds),
             jnp.asarray(self.slot_counters),
-            jnp.asarray(self.slot_temps),
-            jnp.asarray(self.slot_tps),
-            jnp.asarray(self.slot_topks),
-            jnp.asarray(self.slot_minps),
             jnp.asarray(sids),
-            jnp.asarray(self.slot_reps),
-            jnp.asarray(self.slot_pres),
-            jnp.asarray(self.slot_freqs),
-            jnp.asarray(self.slot_lastn),
             jnp.asarray(ring),
-            jnp.asarray(self.slot_bias_ids),
-            jnp.asarray(self.slot_bias_vals),
+            samp,
         )
         if self.ecfg.speculative_k > 0:
             # device-resident token history for n-gram drafting:
@@ -1186,10 +1227,34 @@ class Engine:
         V = lg.shape[0]
         if s.temperature > 0:
             t = lg / s.temperature
-            # top-k / min_p / top-p masks (device-sampler semantics)
+            # top-k / tfs / typical / min_p / top-p masks
+            # (device-sampler semantics and order)
             if s.top_k > 0:
                 kth = np.partition(t, -s.top_k)[-s.top_k]
                 t[t < kth] = -np.inf
+            if s.tfs_z < 1.0:
+                order0 = np.argsort(-t)
+                p = np.exp(t[order0] - t[order0[0]])
+                p /= p.sum()
+                d2 = np.abs(p[:-2] - 2 * p[1:-1] + p[2:])
+                d2 = d2 / max(d2.sum(), 1e-9)
+                cum = np.cumsum(d2)
+                drop_pos = np.nonzero((cum - d2) >= s.tfs_z)[0]
+                drop_pos = drop_pos[drop_pos >= 2]  # keep top-2 always
+                t[order0[drop_pos]] = -np.inf
+            if s.typical_p < 1.0:
+                finite = np.isfinite(t)
+                lpv = np.full_like(t, -np.inf)
+                m = t[finite].max()
+                lse = m + np.log(np.exp(t[finite] - m).sum())
+                lpv[finite] = t[finite] - lse
+                pv = np.exp(lpv, where=finite, out=np.zeros_like(t))
+                ent = -(pv[finite] * lpv[finite]).sum()
+                dev = np.where(finite, np.abs(-lpv - ent), np.inf)
+                order0 = np.argsort(dev)
+                cum = np.cumsum(pv[order0])
+                keep_n = max(1, int(np.searchsorted(cum, s.typical_p) + 1))
+                t[order0[keep_n:]] = -np.inf
             if s.min_p > 0:
                 t[t - t.max() < np.log(max(s.min_p, 1e-38))] = -np.inf
             if s.top_p < 1.0:
@@ -1295,9 +1360,8 @@ class Engine:
         mp = self._pages_bucket(int(max_seq) + adv)
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
-        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps, d_topks,
-         d_minps, d_sids, d_reps, d_pres, d_freqs, d_lastn, d_ring,
-         d_bids, d_bvals) = self._dstate
+        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids, d_ring,
+         d_samp) = self._dstate
         room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
 
         if spec:
@@ -1306,13 +1370,11 @@ class Engine:
             toks_d, counts_d, self.pools, d_last, d_sl, self._dhist = (
                 self._decode_spec_jit(
                     self.params, self.pools, d_last, d_pt, d_sl, d_seeds,
-                    d_ctr, d_temps, d_tps, d_sids, self._dhist,
+                    d_ctr, d_sids, self._dhist,
                 )
             )
-            self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps,
-                            d_tps, d_topks, d_minps, d_sids, d_reps,
-                            d_pres, d_freqs, d_lastn, d_ring, d_bids,
-                            d_bvals)
+            self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids,
+                            d_ring, d_samp)
             toks = np.asarray(toks_d)  # [K, S, k+1]
             counts = np.asarray(counts_d)  # [K, S]
             self.stats["decode_steps"] += K
@@ -1352,9 +1414,7 @@ class Engine:
             outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = (
                 self._decode_cand_jit(
                     self.params, self.pools, d_last, d_pt, d_sl, d_seeds,
-                    d_ctr, d_temps, d_tps, d_topks, d_minps, d_sids,
-                    d_reps, d_pres, d_freqs, d_lastn, d_ring, d_bids,
-                    d_bvals,
+                    d_ctr, d_sids, d_ring, d_samp,
                 )
             )
             toks_d, logits_d = outs_d
@@ -1408,12 +1468,10 @@ class Engine:
             fn = self._decode_jit
         outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
             self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
-            d_temps, d_tps, d_topks, d_minps, d_sids, d_reps, d_pres,
-            d_freqs, d_lastn, d_ring, d_bids, d_bvals,
+            d_sids, d_ring, d_samp,
         )
-        self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_temps, d_tps,
-                        d_topks, d_minps, d_sids, d_reps, d_pres, d_freqs,
-                        d_lastn, d_ring, d_bids, d_bvals)
+        self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids,
+                        d_ring, d_samp)
         if want_lp:
             toks_d, chosen_d, tids_d, tlps_d = outs_d
             lp_data = (np.asarray(chosen_d), np.asarray(tids_d),

@@ -26,6 +26,10 @@ class SamplingParams:
     # llama.cpp min_p sampler: drop tokens with prob < min_p * p(max).
     # 0.0 = off (llama-server's own default is 0.05).
     min_p: float = 0.0
+    # llama.cpp locally-typical sampling (typical_p) and tail-free
+    # sampling (tfs_z); 1.0 = off for both.
+    typical_p: float = 1.0
+    tfs_z: float = 1.0
     # Logprobs (OpenAI logprobs/top_logprobs, llama.cpp n_probs): 0 = off;
     # k >= 1 returns the chosen token's logprob + the top-k alternatives
     # per step (clamped to EngineConfig.logprobs_top).

@@ -115,18 +115,26 @@ def sample_token(
     top_p=1.0,
     top_k=0,
     min_p=0.0,
+    typical_p=1.0,
+    tfs_z=1.0,
     nucleus_candidates: int = 256,
 ) -> jax.Array:
-    """Returns next token ids [B] int32. temperature/top_p/top_k/min_p may
-    be scalars or per-row [B] arrays; temperature == 0 rows decode
-    greedily; top_k == 0 and min_p == 0 are identities.
+    """Returns next token ids [B] int32. All sampler params may be
+    scalars or per-row [B] arrays; temperature == 0 rows decode
+    greedily; top_k == 0 and min_p == 0 and typical_p/tfs_z == 1 are
+    identities.
 
     min_p follows llama.cpp semantics (its default sampler): drop tokens
-    whose probability is below min_p * p(max). Because p_i/p_max =
-    exp(v_i - v_max) is invariant under masking other entries, the test
-    runs directly on shifted logits and commutes with top-k/top-p.
+    whose probability is below min_p * p(max). `typical_p` is
+    locally-typical sampling (keep the lowest-|surprise - entropy| set
+    with cumulative prob >= p); `tfs_z` is tail-free sampling (drop the
+    tail by normalized |second derivative| of the sorted probs). Filter
+    order: top_k -> tfs -> typical -> min_p -> top_p (the reference's
+    llama-server chain order; min_p/top_p are both sorted-prefix
+    filters, so their relative order is immaterial). All filters see
+    the post-temperature distribution.
 
-    Hot-path design: top-p runs over the `nucleus_candidates` largest
+    Hot-path design: filters run over the `nucleus_candidates` largest
     logits only (a full-vocab sort of [B, 128K] costs tens of ms per
     decode step — measured 4x the whole model forward), and the entire
     sampling branch is skipped via `lax.cond` when every row is greedy.
@@ -136,6 +144,8 @@ def sample_token(
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))
     top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,))
     min_p = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,))
+    typical_p = jnp.broadcast_to(jnp.asarray(typical_p, jnp.float32), (B,))
+    tfs_z = jnp.broadcast_to(jnp.asarray(tfs_z, jnp.float32), (B,))
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -146,6 +156,44 @@ def sample_token(
         vals, idx = jax.lax.top_k(scaled, c)  # [B, c] descending
         k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, c), c)
         vals = jnp.where(jnp.arange(c)[None, :] < k_eff[:, None], vals, -jnp.inf)
+
+        # tail-free (llama.cpp tfs): drop the flat tail of the sorted
+        # distribution by cumulative normalized |p''|
+        def tfs(vals):
+            p = jax.nn.softmax(vals, axis=-1)
+            d2 = jnp.abs(p[:, :-2] - 2 * p[:, 1:-1] + p[:, 2:])  # [B, c-2]
+            d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-9)
+            cum = jnp.cumsum(d2, axis=-1)
+            keep2 = (cum - d2) < tfs_z[:, None]  # over positions 0..c-3
+            keep = jnp.concatenate(
+                [jnp.ones((B, 1), bool), keep2, jnp.zeros((B, 1), bool)],
+                axis=1,
+            )
+            keep = keep.at[:, 1].set(True)  # always keep top-2
+            return jnp.where(keep | (tfs_z >= 1.0)[:, None], vals, -jnp.inf)
+
+        vals = jax.lax.cond(jnp.any(tfs_z < 1.0), tfs, lambda v: v, vals)
+
+        # locally-typical (llama.cpp typical_p): keep tokens closest to
+        # the entropy, smallest set with cum prob >= typical_p
+        def typical(vals):
+            lp = jax.nn.log_softmax(vals, axis=-1)
+            p = jnp.exp(lp)
+            ent = -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=-1, keepdims=True)
+            dev = jnp.abs(-lp - ent)  # [B, c]
+            order = jnp.argsort(dev, axis=-1)  # ascending deviation
+            p_sorted = jnp.take_along_axis(p, order, axis=-1)
+            cum = jnp.cumsum(p_sorted, axis=-1)
+            keep_sorted = (cum - p_sorted) < typical_p[:, None]
+            keep_sorted = keep_sorted.at[:, 0].set(True)
+            inv = jnp.argsort(order, axis=-1)
+            keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+            return jnp.where(keep | (typical_p >= 1.0)[:, None], vals, -jnp.inf)
+
+        vals = jax.lax.cond(
+            jnp.any(typical_p < 1.0), typical, lambda v: v, vals
+        )
+
         # min_p: p_i/p_max >= min_p  <=>  v_i - v_max >= log(min_p)
         keep_mp = (vals - vals[:, :1]) >= jnp.log(
             jnp.maximum(min_p, 1e-38)

@@ -221,6 +221,8 @@ class InferenceServer:
             max_new_tokens=max(1, max_new),
             ignore_eos=bool(body.get("ignore_eos", False)),
             min_p=float(body.get("min_p", 0.0)),
+            typical_p=float(body.get("typical_p", 1.0)),
+            tfs_z=float(body.get("tfs_z", 1.0)),
             # OpenAI/llama.cpp `seed`: llama.cpp uses -1 for "random"
             seed=(
                 int(body["seed"])
