@@ -12,11 +12,18 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
 
 sys.path.insert(0, ".")
+
+if os.environ.get("WF_PLATFORM"):  # e.g. WF_PLATFORM=cpu for CPU smoke
+    # the axon TPU plugin ignores JAX_PLATFORMS; use the config API
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["WF_PLATFORM"])
 
 from wrinklefree_tpu.bench.metrics import BenchmarkMetrics  # noqa: E402
 from wrinklefree_tpu.config import BitNetConfig, EngineConfig  # noqa: E402
@@ -42,6 +49,12 @@ def main():
                     help="speculative_k (greedy n-gram drafts per step)")
     ap.add_argument("--flash-decode", default=None, choices=[None, "0", "1"],
                     help="in-kernel page-gather decode attention")
+    ap.add_argument("--prefill-mode", default="bucket",
+                    choices=["bucket", "all"],
+                    help="prefill round membership (EngineConfig"
+                         ".prefill_round_mode)")
+    ap.add_argument("--max-prefill-slots", type=int, default=None,
+                    help="decode-slot reservation cap")
     ap.add_argument("--exact-head", type=int, default=0, metavar="K",
                     help="exact-greedy head: int8 scan + bf16 top-K rescore "
                          "+ certificate (argmax-exact; 0 = off)")
@@ -75,6 +88,8 @@ def main():
            if args.flash_decode is not None else {}),
         speculative_k=args.spec,
         exact_head_k=args.exact_head,
+        prefill_round_mode=args.prefill_mode,
+        max_prefill_slots=args.max_prefill_slots,
     )
     print(f"init {('tiny' if args.tiny else args.model)} model + engine "
           f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)

@@ -975,3 +975,17 @@ class TestTypicalTfs:
             ).json()["content"]
 
         assert run() == run()  # seeded + filtered: reproducible
+
+
+class TestTimings:
+    def test_llamacpp_timings_block(self, server_url):
+        r = requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "hello", "n_predict": 4, "temperature": 0.0},
+            timeout=120,
+        ).json()
+        t = r["timings"]
+        assert t["predicted_n"] == 4
+        assert t["prompt_n"] >= 1
+        assert t["prompt_ms"] > 0 and t["predicted_ms"] >= 0
+        assert "predicted_per_second" in t

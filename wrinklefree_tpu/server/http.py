@@ -755,12 +755,36 @@ class InferenceServer:
                     "stopped_limit": req.finish_reason == "length" and hit is None,
                     "tokens_predicted": len(req.output_ids),
                     "tokens_evaluated": len(ids),
+                    "timings": self._timings(req, len(ids)),
                 }
             )
         except ValueError as e:
             return web.json_response({"error": str(e)}, status=400)
 
     # -- generation helpers -------------------------------------------------
+
+    @staticmethod
+    def _timings(req, n_prompt: int) -> dict:
+        """llama.cpp `timings` response block (llama-server parity),
+        from the engine's per-request timestamps."""
+        n_pred = len(req.output_ids)
+        out = {"prompt_n": n_prompt, "predicted_n": n_pred}
+        if req.first_token_t is not None:
+            prompt_ms = (req.first_token_t - req.arrival_t) * 1000
+            out["prompt_ms"] = round(prompt_ms, 2)
+            out["prompt_per_second"] = round(
+                n_prompt / max(prompt_ms / 1000, 1e-9), 2
+            )
+        # finish_t may lag: on_token(fin=True) fires just before the
+        # engine records it — fall back to now
+        end_t = req.finish_t if req.finish_t is not None else time.monotonic()
+        if req.first_token_t is not None:
+            pred_ms = (end_t - req.first_token_t) * 1000
+            out["predicted_ms"] = round(pred_ms, 2)
+            out["predicted_per_second"] = round(
+                max(n_pred - 1, 0) / max(pred_ms / 1000, 1e-9), 2
+            )
+        return out
 
     @staticmethod
     def _parse_n(body: dict) -> int:
