@@ -170,3 +170,48 @@ class TestEngineGrammar:
 
         with pytest.raises(ValueError):
             setup.submit([1, 2], SamplingParams(grammar="root := broken"))
+
+
+class TestBlowupSafety:
+    """A grammar that explodes the possible-stacks set mid-generation
+    must finish the request, never wedge the engine (review finding:
+    GbnfError was uncaught in the decode loop)."""
+
+    # distinguishable suffixes ("b" vs "c" tails) double the stack set
+    # per consumed char — stack dedup can't collapse them
+    AMBIG = 'root ::= "a" root "b" | "a" root "c" | "a"'
+
+    def test_validator_raises_on_explosion(self):
+        v = GbnfValidator(self.AMBIG)
+        with pytest.raises(GbnfError):
+            for _ in range(40):
+                assert v.advance("a") != "dead"
+
+    def test_engine_survives_ambiguous_grammar(self):
+        from wrinklefree_tpu.config import BitNetConfig, EngineConfig
+        from wrinklefree_tpu.engine import Engine, SamplingParams
+        from wrinklefree_tpu.models.bitnet import init_params
+
+        cfg = BitNetConfig.tiny()
+        eng = Engine(
+            init_params(cfg, seed=0), cfg,
+            EngineConfig(max_batch_slots=2, page_size=8, num_pages=64,
+                         max_context=64, prefill_buckets=(8, 16, 32)),
+        )
+        eng.token_pieces = [
+            chr(i) if 32 <= i < 127 else "" for i in range(cfg.vocab_size)
+        ]
+        bad = eng.submit(
+            [1, 2, 3],
+            SamplingParams(max_new_tokens=60, ignore_eos=True,
+                           grammar=self.AMBIG),
+        )
+        good = eng.submit(
+            [4, 5, 6], SamplingParams(max_new_tokens=6, ignore_eos=True)
+        )
+        for _ in range(300):
+            if bad.finished and good.finished:
+                break
+            eng.step()
+        assert bad.finished  # ended cleanly, not wedged
+        assert good.finished and len(good.output_ids) == 6

@@ -757,8 +757,13 @@ class Engine:
                 # the generated-so-far text is part of the restored
                 # prompt: replay it through a fresh validator
                 r.grammar = self._make_validator(sp)
-                for t in d["output_ids"]:
-                    r.grammar.advance(self.token_pieces[t])
+                try:
+                    for t in d["output_ids"]:
+                        r.grammar.advance(self.token_pieces[t])
+                except ValueError:
+                    # grammar blow-up on replay: end this request
+                    # cleanly instead of aborting the whole restore
+                    self.cancel(r, "stop")
             out.append(r)
         return out
 
@@ -1225,8 +1230,10 @@ class Engine:
         pieces = self.token_pieces
         lg = logits_row.astype(np.float64)
         V = lg.shape[0]
+        g = None
         if s.temperature > 0:
             t = lg / s.temperature
+            t_raw = t.copy()  # pre-filter scores for the dead-end fallback
             # top-k / tfs / typical / min_p / top-p masks
             # (device-sampler semantics and order)
             if s.top_k > 0:
@@ -1238,10 +1245,11 @@ class Engine:
                 p /= p.sum()
                 d2 = np.abs(p[:-2] - 2 * p[1:-1] + p[2:])
                 d2 = d2 / max(d2.sum(), 1e-9)
-                cum = np.cumsum(d2)
-                drop_pos = np.nonzero((cum - d2) >= s.tfs_z)[0]
-                drop_pos = drop_pos[drop_pos >= 2]  # keep top-2 always
-                t[order0[drop_pos]] = -np.inf
+                cum = np.cumsum(d2)  # inclusive (device-kernel rule)
+                keep2 = cum <= s.tfs_z
+                keep = np.concatenate([keep2, keep2[-1:], keep2[-1:]])
+                keep[0] = True
+                t[order0[~keep]] = -np.inf
             if s.typical_p < 1.0:
                 finite = np.isfinite(t)
                 lpv = np.full_like(t, -np.inf)
@@ -1268,7 +1276,8 @@ class Engine:
                 (int(req.seed) << 20)
                 ^ (req.counter_base + len(req.output_ids))
             )
-            score = t + rng.gumbel(size=V)
+            g = rng.gumbel(size=V)
+            score = t + g
         else:
             score = lg
         eos = self.eos_token_id
@@ -1291,7 +1300,13 @@ class Engine:
                 if not piece:  # specials decode to "" — never legal text
                     continue
                 cand = req.grammar.clone()
-                r = cand.advance(piece)
+                try:
+                    r = cand.advance(piece)
+                except ValueError:
+                    # grammar blow-up (GbnfError: stack explosion /
+                    # too-deep expansion) — treat as dead so the request
+                    # finishes instead of wedging the engine step loop
+                    continue
                 if r != "dead":
                     req.grammar = cand
                     return int(tok), r
@@ -1300,11 +1315,11 @@ class Engine:
         tok, r = walk(score)
         if tok is None and s.temperature > 0:
             # every nucleus/top-k candidate was grammar-illegal: fall
-            # back to the unfiltered distribution so a legal token
-            # anywhere in the vocab keeps the request alive (llama.cpp's
-            # grammar resample never dead-ends while a legal token
-            # exists)
-            tok, r = walk(lg)
+            # back to the UNFILTERED distribution (same temperature +
+            # gumbel noise, so it is still a sample, not a deterministic
+            # argmax) — llama.cpp's grammar resample never dead-ends
+            # while a legal token exists
+            tok, r = walk(t_raw + g)
         return tok, r
 
     def _decode(self) -> bool:

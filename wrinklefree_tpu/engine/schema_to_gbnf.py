@@ -117,9 +117,16 @@ class _Compiler:
         if not kvs:
             return '""'
         # first emitted member can't have a leading comma: enumerate each
-        # possible first member (required members stop the enumeration)
+        # possible first member (required members stop the enumeration).
+        # tail() is memoized by index — each optional property mints ONE
+        # rule, not one per enclosing alternative.
+        memo = {}
+
         def tail(i):
+            if i in memo:
+                return memo[i]
             if i >= len(kvs):
+                memo[i] = ""
                 return ""
             kv, opt = kvs[i]
             rest = tail(i + 1)
@@ -127,7 +134,9 @@ class _Compiler:
             if opt:
                 r = self.fresh(f"{hint}o")
                 self.rules[r] = f"( {seg} ) | {rest}" if rest else f'( ws "," ws {kv} ) | ""'
+                memo[i] = r
                 return r
+            memo[i] = seg
             return seg
 
         alts = []
@@ -151,6 +160,9 @@ class _Compiler:
         hi = schema.get("maxItems")
         name = self.fresh(hint)
         more = f'( ws "," ws {item} )'
+        if hi is not None and int(hi) == 0:
+            self.rules[name] = '"[" ws "]"'
+            return name
         if hi is None:
             if lo == 0:
                 body = f'"[" ws ( {item} {more}* )? ws "]"'

@@ -160,16 +160,19 @@ def sample_token(
         # tail-free (llama.cpp tfs): drop the flat tail of the sorted
         # distribution by cumulative normalized |p''|
         def tfs(vals):
+            # llama.cpp llama_sample_tail_free: candidate i (of the
+            # first c-2, which have a second derivative) survives iff
+            # the INCLUSIVE cumsum of normalized |p''| through i is
+            # <= z; the last two candidates survive only when no prefix
+            # exceeded z. Position 0 always survives.
             p = jax.nn.softmax(vals, axis=-1)
             d2 = jnp.abs(p[:, :-2] - 2 * p[:, 1:-1] + p[:, 2:])  # [B, c-2]
             d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-9)
             cum = jnp.cumsum(d2, axis=-1)
-            keep2 = (cum - d2) < tfs_z[:, None]  # over positions 0..c-3
-            keep = jnp.concatenate(
-                [jnp.ones((B, 1), bool), keep2, jnp.zeros((B, 1), bool)],
-                axis=1,
-            )
-            keep = keep.at[:, 1].set(True)  # always keep top-2
+            keep2 = cum <= tfs_z[:, None]  # positions 0..c-3
+            tail = keep2[:, -1:]  # "never exceeded" -> keep last two
+            keep = jnp.concatenate([keep2, tail, tail], axis=1)
+            keep = keep.at[:, 0].set(True)
             return jnp.where(keep | (tfs_z >= 1.0)[:, None], vals, -jnp.inf)
 
         vals = jax.lax.cond(jnp.any(tfs_z < 1.0), tfs, lambda v: v, vals)
@@ -194,8 +197,11 @@ def sample_token(
             jnp.any(typical_p < 1.0), typical, lambda v: v, vals
         )
 
-        # min_p: p_i/p_max >= min_p  <=>  v_i - v_max >= log(min_p)
-        keep_mp = (vals - vals[:, :1]) >= jnp.log(
+        # min_p: p_i/p_max >= min_p  <=>  v_i - v_max >= log(min_p);
+        # v_max over the SURVIVING candidates (earlier filters can mask
+        # sorted position 0)
+        vmax = jnp.max(vals, axis=-1, keepdims=True)
+        keep_mp = (vals - vmax) >= jnp.log(
             jnp.maximum(min_p, 1e-38)
         )[:, None]
         vals = jnp.where(keep_mp | (min_p <= 0.0)[:, None], vals, -jnp.inf)
