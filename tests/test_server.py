@@ -989,3 +989,18 @@ class TestTimings:
         assert t["prompt_n"] >= 1
         assert t["prompt_ms"] > 0 and t["predicted_ms"] >= 0
         assert "predicted_per_second" in t
+
+
+class TestMirostatServer:
+    def test_mirostat_request_seeded(self, server_url):
+        def run():
+            return requests.post(
+                f"{server_url}/completion",
+                json={"prompt": "hello", "n_predict": 8, "temperature": 1.0,
+                      "seed": 11, "mirostat": 2, "mirostat_tau": 4.0,
+                      "mirostat_eta": 0.2},
+                timeout=120,
+            ).json()["content"]
+
+        a = run()
+        assert len(a) > 0 and a == run()

@@ -36,6 +36,7 @@ from ..ops.sampling import (
     apply_penalties,
     per_request_keys,
     sample_token,
+    sample_token_mirostat,
 )
 from .page_allocator import PageAllocator
 from .radix_cache import RadixCache
@@ -254,6 +255,11 @@ class Engine:
         self.slot_lastn = np.zeros((S,), np.int32)
         self.slot_typps = np.ones((S,), np.float32)
         self.slot_tfs = np.ones((S,), np.float32)
+        self.slot_miro = np.zeros((S,), np.int32)
+        self.slot_mtau = np.full((S,), 5.0, np.float32)
+        self.slot_meta = np.full((S,), 0.1, np.float32)
+        self.slot_mu = np.zeros((S,), np.float32)  # mirostat state (2*tau)
+        self._mu_fresh = set()  # slots whose mu was (re)initialized
         Kb = e.logit_bias_slots
         self.slot_bias_ids = np.full((S, Kb), -1, np.int32)
         self.slot_bias_vals = np.zeros((S, Kb), np.float32)
@@ -272,6 +278,7 @@ class Engine:
         self._decode_lp_jit = None  # built lazily (first logprobs request)
         self._decode_spec_jit = None  # built lazily (speculative_k > 0)
         self._decode_cand_jit = None  # built lazily (first json_mode request)
+        self._decode_miro_jit = None  # built lazily (first mirostat request)
         # id -> decoded text piece, set by the embedder (server) before
         # json_mode requests can run; engine tests set it directly
         self.token_pieces: "Optional[List[str]]" = None
@@ -304,7 +311,8 @@ class Engine:
         )
 
     def _build_decode(self, with_logprobs: bool = False,
-                      return_logits: bool = False):
+                      return_logits: bool = False,
+                      with_mirostat: bool = False):
         """Fused K-step decode burst: a device-side `lax.scan` samples K
         tokens per slot per dispatch, so tunnel/host round-trips are paid
         once per K tokens instead of per token (the decode-loop-overhead
@@ -329,11 +337,14 @@ class Engine:
         K = 1 if return_logits else self.ecfg.decode_burst
         tp_axis = "model" if self.mesh is not None else None
         fd = self.ecfg.flash_decode
-        ek = 0 if (with_logprobs or return_logits) else self.ecfg.exact_head_k
+        ek = (
+            0 if (with_logprobs or return_logits or with_mirostat)
+            else self.ecfg.exact_head_k
+        )
         lp_n = self.ecfg.logprobs_top if with_logprobs else 0
 
         def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, slot_ids, ring, samp):
+                  counters, slot_ids, ring, samp, mu=None):
             # samp: per-slot sampler-state pytree (one dict entry per
             # param — adding a sampler knob = one key, no re-plumbing)
             temps, top_ps = samp["temps"], samp["tps"]
@@ -349,7 +360,11 @@ class Engine:
                           if not kk.startswith("lm_head_")}
 
             def one(carry, _):
-                pools, tok, sl, ctr, ring = carry
+                if with_mirostat:
+                    pools, tok, sl, ctr, ring, mu = carry
+                else:
+                    pools, tok, sl, ctr, ring = carry
+                    mu = None
                 # the token being fed sits at position sl — it's part of
                 # the penalty window for the token sampled this step
                 ring = ring.at[jnp.arange(tok.shape[0]), sl % W].set(tok)
@@ -407,11 +422,18 @@ class Engine:
                         ),
                         bias_ids, bias_vals,
                     )
-                    nxt = sample_token(
-                        pen, keys, temperature=temps, top_p=top_ps,
-                        top_k=top_ks, min_p=min_ps, typical_p=typps,
-                        tfs_z=tfs,
-                    )
+                    if with_mirostat:
+                        nxt, mu = sample_token_mirostat(
+                            pen, keys, mu, temps, top_ps, top_ks, min_ps,
+                            typps, tfs, samp["miro"], samp["mtau"],
+                            samp["meta"],
+                        )
+                    else:
+                        nxt = sample_token(
+                            pen, keys, temperature=temps, top_p=top_ps,
+                            top_k=top_ks, min_p=min_ps, typical_p=typps,
+                            tfs_z=tfs,
+                        )
                 if lp_n:
                     # distribution the step actually sampled from
                     # (penalized, pre-temperature), OpenAI/llama.cpp style
@@ -425,8 +447,16 @@ class Engine:
                     out = (nxt, pen)
                 else:
                     out = nxt
+                if with_mirostat:
+                    return (pools, nxt, sl + 1, ctr + 1, ring, mu), out
                 return (pools, nxt, sl + 1, ctr + 1, ring), out
 
+            if with_mirostat:
+                (pools, last, sl, ctr, ring, mu), outs = jax.lax.scan(
+                    one, (pools, last_tokens, seq_lens, counters, ring, mu),
+                    None, length=K,
+                )
+                return outs, pools, last, sl, ctr, ring, mu
             (pools, last, sl, ctr, ring), outs = jax.lax.scan(
                 one, (pools, last_tokens, seq_lens, counters, ring), None,
                 length=K,
@@ -440,16 +470,18 @@ class Engine:
 
             pool_spec = self._pool_spec()
             rep7 = tuple(P() for _ in range(7))
-            samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals")}
+            samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals", "miro", "mtau", "meta")}
             out0 = (
                 (P(), P(), P(), P()) if with_logprobs
                 else ((P(), P()) if return_logits else P())
             )
+            extra_in = (P(),) if with_mirostat else ()
+            extra_out = (P(),) if with_mirostat else ()
             burst = jax.shard_map(
                 burst, mesh=self.mesh,
                 in_specs=(param_partition_specs(self.params), pool_spec)
-                + rep7 + (samp_spec,),
-                out_specs=(out0, pool_spec, P(), P(), P(), P()),
+                + rep7 + (samp_spec,) + extra_in,
+                out_specs=(out0, pool_spec, P(), P(), P(), P()) + extra_out,
                 check_vma=False,
             )
         return functools.partial(jax.jit, donate_argnums=(1,))(burst)
@@ -579,7 +611,7 @@ class Engine:
 
                 pool_spec = self._pool_spec()
                 rep8 = tuple(P() for _ in range(8))
-                samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals")}
+                samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals", "miro", "mtau", "meta")}
                 out0 = (
                     (P(), P(), P(), P()) if with_logprobs
                     else ((P(), P()) if return_logits else P())
@@ -626,6 +658,12 @@ class Engine:
                 from .gbnf import GbnfValidator
 
                 GbnfValidator(sampling.grammar)  # raises on parse errors
+            if sampling.mirostat:
+                raise ValueError(
+                    "mirostat with constrained decoding not supported"
+                )
+        if sampling.mirostat and sampling.logprobs_k > 0:
+            raise ValueError("mirostat with logprobs not supported")
 
     def submit(
         self,
@@ -701,6 +739,9 @@ class Engine:
                     "min_p": s.min_p,
                     "typical_p": s.typical_p,
                     "tfs_z": s.tfs_z,
+                    "mirostat": s.mirostat,
+                    "mirostat_tau": s.mirostat_tau,
+                    "mirostat_eta": s.mirostat_eta,
                     "stop_token_ids": list(s.stop_token_ids or []),
                     "ignore_eos": s.ignore_eos,
                     "repetition_penalty": s.repetition_penalty,
@@ -729,6 +770,9 @@ class Engine:
                 top_k=d["top_k"], min_p=d.get("min_p", 0.0),
                 typical_p=d.get("typical_p", 1.0),
                 tfs_z=d.get("tfs_z", 1.0),
+                mirostat=d.get("mirostat", 0),
+                mirostat_tau=d.get("mirostat_tau", 5.0),
+                mirostat_eta=d.get("mirostat_eta", 0.1),
                 max_new_tokens=d["max_new_tokens"],
                 stop_token_ids=d["stop_token_ids"] or None,
                 ignore_eos=d["ignore_eos"], seed=d["seed"],
@@ -915,6 +959,11 @@ class Engine:
         self.slot_minps[slot] = max(0.0, s.min_p)
         self.slot_typps[slot] = s.typical_p
         self.slot_tfs[slot] = s.tfs_z
+        self.slot_miro[slot] = s.mirostat
+        self.slot_mtau[slot] = s.mirostat_tau
+        self.slot_meta[slot] = s.mirostat_eta
+        self.slot_mu[slot] = 2.0 * s.mirostat_tau
+        self._mu_fresh.add(slot)
         self.slot_reps[slot] = s.repetition_penalty
         self.slot_pres[slot] = s.presence_penalty
         self.slot_freqs[slot] = s.frequency_penalty
@@ -1055,6 +1104,11 @@ class Engine:
             "freqs": jnp.asarray(freqs), "lastn": jnp.asarray(lastn),
             "bias_ids": jnp.asarray(bias_ids),
             "bias_vals": jnp.asarray(bias_vals),
+            # mirostat applies from the first decode step; the prefill
+            # sampler runs the standard chain (mu starts at 2*tau)
+            "miro": jnp.zeros((B,), jnp.int32),
+            "mtau": jnp.full((B,), 5.0, jnp.float32),
+            "meta": jnp.full((B,), 0.1, jnp.float32),
         }
         out, self.pools = fn(
             self.params, self.pools, jnp.asarray(toks), jnp.asarray(pt),
@@ -1146,6 +1200,15 @@ class Engine:
             n = int(self.seq_lens[i])
             for p in range(max(0, n - W), min(n, len(toks_all))):
                 ring[i, p % W] = toks_all[p]
+        # mirostat mu evolves on-device between uploads: pull it back
+        # for still-running slots (freshly admitted slots keep their
+        # 2*tau initialization)
+        if self._dstate is not None:
+            dev_mu = np.asarray(self._dstate[8])
+            for i in range(NS):
+                if i not in self._mu_fresh:
+                    self.slot_mu[i] = dev_mu[i]
+        self._mu_fresh.clear()
         samp = {
             "temps": jnp.asarray(self.slot_temps),
             "tps": jnp.asarray(self.slot_tps),
@@ -1159,6 +1222,9 @@ class Engine:
             "lastn": jnp.asarray(self.slot_lastn),
             "bias_ids": jnp.asarray(self.slot_bias_ids),
             "bias_vals": jnp.asarray(self.slot_bias_vals),
+            "miro": jnp.asarray(self.slot_miro),
+            "mtau": jnp.asarray(self.slot_mtau),
+            "meta": jnp.asarray(self.slot_meta),
         }
         self._dstate = (
             jnp.asarray(last),
@@ -1169,6 +1235,7 @@ class Engine:
             jnp.asarray(sids),
             jnp.asarray(ring),
             samp,
+            jnp.asarray(self.slot_mu),
         )
         if self.ecfg.speculative_k > 0:
             # device-resident token history for n-gram drafting:
@@ -1376,7 +1443,7 @@ class Engine:
         if self._dirty or self._dstate is None or mp != self._mp_bucket:
             self._upload_state(mp)
         (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids, d_ring,
-         d_samp) = self._dstate
+         d_samp, d_mu) = self._dstate
         room_cap = min(self.ecfg.max_context, self.max_pages_per_seq * ps)
 
         if spec:
@@ -1389,7 +1456,7 @@ class Engine:
                 )
             )
             self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids,
-                            d_ring, d_samp)
+                            d_ring, d_samp, d_mu)
             toks = np.asarray(toks_d)  # [K, S, k+1]
             counts = np.asarray(counts_d)  # [K, S]
             self.stats["decode_steps"] += K
@@ -1475,18 +1542,31 @@ class Engine:
             self._dirty = True
             return True
 
-        if want_lp:
-            if self._decode_lp_jit is None:
-                self._decode_lp_jit = self._build_decode(with_logprobs=True)
-            fn = self._decode_lp_jit
-        else:
-            fn = self._decode_jit
-        outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
-            self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
-            d_sids, d_ring, d_samp,
+        want_miro = any(
+            self.slots[i].sampling.mirostat for i in active
         )
+        if want_miro:
+            if self._decode_miro_jit is None:
+                self._decode_miro_jit = self._build_decode(with_mirostat=True)
+            outs_d, self.pools, d_last, d_sl, d_ctr, d_ring, d_mu = (
+                self._decode_miro_jit(
+                    self.params, self.pools, d_last, d_pt, d_sl, d_seeds,
+                    d_ctr, d_sids, d_ring, d_samp, d_mu,
+                )
+            )
+        else:
+            if want_lp:
+                if self._decode_lp_jit is None:
+                    self._decode_lp_jit = self._build_decode(with_logprobs=True)
+                fn = self._decode_lp_jit
+            else:
+                fn = self._decode_jit
+            outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
+                self.params, self.pools, d_last, d_pt, d_sl, d_seeds, d_ctr,
+                d_sids, d_ring, d_samp,
+            )
         self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids,
-                        d_ring, d_samp)
+                        d_ring, d_samp, d_mu)
         if want_lp:
             toks_d, chosen_d, tids_d, tlps_d = outs_d
             lp_data = (np.asarray(chosen_d), np.asarray(tids_d),

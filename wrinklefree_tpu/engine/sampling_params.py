@@ -30,6 +30,14 @@ class SamplingParams:
     # sampling (tfs_z); 1.0 = off for both.
     typical_p: float = 1.0
     tfs_z: float = 1.0
+    # Mirostat v2 (llama.cpp mirostat/mirostat_tau/mirostat_eta):
+    # 0 = off; nonzero enables the v2 algorithm (adaptive surprise
+    # target; replaces the other filters for this request). mu starts
+    # at 2*tau; the first (prefill-sampled) token uses the standard
+    # sampler, decode steps adapt mu on-device.
+    mirostat: int = 0
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
     # Logprobs (OpenAI logprobs/top_logprobs, llama.cpp n_probs): 0 = off;
     # k >= 1 returns the chosen token's logprob + the top-k alternatives
     # per step (clamped to EngineConfig.logprobs_top).

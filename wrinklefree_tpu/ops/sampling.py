@@ -233,3 +233,58 @@ def per_request_keys(seeds: jax.Array, counters: jax.Array) -> jax.Array:
     return jax.vmap(lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c))(
         seeds, counters
     )
+
+
+def sample_token_mirostat(
+    logits: jax.Array,  # [B, V] float32
+    rng: jax.Array,  # [B, 2] per-row keys
+    mu: jax.Array,  # [B] float32 mirostat state (2*tau at request start)
+    temperature,
+    top_p,
+    top_k,
+    min_p,
+    typical_p,
+    tfs_z,
+    miro,  # [B] int32: 0 = standard sampler, >0 = mirostat v2
+    tau,  # [B] float32 target surprise (bits)
+    eta,  # [B] float32 learning rate
+    nucleus_candidates: int = 256,
+):
+    """Mirostat v2 (llama.cpp llama_sample_token_mirostat_v2) fused with
+    the standard sampler: rows with miro > 0 cut candidates whose
+    surprise (-log2 p) exceeds mu, sample from the remainder, and adapt
+    mu -= eta * (observed_surprise - tau); other rows sample exactly as
+    `sample_token` and pass mu through. Returns (tokens [B], new_mu [B]).
+
+    Mirostat replaces the other filters for its rows (llama.cpp chains
+    temperature -> mirostat only); temperature still applies.
+    """
+    B, V = logits.shape
+    temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
+    miro = jnp.broadcast_to(jnp.asarray(miro, jnp.int32), (B,))
+    tau = jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))
+    eta = jnp.broadcast_to(jnp.asarray(eta, jnp.float32), (B,))
+
+    base = sample_token(
+        logits, rng, temperature=temperature, top_p=top_p, top_k=top_k,
+        min_p=min_p, typical_p=typical_p, tfs_z=tfs_z,
+        nucleus_candidates=nucleus_candidates,
+    )
+
+    c = min(nucleus_candidates, V)
+    safe_t = jnp.where(temperature > 0, temperature, 1.0)
+    vals, idx = jax.lax.top_k(logits / safe_t[:, None], c)
+    lp = jax.nn.log_softmax(vals, axis=-1)
+    surprise = -lp / jnp.log(2.0)  # [B, c] bits
+    keep = surprise <= mu[:, None]
+    keep = keep.at[:, 0].set(True)  # never empty
+    masked = jnp.where(keep, vals, -jnp.inf)
+    noise = jax.vmap(lambda k: jax.random.gumbel(k, (c,)))(rng)
+    choice = jnp.argmax(masked + noise, axis=-1)  # [B]
+    miro_tok = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    obs = jnp.take_along_axis(surprise, choice[:, None], axis=1)[:, 0]
+    new_mu = mu - eta * (obs - tau)
+
+    use_miro = (miro > 0) & (temperature > 0)
+    tok = jnp.where(use_miro, miro_tok.astype(jnp.int32), base)
+    return tok, jnp.where(use_miro, new_mu, mu)

@@ -223,6 +223,9 @@ class InferenceServer:
             min_p=float(body.get("min_p", 0.0)),
             typical_p=float(body.get("typical_p", 1.0)),
             tfs_z=float(body.get("tfs_z", 1.0)),
+            mirostat=int(body.get("mirostat", 0) or 0),
+            mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+            mirostat_eta=float(body.get("mirostat_eta", 0.1)),
             # OpenAI/llama.cpp `seed`: llama.cpp uses -1 for "random"
             seed=(
                 int(body["seed"])
