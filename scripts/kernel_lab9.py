@@ -109,6 +109,7 @@ def main():
             pass
         return jnp.zeros(x.shape[:-1] + (n,), x.dtype)
 
+    params2 = jax.device_put(init_params(cfg, seed=0))  # unfused: XLA linear
     for name, flash in (("xla-gather", False), ("pallas-paged", True)):
         os.environ["WF_PAGED_FLASH_DECODE"] = "1" if flash else "0"
 
@@ -131,7 +132,7 @@ def main():
         st2 = {"p": PagedKV.zeros_dual(cfg, num_pages, ps, B)}
 
         def run2(n):
-            tok, st2["p"] = attn_chain(params, st2["p"], n)
+            tok, st2["p"] = attn_chain(params2, st2["p"], n)
             np.asarray(tok)
 
         s = slope(run2)

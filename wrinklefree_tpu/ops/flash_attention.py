@@ -364,8 +364,8 @@ def _paged_decode_kernel(
 
     @pl.when(j == jp)
     def _tail():
-        ks = ks_ref[0, :, 0, :]  # [ps, KVD] staging tokens
-        vs = vs_ref[0, :, 0, :]
+        ks = ks_ref[0]  # [ps, KVD] staging tokens (layer pre-sliced)
+        vs = vs_ref[0]
         kc = kc_ref[0]  # [8, KVD] row 0 = current token
         vc = vc_ref[0]
         k_all = jnp.concatenate([ks, kc], axis=0)  # [ps+8, KVD]
@@ -422,6 +422,15 @@ def flash_paged_decode(
     lens = jnp.concatenate([full, off])
     lay = jnp.asarray(layer, jnp.int32).reshape(1)
 
+    # Slice this layer's staging rows OUTSIDE the kernel: a [B, ps, KVD]
+    # dynamic slice is ~kilobytes and legal XLA; blocking the layer dim
+    # inside the kernel is an illegal Mosaic block shape (second-minor
+    # block 1 over a 2Lp-sized dim) and the gather saved nothing — the
+    # page pool is where the traffic is.
+    lay_i = jnp.asarray(layer, jnp.int32)
+    k_stage = jax.lax.dynamic_index_in_dim(staging_b, lay_i, axis=2, keepdims=False)
+    v_stage = jax.lax.dynamic_index_in_dim(staging_b, LP + lay_i, axis=2, keepdims=False)
+
     def _kpage(i):
         def idx(b, j, pt, lens, lay):
             e = jnp.clip(j * pp + i, 0, MP - 1)
@@ -443,13 +452,8 @@ def flash_paged_decode(
         + [_kpage(i) for i in range(pp)]
         + [_vpage(i) for i in range(pp)]
         + [
-            pl.BlockSpec(
-                (1, ps, 1, KVD), lambda b, j, pt, lens, lay: (b, 0, lay[0], 0)
-            ),
-            pl.BlockSpec(
-                (1, ps, 1, KVD),
-                lambda b, j, pt, lens, lay: (b, 0, LP + lay[0], 0),
-            ),
+            pl.BlockSpec((1, ps, KVD), lambda b, j, pt, lens, lay: (b, 0, 0)),
+            pl.BlockSpec((1, ps, KVD), lambda b, j, pt, lens, lay: (b, 0, 0)),
             pl.BlockSpec((1, 8, KVD), lambda b, j, pt, lens, lay: (b, 0, 0)),
             pl.BlockSpec((1, 8, KVD), lambda b, j, pt, lens, lay: (b, 0, 0)),
         ],
@@ -476,5 +480,5 @@ def flash_paged_decode(
         ),
         interpret=interpret,
     )(pt_flat, lens, lay, qp, *([main] * pp), *([main] * pp),
-      staging_b, staging_b, kc, vc)
+      k_stage, v_stage, kc, vc)
     return out.reshape(B, KV, 8, D)[:, :, :G].reshape(B, NH, D)

@@ -19,6 +19,7 @@ Integer math is exact: every kernel here must agree bit-for-bit with
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,15 +38,50 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+_PACKED_UNPACK = os.environ.get("WF_PACKED_UNPACK", "1") == "1"
+
+
 def _planes_dot(x, w_bytes, dot_dtype):
     """``sum_j x[:, j*K4:(j+1)*K4] @ (((w >> 2j) & 3) - 1)`` as ONE MXU
     dot: the four unpacked planes are stacked along K, which is exactly
     how the plane-major packing slices x. Integer-exact vs the
     per-plane loop (int32 adds commute); 4x fewer MXU ops — at batch-1
-    decode the fixed cost per (tiny) MXU op dominates the arithmetic."""
+    decode the fixed cost per (tiny) MXU op dominates the arithmetic.
+
+    Accepts the RAW uint8 bytes. Default unpack is packed-SIMD: bitcast
+    the bytes to uint32 (4 bytes/lane), shift+mask all 4 at once, bitcast
+    back — ~8x fewer VPU lane-ops than upcasting every byte to its own
+    int32 lane, which made the GEMV unpack-compute-bound at ~25% of HBM
+    bandwidth (scripts/roofline_gemv.py). The per-byte shift+mask is
+    correct under ANY self-consistent bitcast byte<->sublane order, and
+    the encoded {0,1,2} dot is fixed up with an exact row-sum-of-x
+    correction (same algebra the reference's kernel uses,
+    reference scripts/direct_inference_full.py:186-208)."""
     k4 = w_bytes.shape[0]
+    if (
+        _PACKED_UNPACK
+        and dot_dtype == jnp.int8
+        and w_bytes.dtype == jnp.uint8
+        and k4 % 4 == 0
+    ):
+        w32 = pltpu.bitcast(w_bytes, jnp.uint32)  # [K4/4, N] 4 bytes/lane
+        m = jnp.uint32(0x03030303)
+        enc = [
+            pltpu.bitcast((w32 >> jnp.uint32(2 * j)) & m, jnp.uint8)
+            for j in range(4)
+        ]  # each [K4, N], encoded 0..3
+        w_full = jnp.concatenate(enc, axis=0).astype(jnp.int8)
+        xs = x[:, : 4 * k4].astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xs, w_full,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        corr = jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)
+        return acc - corr
+    w_i32 = w_bytes.astype(jnp.int32)
     planes = [
-        (((w_bytes >> (2 * j)) & 3) - 1).astype(dot_dtype) for j in range(4)
+        (((w_i32 >> (2 * j)) & 3) - 1).astype(dot_dtype) for j in range(4)
     ]
     w_full = jnp.concatenate(planes, axis=0)  # [4*K4, N]
     return jax.lax.dot_general(
@@ -60,7 +96,7 @@ def _matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype):
     """x [TB,K] int8, w [K4,TN] uint8, sx [TB,1] f32, sw [1,1] f32 ->
     o [TB,TN] out_dtype."""
     k4 = w_ref.shape[0]
-    w_bytes = w_ref[:].astype(jnp.int32)
+    w_bytes = w_ref[:]
     acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     inv = 1.0 / (sx_ref[:] * sw_ref[0, 0])
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
@@ -69,7 +105,7 @@ def _matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dtype):
 def _matmul_int_kernel(x_ref, w_ref, o_ref, *, dot_dtype):
     """Exact-integer variant (no rescale): o [TB,TN] int32."""
     k4 = w_ref.shape[0]
-    w_bytes = w_ref[:].astype(jnp.int32)
+    w_bytes = w_ref[:]
     acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     o_ref[:] = acc
 
@@ -165,7 +201,7 @@ def _matmul_kernel_stacked(l_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref, *, dot_dt
     from the stacked HBM array — no per-layer slice copy)."""
     del l_ref
     k4 = w_ref.shape[1]
-    w_bytes = w_ref[0].astype(jnp.int32)
+    w_bytes = w_ref[0]
     acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     inv = 1.0 / (sx_ref[:] * sw_ref[0, 0])
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
@@ -180,7 +216,7 @@ def _matmul_kernel_stacked_rowscale(
     per-tensor scale in one kernel call."""
     del l_ref
     k4 = w_ref.shape[1]
-    w_bytes = w_ref[0].astype(jnp.int32)
+    w_bytes = w_ref[0]
     acc = _planes_dot(x_ref, w_bytes, dot_dtype)
     inv = 1.0 / (sx_ref[:] * sw_ref[0, 0:1, :])  # [TB,1] * [1,TN]
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
@@ -304,7 +340,7 @@ def _matmul_kernel_stacked_fused(
 
     xq = xq_ref[:]
     sx = sx_ref[:]
-    w_bytes = w_ref[0].astype(jnp.int32)
+    w_bytes = w_ref[0]
     acc = _planes_dot(xq, w_bytes, dot_dtype)
     inv = 1.0 / (sx * sw_ref[0, 0:1, :])
     o_ref[:] = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
@@ -424,7 +460,7 @@ def _layer_megakernel(
 
     @pl.when(g < nq)
     def _qkv_tile():
-        acc = _planes_dot(xq_ref[:], qw_ref[0].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq_ref[:], qw_ref[0], dot_dtype)
         inv = 1.0 / (sx_ref[:] * sq_ref[0, 0:1, :])
         qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
             acc.astype(jnp.float32) * inv
@@ -487,7 +523,7 @@ def _layer_megakernel(
     @pl.when((g >= nq) & (g < s_mlp))
     def _o_tile():
         jo = g - nq
-        acc = _planes_dot(xq2_ref[:], ow_ref[0].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq2_ref[:], ow_ref[0], dot_dtype)
         inv = 1.0 / (sx2_ref[:] * so_ref[0, 0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(h2_s.dtype)
         h2_s[:, pl.ds(jo * tn_o, tn_o)] = hres_ref[:] + d
@@ -507,7 +543,7 @@ def _layer_megakernel(
     @pl.when((g >= s_mlp) & (g < s_down))
     def _gateup_tile():
         jg = g - s_mlp
-        acc = _planes_dot(xq3_ref[:], gw_ref[0].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq3_ref[:], gw_ref[0], dot_dtype)
         inv = 1.0 / (sx3_ref[:] * sg_ref[0, 0:1, :])
         gu_s[:, pl.ds(jg * tn_gu, tn_gu)] = (
             acc.astype(jnp.float32) * inv
@@ -534,7 +570,7 @@ def _layer_megakernel(
     @pl.when(g >= s_down)
     def _down_tile():
         jd = g - s_down
-        acc = _planes_dot(xq4_ref[:], dw_ref[0].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq4_ref[:], dw_ref[0], dot_dtype)
         inv = 1.0 / (sx4_ref[:] * sd_ref[0, 0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
         o_ref[:] = h2_s[:, pl.ds(jd * tn_d, tn_d)] + d
@@ -773,7 +809,7 @@ def _mlp_megakernel(
     @pl.when(g < ngu)
     def _gateup_tile():
         xq = xq_ref[:]
-        w_bytes = gw_ref[0].astype(jnp.int32)
+        w_bytes = gw_ref[0]
         acc = _planes_dot(xq, w_bytes, dot_dtype)
         inv = 1.0 / (sx_ref[:] * sw1_ref[0, 0:1, :])
         gu_ref[:, pl.ds(g * tn_gu, tn_gu)] = (
@@ -804,7 +840,7 @@ def _mlp_megakernel(
     @pl.when(g >= ngu)
     def _down_tile():
         xq = xq2_ref[:]
-        w_bytes = dw_ref[0].astype(jnp.int32)
+        w_bytes = dw_ref[0]
         acc = _planes_dot(xq, w_bytes, dot_dtype)
         inv = 1.0 / (sx2_ref[:] * sw2_ref[0, 0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
@@ -864,7 +900,7 @@ def _attn_megakernel(
     @pl.when(g < nq)
     def _qkv_tile():
         xq = xq_ref[:]
-        w_bytes = qw_ref[0].astype(jnp.int32)
+        w_bytes = qw_ref[0]
         acc = _planes_dot(xq, w_bytes, dot_dtype)
         inv = 1.0 / (sx_ref[:] * sq_ref[0, 0:1, :])
         qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
@@ -943,7 +979,7 @@ def _attn_megakernel(
     @pl.when(g >= nq)
     def _o_tile():
         xq = xq2_ref[:]
-        w_bytes = ow_ref[0].astype(jnp.int32)
+        w_bytes = ow_ref[0]
         acc = _planes_dot(xq, w_bytes, dot_dtype)
         inv = 1.0 / (sx2_ref[:] * so_ref[0, 0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
@@ -1108,7 +1144,7 @@ def _attn_megakernel_static(
 
     @pl.when(g < nq)
     def _qkv_tile():
-        acc = _planes_dot(xq_ref[:], qw_ref[:].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq_ref[:], qw_ref[:], dot_dtype)
         inv = 1.0 / (sx_ref[:] * sq_ref[0:1, :])
         qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
             acc.astype(jnp.float32) * inv
@@ -1170,7 +1206,7 @@ def _attn_megakernel_static(
 
     @pl.when(g >= nq)
     def _o_tile():
-        acc = _planes_dot(xq2_ref[:], ow_ref[:].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq2_ref[:], ow_ref[:], dot_dtype)
         inv = 1.0 / (sx2_ref[:] * so_ref[0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
         o_ref[:] = hres_ref[:] + d
@@ -1304,7 +1340,7 @@ def _mlp_megakernel_static(
 
     @pl.when(g < ngu)
     def _gateup_tile():
-        acc = _planes_dot(xq_ref[:], gw_ref[:].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq_ref[:], gw_ref[:], dot_dtype)
         inv = 1.0 / (sx_ref[:] * sw1_ref[0:1, :])
         gu_ref[:, pl.ds(g * tn_gu, tn_gu)] = (
             acc.astype(jnp.float32) * inv
@@ -1330,7 +1366,7 @@ def _mlp_megakernel_static(
 
     @pl.when(g >= ngu)
     def _down_tile():
-        acc = _planes_dot(xq2_ref[:], dw_ref[:].astype(jnp.int32), dot_dtype)
+        acc = _planes_dot(xq2_ref[:], dw_ref[:], dot_dtype)
         inv = 1.0 / (sx2_ref[:] * sw2_ref[0:1, :])
         d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
         o_ref[:] = hres_ref[:] + d
