@@ -73,8 +73,12 @@ def main():
     params = init_params(cfg, seed=0)
     int8_logits = os.environ.get("WF_BENCH_INT8_LOGITS", "0") == "1"
     # exact-greedy head: int8 scan + bf16 top-k rescore + certificate
-    # (argmax-exact, unlike the plain int8 head); value = shortlist size
-    exact_head_k = int(os.environ.get("WF_BENCH_EXACT_HEAD", "0"))
+    # (argmax-exact, unlike the plain int8 head); value = shortlist size.
+    # Default ON at batch 1 (measured +12.5%: 433 vs 385 tok/s, exact);
+    # WF_BENCH_EXACT_HEAD=0 disables.
+    exact_head_k = int(
+        os.environ.get("WF_BENCH_EXACT_HEAD", "64" if batch == 1 else "0")
+    )
     if int8_logits or exact_head_k:
         from wrinklefree_tpu.models.bitnet import quantize_lm_head
 
