@@ -100,13 +100,16 @@ class TestHFConversion:
         # dequantized q_proj must equal the source ternary exactly
         from safetensors.numpy import load_file
 
+        from wrinklefree_tpu.ops.ternary import unpack_i2s_np
+
         src_w = load_file(str(src / "model.safetensors"))[
             "model.layers.0.self_attn.q_proj.weight"
         ]
         qw, gt = tensors["blk.0.attn_q.weight"]
         assert gt == GGML_I2_S
-        tern = unpack_ternary_np(qw)  # [K, N] = [in, out]
-        np.testing.assert_array_equal(tern.T.astype(np.float32), src_w)
+        assert meta["bitnet.i2s_layout"] == "ggml"
+        tern = unpack_i2s_np(qw)  # [N, K] = [out, in] (llama.cpp row-major)
+        np.testing.assert_array_equal(tern.astype(np.float32), src_w)
 
     def test_f16_export(self, tmp_path):
         src = _make_model_dir(tmp_path, dtype="ternary_float")
@@ -115,6 +118,109 @@ class TestHFConversion:
         w, gt = tensors["blk.0.attn_q.weight"]
         assert gt == GGML_F16 and w.dtype == np.float16
         assert w.shape == (128, 128)  # [out, in]
+
+
+class TestI2SByteConformance:
+    """i2_s WIRE-FORMAT conformance (VERDICT r1 item 2b): the byte layout
+    must match the documented BitNet.cpp spec (reference
+    sglang_backend/bitnet_quantization.py:96-133), proven against an
+    INDEPENDENT reimplementation of that algorithm — group-of-32 view,
+    strided i::4 interleave, shift 6-2i — not against our own packer."""
+
+    @staticmethod
+    def _spec_pack(ternary_nk: np.ndarray) -> np.ndarray:
+        # verbatim port of the reference quantizer loop (torch -> numpy)
+        out_features, in_features = ternary_nk.shape
+        enc = (ternary_nk + 1).astype(np.uint8)  # {-1,0,1} -> {0,1,2}
+        enc = enc.reshape(out_features, -1, 32)  # groups of 32
+        packed = np.zeros((out_features, in_features // 4), np.uint8)
+        for i in range(4):
+            shift = 6 - 2 * i
+            packed |= enc[:, :, i::4].reshape(out_features, -1) << shift
+        return packed
+
+    def test_pack_matches_spec(self):
+        rng = np.random.default_rng(7)
+        w = rng.integers(-1, 2, size=(16, 64)).astype(np.int8)
+        from wrinklefree_tpu.ops.ternary import pack_i2s_np, unpack_i2s_np
+
+        np.testing.assert_array_equal(pack_i2s_np(w), self._spec_pack(w))
+        np.testing.assert_array_equal(unpack_i2s_np(self._spec_pack(w)), w)
+
+    def test_bitnetcpp_style_artifact_loads(self, tmp_path):
+        """Construct a GGUF whose i2_s payloads come from the SPEC packer
+        (standing in for a BitNet.cpp-produced artifact) and prove
+        load_params_gguf dequantizes to the exact source ternary."""
+        import jax.numpy as jnp
+
+        from wrinklefree_tpu.convert.gguf import load_params_gguf
+        from wrinklefree_tpu.ops.ternary import unpack_ternary_np
+
+        rng = np.random.default_rng(8)
+        H, I, NH, NKV, D, V, L = 64, 128, 4, 2, 16, 96, 2
+        meta = {
+            "general.architecture": "bitnet",
+            "general.name": "spec-fixture",
+            "bitnet.quant_type": "i2_s",
+            "bitnet.i2s_layout": "ggml",
+            "llama.context_length": 64,
+            "llama.embedding_length": H,
+            "llama.block_count": L,
+            "llama.feed_forward_length": I,
+            "llama.attention.head_count": NH,
+            "llama.attention.head_count_kv": NKV,
+            "llama.attention.key_length": D,
+            "llama.rope.freq_base": 10000.0,
+            "llama.attention.layer_norm_rms_epsilon": 1e-5,
+            "llama.vocab_size": V,
+        }
+        dims = {  # [out, in] llama.cpp row-major
+            "attn_q.weight": (NH * D, H), "attn_k.weight": (NKV * D, H),
+            "attn_v.weight": (NKV * D, H), "attn_output.weight": (H, NH * D),
+            "ffn_gate.weight": (I, H), "ffn_up.weight": (I, H),
+            "ffn_down.weight": (H, I),
+        }
+        short_by_g = {
+            "attn_q.weight": "q", "attn_k.weight": "k", "attn_v.weight": "v",
+            "attn_output.weight": "o", "ffn_gate.weight": "gate",
+            "ffn_up.weight": "up", "ffn_down.weight": "down",
+        }
+        tensors = {
+            "token_embd.weight": (
+                rng.normal(size=(V, H)).astype(np.float16), GGML_F16),
+            "output_norm.weight": (np.ones((H,), np.float16), GGML_F16),
+        }
+        truth = {}
+        for li in range(L):
+            for g, (n, k) in dims.items():
+                w = rng.integers(-1, 2, size=(n, k)).astype(np.int8)
+                truth[(li, g)] = w
+                tensors[f"blk.{li}.{g}"] = (self._spec_pack(w), GGML_I2_S)
+                tensors[f"blk.{li}.{g}.scale"] = (
+                    np.asarray([2.5], np.float32), GGML_F32)
+            for nm in ("attn_norm", "ffn_norm", "attn_sub_norm",
+                       "ffn_sub_norm"):
+                dim = {"attn_norm": H, "ffn_norm": H,
+                       "attn_sub_norm": NH * D, "ffn_sub_norm": I}[nm]
+                tensors[f"blk.{li}.{nm}.weight"] = (
+                    np.ones((dim,), np.float16), GGML_F16)
+        path = write_gguf(tmp_path / "spec.gguf", meta, tensors)
+
+        params, cfg = load_params_gguf(path)
+        assert cfg.num_layers == L and cfg.hidden_size == H
+        for li in range(L):
+            for g, (n, k) in dims.items():
+                short = short_by_g[g]
+                got = unpack_ternary_np(
+                    np.asarray(params["layers"][f"{short}_qw"][li])
+                )  # wf [K, N]
+                np.testing.assert_array_equal(
+                    got.T, truth[(li, g)],
+                    err_msg=f"layer {li} {g} bytes mis-decoded",
+                )
+                assert float(
+                    params["layers"][f"{short}_scale"][li]
+                ) == pytest.approx(2.5)
 
 
 class TestGGUFLoad:

@@ -7,11 +7,14 @@ GGUF v3 writer/reader with llama.cpp tensor naming (token_embd, blk.N.attn_q,
 ...), supporting:
 
 - `f32` / `f16`: dequantized export, loadable by any GGUF tooling.
-- `i2_s`: 2-bit ternary packing, 4 weights/byte with a per-tensor f32
-  scale tensor (`<name>.scale`). NOTE: this is the wf-tpu packing (plane
-  -major, ops/ternary.py), not byte-identical to BitNet.cpp's internal
-  i2_s kernel layout — `read_gguf` round-trips it exactly, and the magic/
-  structure is standard GGUF v3.
+- `i2_s`: BitNet.cpp's 2-bit ternary wire format — row-major [out, in//4]
+  uint8, byte c = columns 4c..4c+3 encoded w+1, first column in the top
+  bits (the layout the reference's quantizer documents,
+  reference sglang_backend/bitnet_quantization.py:96-133) — plus a
+  per-tensor f32 scale tensor (`<name>.scale`). Import converts the
+  bytes to the wf-tpu plane-major kernel layout; export produces bytes a
+  BitNet.cpp i2_s consumer reads directly. Files from the pre-conformance
+  wf layout (no `bitnet.i2s_layout` key) still load via the legacy path.
 
 Validation mirrors the reference's checks (reference
 tests/test_conversion.py:64-108: existence, minimum size, magic bytes).
@@ -251,6 +254,9 @@ def convert_hf_to_gguf(
         "general.name": model_dir.name,
         "general.file_type": 1 if quant_type != "f32" else 0,
         "bitnet.quant_type": quant_type,
+        # byte-layout marker: "ggml" = true BitNet.cpp i2_s wire bytes
+        # (absence = legacy wf-tpu plane-major payloads)
+        "bitnet.i2s_layout": "ggml",
         "llama.context_length": cfg.max_position,
         "llama.embedding_length": cfg.hidden_size,
         "llama.block_count": cfg.num_layers,
@@ -275,7 +281,11 @@ def convert_hf_to_gguf(
             base = name[: -len(".weight")]
             qw, scale = _proj_to_wf(raw, base)  # [K/4, N] packed, f32 scale
             if quant_type == "i2_s":
-                out[gname] = (qw, GGML_I2_S)
+                from ..ops.ternary import pack_i2s_np
+
+                # wf plane-major -> BitNet.cpp i2_s wire bytes [N, K/4]
+                w_kn = unpack_ternary_np(qw)
+                out[gname] = (pack_i2s_np(w_kn.T), GGML_I2_S)
                 out[gname + ".scale"] = (np.asarray([scale], np.float32), GGML_F32)
             else:
                 tern = unpack_ternary_np(qw).astype(np.float32) / max(scale, 1e-9)
@@ -360,10 +370,18 @@ def load_params_gguf(path: Path | str, dtype=None):
             else:  # Llama-family: uniform pytree placeholder (loader.py)
                 rows.append(np.ones((norm_dims[short],), np.float32))
         layers[short] = np.stack(rows)
+    ggml_bytes = meta.get("bitnet.i2s_layout") == "ggml"
+    if ggml_bytes:
+        from ..ops.ternary import pack_ternary_np, unpack_i2s_np
+
     for short, g in _GGUF_PROJS.items():
         qws, scs = [], []
         for i in range(cfg.num_layers):
-            qws.append(arr(f"blk.{i}.{g}"))
+            qb = arr(f"blk.{i}.{g}")
+            if ggml_bytes:
+                # BitNet.cpp wire bytes [N, K/4] -> wf plane-major [K/4, N]
+                qb = pack_ternary_np(unpack_i2s_np(qb).T)
+            qws.append(qb)
             scs.append(float(arr(f"blk.{i}.{g}.scale")[0]))
         layers[f"{short}_qw"] = np.stack(qws)
         scales[short] = np.asarray(scs, np.float32)

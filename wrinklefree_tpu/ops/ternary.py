@@ -92,6 +92,38 @@ def unpack_ternary_np(qweight: np.ndarray) -> np.ndarray:
     return np.concatenate(planes, axis=0)
 
 
+def pack_i2s_np(w_nk: np.ndarray) -> np.ndarray:
+    """Pack ternary ``[N, K]`` (llama.cpp row-major [out, in], values in
+    {-1,0,+1}) into BitNet.cpp/llama.cpp **i2_s** bytes ``[N, K//4]``.
+
+    The i2_s byte layout (documented by the reference's quantizer,
+    reference sglang_backend/bitnet_quantization.py:96-109): byte ``c``
+    packs input columns ``4c..4c+3`` encoded as ``w+1`` in {0,1,2}, with
+    column ``4c+i`` at bit shift ``6-2i`` (first column in the TOP bits).
+    This is the wire format BitNet.cpp artifacts use — distinct from the
+    wf-tpu plane-major kernel layout (:func:`pack_ternary_np`).
+    """
+    n, k = w_nk.shape
+    if k % 4 != 0:
+        raise ValueError(f"K ({k}) must be divisible by 4")
+    enc = (np.asarray(w_nk).astype(np.int8, copy=False) + 1).astype(np.uint8)
+    b = enc.reshape(n, k // 4, 4)
+    return np.ascontiguousarray(
+        (b[..., 0] << 6) | (b[..., 1] << 4) | (b[..., 2] << 2) | b[..., 3]
+    )
+
+
+def unpack_i2s_np(qbytes: np.ndarray) -> np.ndarray:
+    """Unpack i2_s bytes ``[N, K//4]`` to int8 ternary ``[N, K]``
+    (inverse of :func:`pack_i2s_np`)."""
+    q = np.asarray(qbytes)
+    n, k4 = q.shape
+    cols = np.stack(
+        [((q >> s) & 3).astype(np.int8) - 1 for s in (6, 4, 2, 0)], axis=-1
+    )
+    return cols.reshape(n, 4 * k4)
+
+
 def pack_ternary(w_kn: jax.Array) -> jax.Array:
     """jnp version of :func:`pack_ternary_np` (traceable, runs on device)."""
     k, n = w_kn.shape
