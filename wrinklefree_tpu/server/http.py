@@ -1051,7 +1051,11 @@ def create_server(
     if tiny:
         cfg = BitNetConfig.tiny()
         params = init_params(cfg, seed=0)
-        tokenizer = ByteTokenizer()
+        # a real tokenizer dir may still be supplied (tokenizer-json
+        # end-to-end tests; vocab must fit the tiny config)
+        tokenizer = (
+            load_tokenizer(tokenizer_path) if tokenizer_path else ByteTokenizer()
+        )
         ecfg = engine_config or EngineConfig(
             max_batch_slots=4, page_size=8, num_pages=256, max_context=256,
             prefill_buckets=(16, 64, 128),
@@ -1099,6 +1103,10 @@ def main(argv=None):
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over local devices")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile decode burst + prefill buckets at boot "
+                        "(AOT lower+compile; pairs with "
+                        "JAX_COMPILATION_CACHE_DIR so restarts reuse them)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu). The axon TPU "
                         "plugin ignores the JAX_PLATFORMS env var, so the "
@@ -1131,6 +1139,8 @@ def main(argv=None):
         use_pallas=False if args.no_pallas else None, tp=args.tp,
         tokenizer_path=args.tokenizer,
     )
+    if args.warmup:
+        server.async_engine.engine.warmup()
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
 
