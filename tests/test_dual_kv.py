@@ -93,11 +93,53 @@ def test_dual_bucket_rounding(tiny):
     assert len(r.output_ids) == 4
 
 
-def test_dual_rejects_quantized():
-    cfg = BitNetConfig.tiny()
-    params = init_params(cfg, seed=0)
-    with pytest.raises(ValueError):
-        _engine(cfg, params, "layer", kv_dtype="int8")
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8_e4m3"])
+def test_dual_quantized_matches_token_quantized(tiny, kv_dtype):
+    """Quantized KV on the dual layout is a LAYOUT-ONLY change vs the
+    token-major quantized pool (same per-token/head scales, same dequant
+    math) — greedy outputs must be identical across page flushes, chunked
+    prefill and slot reuse (VERDICT r1 item 5; reference
+    kv_cache/kv_cache.py:159-228's 50%-memory KV on the production path)."""
+    cfg, params = tiny
+    prompts = [
+        list(range(1, 6)),
+        list(range(2, 15)),   # crosses a page in prefill
+        [7, 7, 7],
+        list(range(1, 25)),   # multi-bucket chunked prefill
+    ]
+    outs = {}
+    for layout in ("token", "layer"):
+        eng = _engine(cfg, params, layout, kv_dtype=kv_dtype)
+        rs = [
+            eng.generate(p, SamplingParams(max_new_tokens=16, temperature=0.0))
+            for p in prompts
+        ]
+        outs[layout] = [(r.output_ids, r.finish_reason) for r in rs]
+    assert outs["token"] == outs["layer"]
+
+
+def test_dual_int8_close_to_bf16(tiny):
+    """int8 KV quality tripwire on the dual layout: greedy streams may
+    diverge eventually, but the first logits must be close."""
+    cfg, params = tiny
+    P, ps = 16, 8
+    pt = jnp.asarray([[1, 2, 3, 0]], jnp.int32)
+    toks = jnp.asarray([list(range(1, 9))], jnp.int32)
+    lo = {}
+    for dt in ("bf16", "int8"):
+        pools = PagedKV.zeros_dual(cfg, P, ps, num_slots=2, kv_dtype=dt)
+        l0, pools = paged_forward(
+            params, cfg, toks, pools, pt, jnp.asarray([0]), jnp.asarray([8]),
+            slot_ids=jnp.asarray([0], jnp.int32))
+        # one decode step so the int8 history actually gets read
+        l1, _ = paged_forward(
+            params, cfg, jnp.asarray([[9]], jnp.int32), pools, pt,
+            jnp.asarray([8]), jnp.asarray([1]),
+            slot_ids=jnp.asarray([0], jnp.int32))
+        lo[dt] = np.asarray(l1, np.float32)
+    a, b = lo["bf16"].ravel(), lo["int8"].ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos
 
 
 def test_paged_forward_dual_logits_match(tiny):

@@ -24,11 +24,13 @@ def params():
     return init_params(CFG, seed=0)
 
 
-def _build_hf_twin(params, cfg):
+def _build_hf_twin(params, cfg, dtype: str = "bfloat16"):
     torch = pytest.importorskip("torch")
     from transformers import BitNetConfig as HFConfig
     from transformers.models.bitnet import BitNetForCausalLM
     from transformers.integrations.bitnet import pack_weights, replace_with_bitnet_linear
+
+    tdt = getattr(torch, dtype)
 
     hf_cfg = HFConfig(
         vocab_size=cfg.vocab_size,
@@ -46,15 +48,15 @@ def _build_hf_twin(params, cfg):
     )
     model = BitNetForCausalLM(hf_cfg)
     model = replace_with_bitnet_linear(model, modules_to_not_convert=["lm_head"])
-    model = model.to(torch.bfloat16).eval()
+    model = model.to(tdt).eval()
     from transformers.integrations.bitnet import BitLinear
 
     for mod in model.modules():  # replace() leaves BitLinear.dtype at fp32
         if isinstance(mod, BitLinear):
-            mod.dtype = torch.bfloat16
+            mod.dtype = tdt
 
     def t(x):
-        return torch.from_numpy(np.asarray(x, dtype=np.float32)).to(torch.bfloat16)
+        return torch.from_numpy(np.asarray(x, dtype=np.float32)).to(tdt)
 
     sd = model.state_dict()
     L = params["layers"]
@@ -81,7 +83,7 @@ def _build_hf_twin(params, cfg):
             packed = pack_weights(torch.from_numpy(w_kn.T.astype(np.int64)))
             new_sd[f"model.layers.{i}.{sub}.weight"] = packed
             new_sd[f"model.layers.{i}.{sub}.weight_scale"] = torch.tensor(
-                [float(L[f"{short}_scale"][i])], dtype=torch.bfloat16
+                [float(L[f"{short}_scale"][i])], dtype=tdt
             )
     missing, unexpected = model.load_state_dict(new_sd, strict=False)
     assert not [m for m in missing if "rotary" not in m], missing
@@ -116,6 +118,59 @@ def test_logits_match_hf(params):
     top5 = np.argsort(hf_logits, axis=-1)[..., -5:]
     in_top5 = (logits.argmax(-1)[..., None] == top5).any(-1).mean()
     assert in_top5 > 0.98, f"argmax in HF top-5 only {in_top5}"
+
+
+@pytest.mark.slow
+def test_logits_match_hf_2b_dims():
+    """HF parity at the REAL 2B layer geometry (VERDICT r1 item 2a).
+
+    The tiny-config twin can't catch padding/tiling bugs that only
+    appear at the production dims (H=2560, I=6912, 20q/5kv heads —
+    microsoft/BitNet-b1.58-2B-4T's layer shape, reference
+    scripts/direct_inference_full.py:112-167). Two layers at full width,
+    reduced vocab (embed math is shape-independent), logits vs
+    transformers' BitNetForCausalLM. Both stacks run f32: at these
+    reduction widths bf16 ordering drift alone costs ~1e-3 cosine
+    (measured 0.9987), which would mask the layout bugs this test is
+    hunting — the quant math (ternary weights, int8 activations) is
+    dtype-independent and still fully exercised.
+    """
+    torch = pytest.importorskip("torch")
+    b2 = BitNetConfig.bitnet_2b()
+    cfg = BitNetConfig(
+        vocab_size=4096,
+        hidden_size=b2.hidden_size,
+        intermediate_size=b2.intermediate_size,
+        num_layers=2,
+        num_heads=b2.num_heads,
+        num_kv_heads=b2.num_kv_heads,
+        head_dim=b2.head_dim,
+        max_position=128,
+        rope_theta=b2.rope_theta,
+        rms_norm_eps=b2.rms_norm_eps,
+        dtype=jnp.float32,
+    )
+    params = init_params(cfg, seed=3, fast=False)
+    model = _build_hf_twin(params, cfg, dtype="float32")
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.vocab_size, size=(1, 8)).astype(np.int32)
+    with torch.no_grad():
+        hf_logits = model(
+            torch.from_numpy(tokens.astype(np.int64))
+        ).logits.float().numpy()
+
+    cache = KVCache.zeros(cfg, 1, 16)
+    logits, _ = forward(
+        params, cfg, jnp.asarray(tokens), cache, jnp.zeros((1,), jnp.int32)
+    )
+    logits = np.asarray(logits)
+    for s in range(8):
+        a, h = logits[0, s], hf_logits[0, s]
+        cos = np.dot(a, h) / (np.linalg.norm(a) * np.linalg.norm(h) + 1e-9)
+        assert cos > 0.9999, f"pos {s}: cos={cos}"  # f32 both sides
+    agree = (logits.argmax(-1) == hf_logits.argmax(-1)).mean()
+    assert agree == 1.0, f"greedy agreement {agree}"
 
 
 def test_decode_matches_prefill(params):

@@ -56,3 +56,74 @@ class TestTPEngine:
         tp.generate(p, SamplingParams(max_new_tokens=8))
         tp.generate(p + [6], SamplingParams(max_new_tokens=4))
         assert tp.stats["radix_hit_tokens"] >= 8
+
+    def test_tp2_exact_head_matches_single_device(self):
+        # exact_head_k under TP (vocab-sharded int8 scan + pmax/pmin
+        # combine) must stay token-identical to the single-device engine
+        import dataclasses
+
+        mesh = _mesh_or_skip(2)
+        params = init_params(CFG, seed=0)
+        ecfg = dataclasses.replace(ECFG, exact_head_k=8)
+        ref = Engine(params, CFG, ECFG)  # plain bf16-head reference
+        tp = Engine(params, CFG, ecfg, mesh=mesh)
+        for prompt in ([1, 5, 9, 2, 7], [3, 3, 4]):
+            a = ref.generate(prompt, SamplingParams(max_new_tokens=8))
+            b = tp.generate(prompt, SamplingParams(max_new_tokens=8))
+            assert b.output_ids == a.output_ids, (a.output_ids, b.output_ids)
+
+    def test_tp2_exact_head_sampling_matches_single_device(self):
+        # the ek burst's sampling branch (full bf16 head + all_gather)
+        import dataclasses
+
+        mesh = _mesh_or_skip(2)
+        params = init_params(CFG, seed=0)
+        ecfg = dataclasses.replace(ECFG, exact_head_k=8)
+        ref = Engine(params, CFG, ecfg)
+        tp = Engine(params, CFG, ecfg, mesh=mesh)
+        sp = SamplingParams(max_new_tokens=6, temperature=0.9, seed=11)
+        a = ref.generate([2, 4, 6], sp)
+        b = tp.generate([2, 4, 6], sp)
+        assert a.output_ids == b.output_ids
+
+    def test_tp2_moe_matches_single_device(self):
+        # MoE under the TP engine: the model axis doubles as the EP axis
+        # (experts sharded, combines psum'd) — token-identical to the
+        # single-device MoE engine (VERDICT r1 items 4+8; reference
+        # tests/test_batching.py:304-378 MoE-under-batch)
+        mesh = _mesh_or_skip(2)
+        moe_cfg = BitNetConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=256, num_experts=4, num_experts_per_tok=2,
+        )
+        params = init_params(moe_cfg, seed=0)
+        ref = Engine(params, moe_cfg, ECFG)
+        tp = Engine(params, moe_cfg, ECFG, mesh=mesh)
+        for prompt in ([1, 5, 9, 2, 7], [3, 3, 4]):
+            a = ref.generate(prompt, SamplingParams(max_new_tokens=8))
+            b = tp.generate(prompt, SamplingParams(max_new_tokens=8))
+            assert b.output_ids == a.output_ids, (a.output_ids, b.output_ids)
+
+    def test_tp_moe_rejects_bad_expert_split(self):
+        mesh = _mesh_or_skip(4)  # 4 does not divide 6 experts
+        moe_cfg = BitNetConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=1, num_heads=4, num_kv_heads=4, head_dim=32,
+            max_position=256, num_experts=6, num_experts_per_tok=2,
+        )
+        with pytest.raises(ValueError):
+            Engine(init_params(moe_cfg, seed=0), moe_cfg, ECFG, mesh=mesh)
+
+    def test_tp2_int8_logits_matches_single_device(self):
+        import dataclasses
+
+        mesh = _mesh_or_skip(2)
+        params = init_params(CFG, seed=0)
+        ecfg = dataclasses.replace(ECFG, int8_logits=True)
+        ref = Engine(params, CFG, ecfg)
+        tp = Engine(params, CFG, ecfg, mesh=mesh)
+        for prompt in ([1, 5, 9, 2, 7], [3, 3, 4]):
+            a = ref.generate(prompt, SamplingParams(max_new_tokens=8))
+            b = tp.generate(prompt, SamplingParams(max_new_tokens=8))
+            assert b.output_ids == a.output_ids, (a.output_ids, b.output_ids)

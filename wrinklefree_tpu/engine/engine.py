@@ -98,32 +98,35 @@ class Engine:
         self.cfg = cfg
         self.ecfg = ecfg or EngineConfig()
         self.mesh = mesh
+        if self.ecfg.exact_head_k and self.ecfg.int8_logits:
+            raise ValueError(
+                "int8_logits (approximate) and exact_head_k (exact) "
+                "are mutually exclusive"
+            )
+        if self.ecfg.int8_logits or self.ecfg.exact_head_k:
+            # quantize BEFORE TP sharding: per-row absmax commutes with
+            # the vocab-row shard, so the int8 head shards like `embed`
+            from ..models.bitnet import quantize_lm_head
+
+            self.params = quantize_lm_head(self.params, cfg)
         if mesh is not None:
             from ..parallel.sharding import repack_params_for_tp, shard_params
 
             tp = mesh.shape["model"]
-            if cfg.num_experts > 0:
-                raise NotImplementedError("TP engine + MoE: use parallel/expert.py EP")
-            if self.ecfg.int8_logits:
-                raise NotImplementedError("TP engine + int8_logits")
+            if cfg.num_experts > 0 and cfg.num_experts % tp:
+                raise ValueError(
+                    f"num_experts {cfg.num_experts} not divisible by tp={tp} "
+                    "(the model axis doubles as the EP axis for MoE)"
+                )
             if cfg.num_kv_heads % tp or cfg.num_heads % tp:
                 raise ValueError(f"heads ({cfg.num_heads}/{cfg.num_kv_heads}) not divisible by tp={tp}")
-            self.params = shard_params(repack_params_for_tp(params, tp), mesh)
-        if self.ecfg.int8_logits:
-            from ..models.bitnet import quantize_lm_head
-
-            self.params = quantize_lm_head(self.params, cfg)
-        if self.ecfg.exact_head_k:
-            if mesh is not None:
-                raise NotImplementedError("TP engine + exact_head_k")
-            if self.ecfg.int8_logits:
+            if self.params["embed"].shape[0] % tp:
                 raise ValueError(
-                    "int8_logits (approximate) and exact_head_k (exact) "
-                    "are mutually exclusive"
+                    f"vocab {self.params['embed'].shape[0]} not divisible by tp={tp}"
                 )
-            from ..models.bitnet import quantize_lm_head
-
-            self.params = quantize_lm_head(self.params, cfg)
+            self.params = shard_params(
+                repack_params_for_tp(self.params, tp), mesh
+            )
         self.eos_token_id = eos_token_id
         use_pallas = self.ecfg.use_pallas
         if use_pallas is None:
@@ -179,8 +182,6 @@ class Engine:
             layout = "layer" if self._kv_write == "pallas" else "token"
         self.kv_layout = layout
         if layout == "layer":
-            if e.kv_dtype not in ("bf16", "f32", "fp16"):
-                raise ValueError("kv_layout='layer' requires unquantized kv_dtype")
             # prefill chunks must start page-aligned: buckets become
             # multiples of page_size (paged._dual_write contract)
             ps = e.page_size
@@ -196,20 +197,21 @@ class Engine:
         else:
             self.pools = PagedKV.zeros(cfg, e.num_pages, e.page_size, e.kv_dtype)
         if mesh is not None:
-            from jax.sharding import NamedSharding
+            from ..parallel.sharding import put_sharded
 
             ps_spec = self._pool_spec()
             self.pools = PagedKV(
-                jax.device_put(self.pools.kv, NamedSharding(mesh, ps_spec.kv)),
+                put_sharded(self.pools.kv, mesh, ps_spec.kv),
                 None
                 if self.pools.scale is None
-                else jax.device_put(
-                    self.pools.scale, NamedSharding(mesh, ps_spec.scale)
-                ),
+                else put_sharded(self.pools.scale, mesh, ps_spec.scale),
                 None
                 if self.pools.staging is None
-                else jax.device_put(
-                    self.pools.staging, NamedSharding(mesh, ps_spec.staging)
+                else put_sharded(self.pools.staging, mesh, ps_spec.staging),
+                None
+                if self.pools.staging_scale is None
+                else put_sharded(
+                    self.pools.staging_scale, mesh, ps_spec.staging_scale
                 ),
             )
         # Host bookkeeping hot path: native C++ runtime when it builds,
@@ -308,6 +310,7 @@ class Engine:
             spec,
             None if self.pools.scale is None else spec,
             None if self.pools.staging is None else spec,
+            None if self.pools.staging_scale is None else spec,
         )
 
     def _build_decode(self, with_logprobs: bool = False,
@@ -389,16 +392,23 @@ class Engine:
                     def exact(h):
                         # all rows greedy: int8 scan + certified top-k
                         # rescore (internal bf16-head fallback on near-tie)
-                        return greedy_exact_topk(h, params, cfg, k=ek)[0]
+                        return greedy_exact_topk(
+                            h, params, cfg, k=ek, tp_axis=tp_axis
+                        )[0]
 
                     def sample(h):
                         # some row samples or penalizes: full bf16 head so
                         # the distribution is exact (int8 entries dropped)
                         clean = {kk: vv for kk, vv in params.items()
                                  if not kk.startswith("lm_head_")}
+                        lg = compute_logits(h, clean, cfg)
+                        if tp_axis is not None:
+                            lg = jax.lax.all_gather(
+                                lg, tp_axis, axis=lg.ndim - 1, tiled=True
+                            )
                         lg = apply_logit_bias(
                             apply_penalties(
-                                compute_logits(h, clean, cfg),
+                                lg,
                                 ring, sl + 1, lastn, reps, pres, freqs,
                             ),
                             bias_ids, bias_vals,
@@ -1248,6 +1258,89 @@ class Engine:
             self._dhist = jnp.asarray(hist)
         self._mp_bucket = mp
         self._dirty = False
+
+    def warmup(self, *, prefill_batches=(1,), page_buckets=None,
+               full: bool = False) -> Dict[str, float]:
+        """Precompile the serving programs at their production shapes
+        (VERDICT r1 item 7: a cold server otherwise eats a multi-minute
+        XLA compile on the FIRST request per prefill bucket — 249 s
+        recorded for the 2B prefill in BENCH_r01.json).
+
+        AOT ``jit.lower(...).compile()`` on ShapeDtypeStructs: no state
+        is touched, nothing is dispatched, and with
+        JAX_COMPILATION_CACHE_DIR set the compilations persist across
+        restarts, so a warmed-up boot serves its first request at
+        steady-state TTFT.
+
+        Warms: the decode burst at the first page bucket (plus ALL page
+        buckets with ``full=True``) and every prefill bucket at batch
+        sizes ``prefill_batches``. Returns {program: seconds}.
+        """
+        import time as _time
+
+        S = len(self.slots)
+        W = self.ecfg.penalty_window
+        Kb = self.ecfg.logit_bias_slots
+
+        def sds(shape, dt):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+        def live(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+        params_s = jax.tree.map(live, self.params)
+        pools_s = jax.tree.map(
+            live, self.pools,
+            is_leaf=lambda x: isinstance(x, jax.Array),
+        )
+
+        def samp_s(B):
+            d = {
+                k: sds((B,), jnp.float32)
+                for k in ("temps", "tps", "minps", "typps", "tfs", "reps",
+                          "pres", "freqs", "mtau", "meta")
+            }
+            d.update({k: sds((B,), jnp.int32) for k in ("topks", "lastn", "miro")})
+            d["bias_ids"] = sds((B, Kb), jnp.int32)
+            d["bias_vals"] = sds((B, Kb), jnp.float32)
+            return d
+
+        if page_buckets is None:
+            page_buckets = [8]
+            if full:
+                mp = 8
+                while mp < self.max_pages_per_seq:
+                    mp *= 2
+                    page_buckets.append(mp)
+
+        timings: Dict[str, float] = {}
+        for mp in page_buckets:
+            t0 = _time.perf_counter()
+            self._decode_jit.lower(
+                params_s, pools_s, sds((S,), jnp.int32), sds((S, mp), jnp.int32),
+                sds((S,), jnp.int32), sds((S,), jnp.uint32), sds((S,), jnp.int32),
+                sds((S,), jnp.int32), sds((S, W), jnp.int32), samp_s(S),
+            ).compile()
+            timings[f"decode_burst[mp={mp}]"] = _time.perf_counter() - t0
+
+        for bucket in self.ecfg.prefill_buckets:
+            for B in prefill_batches:
+                mp_pre = 8
+                t0 = _time.perf_counter()
+                self._prefill_for_bucket(bucket).lower(
+                    params_s, pools_s, sds((B, bucket), jnp.int32),
+                    sds((B, mp_pre), jnp.int32), sds((B,), jnp.int32),
+                    sds((B,), jnp.int32), sds((B,), jnp.uint32),
+                    sds((B,), jnp.int32), sds((B,), jnp.int32),
+                    sds((B, W), jnp.int32), samp_s(B),
+                ).compile()
+                timings[f"prefill[{bucket}x{B}]"] = _time.perf_counter() - t0
+        logger.info(
+            "warmup compiled %d programs in %.1f s: %s",
+            len(timings), sum(timings.values()),
+            {k: round(v, 2) for k, v in timings.items()},
+        )
+        return timings
 
     def _pages_bucket(self, tokens_needed: int) -> int:
         """Page-table width covering `tokens_needed`, rounded to the next

@@ -69,11 +69,19 @@ class PagedKV(NamedTuple):
       completes it is transposed in XLA-land and committed to the main
       pool with the in-place page writer. Combines O(1)-DMA writes with
       page-granular (20 KB+) contiguous reads.
+
+    Quantized dtypes (int8/fp8) carry per-(token, layer, head) scales in
+    ``scale`` mirroring the kv layout minus the D axis — token-major
+    [P, ps, 2Lp, KV], dual main [P, 2Lp, ps, KV] — plus
+    ``staging_scale`` [NS+1, ps, 2Lp, KV] for the dual staging pool
+    (reference kv_cache/kv_cache.py:159-228's 50%-memory claim, on the
+    production layer-major path).
     """
 
     kv: jax.Array
-    scale: Optional[jax.Array] = None  # [P, ps, 2*Lp, KV] (quantized, token-major only)
+    scale: Optional[jax.Array] = None  # quantized only; layout mirrors kv
     staging: Optional[jax.Array] = None  # dual layout only
+    staging_scale: Optional[jax.Array] = None  # dual + quantized only
 
     @classmethod
     def zeros(
@@ -102,8 +110,6 @@ class PagedKV(NamedTuple):
         num_slots: int,
         kv_dtype: str = "bf16",
     ) -> "PagedKV":
-        if needs_scale(kv_dtype):
-            raise ValueError("dual KV layout requires an unquantized kv_dtype")
         if page_size % 8:
             raise ValueError("dual KV layout needs page_size % 8 == 0")
         lp = _lpad(cfg.num_layers)
@@ -111,6 +117,13 @@ class PagedKV(NamedTuple):
         dt = KV_DTYPES[kv_dtype]
         kv = jnp.zeros((num_pages, 2 * lp, page_size, kvd), dt)
         staging = jnp.zeros((num_slots + 1, page_size, 2 * lp, kvd), dt)
+        if needs_scale(kv_dtype):
+            return cls(
+                kv,
+                jnp.ones((num_pages, 2 * lp, page_size, cfg.num_kv_heads), jnp.float32),
+                staging,
+                jnp.ones((num_slots + 1, page_size, 2 * lp, cfg.num_kv_heads), jnp.float32),
+            )
         return cls(kv, None, staging)
 
     @property
@@ -201,7 +214,7 @@ def _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens):
 
 def _paged_attention_dual(
     q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
-    cfg: BitNetConfig,
+    cfg: BitNetConfig, main_scale=None, staging_scale_b=None,
 ):
     """History attention over the layer-major main pool + staging page.
 
@@ -213,6 +226,11 @@ def _paged_attention_dual(
     staging_b [B, ps, 2Lp, KVD]: this batch's partial pages, token-major.
     Valid history = (seq_lens // ps) full pages + (seq_lens % ps)
     staging tokens.
+
+    Quantized pools pass main_scale [P, 2Lp, ps, KV] and
+    staging_scale_b [B, ps, 2Lp, KV]; history is dequantized after the
+    page gather (the gather itself moves the int8/fp8 bytes — that IS
+    the bandwidth/memory win).
     """
     B, S, NH, D = q.shape
     KV = k_cur.shape[2]
@@ -226,6 +244,15 @@ def _paged_attention_dual(
     v_main = v_pages.reshape(B, MP * ps, KV, D)
     k_stage = staging_b[:, :, layer].reshape(B, ps, KV, D)
     v_stage = staging_b[:, :, lp + layer].reshape(B, ps, KV, D)
+    if main_scale is not None:
+        sk = main_scale[page_table, layer].reshape(B, MP * ps, KV)[..., None]
+        sv = main_scale[page_table, lp + layer].reshape(B, MP * ps, KV)[..., None]
+        k_main = dequantize_kv(k_main, sk, out_dtype=q.dtype)
+        v_main = dequantize_kv(v_main, sv, out_dtype=q.dtype)
+        ssk = staging_scale_b[:, :, layer][..., None]  # [B, ps, KV, 1]
+        ssv = staging_scale_b[:, :, lp + layer][..., None]
+        k_stage = dequantize_kv(k_stage, ssk, out_dtype=q.dtype)
+        v_stage = dequantize_kv(v_stage, ssv, out_dtype=q.dtype)
 
     full_tokens = (seq_lens // ps) * ps  # tokens committed to main
     off = seq_lens - full_tokens  # tokens in staging
@@ -265,7 +292,7 @@ def _paged_attention_flash(
 
 def _paged_attention_dual_flash_decode(
     q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
-    cfg: BitNetConfig,
+    cfg: BitNetConfig, main_scale=None, staging_scale_b=None,
 ):
     """Decode-step (S == 1) attention with the page gather INSIDE the
     Pallas kernel (ops/flash_attention.flash_paged_decode): each page
@@ -282,7 +309,7 @@ def _paged_attention_dual_flash_decode(
 
 def _paged_attention_dual_flash(
     q, k_cur, v_cur, main, staging_b, layer, page_table, seq_lens, new_lens,
-    cfg: BitNetConfig,
+    cfg: BitNetConfig, main_scale=None, staging_scale_b=None,
 ):
     """Flash (online-softmax) prefill over the dual layout. Prefill
     chunks always start page-aligned (engine guarantees buckets are
@@ -315,6 +342,7 @@ def _dual_write(
     new_lens: jax.Array,  # [B] real tokens in this chunk
     slot_ids: Optional[jax.Array],
     use_pallas: bool,
+    svals: Optional[jax.Array] = None,  # [B, S, 2Lp, KV] quantized scales
 ) -> PagedKV:
     """Commit S new tokens to the dual-layout pools.
 
@@ -327,6 +355,9 @@ def _dual_write(
     resolve to the trash page (main page 0 / staging slot NS).
     """
     main, staging = pools.kv, pools.staging
+    main_s, staging_s = pools.scale, pools.staging_scale
+    if use_pallas and svals is not None:
+        raise ValueError("pallas KV writer requires unquantized pools")
     B, S, two_lp, kvd = vals.shape
     P, _, ps, _ = main.shape
     MP = page_table.shape[1]
@@ -402,7 +433,14 @@ def _dual_write(
             main = main.at[pid_b].set(flushed)
             if S > 1:
                 staging = staging.at[srow2, pos_off].set(vals)
-        return PagedKV(main, None, staging)
+            if svals is not None:
+                # scales mirror the kv writes (same rows, minus the D axis)
+                staging_s = staging_s.at[srow1, pos_off].set(svals)
+                flushed_s = jnp.swapaxes(staging_s[slots], 1, 2)
+                main_s = main_s.at[pid_b].set(flushed_s)
+                if S > 1:
+                    staging_s = staging_s.at[srow2, pos_off].set(svals)
+        return PagedKV(main, main_s, staging, staging_s)
 
     if S % ps:
         raise ValueError(
@@ -451,7 +489,19 @@ def _dual_write(
         staging = staging.at[srow_slot.reshape(-1), soff.reshape(-1)].set(
             vals_stage.reshape(B * ps, two_lp, kvd)
         )
-    return PagedKV(main, None, staging)
+        if svals is not None:
+            kvh = svals.shape[-1]
+            pages_s = svals.reshape(B, npg, ps, two_lp, kvh).transpose(0, 1, 3, 2, 4)
+            main_s = main_s.at[pid.reshape(-1)].set(
+                pages_s.reshape(B * npg, two_lp, ps, kvh)
+            )
+            svals_stage = jnp.take_along_axis(
+                svals, jnp.clip(idx, 0, S - 1)[:, :, None, None], axis=1
+            )
+            staging_s = staging_s.at[srow_slot.reshape(-1), soff.reshape(-1)].set(
+                svals_stage.reshape(B * ps, two_lp, kvh)
+            )
+    return PagedKV(main, main_s, staging, staging_s)
 
 
 def paged_forward(
@@ -560,8 +610,16 @@ def paged_forward(
         # this batch's staging pages, sliced once for all layers
         if slot_ids is None:
             staging_b = pools.staging[:B]  # decode: slot b == batch row b
+            staging_sb = (
+                pools.staging_scale[:B] if pools.staging_scale is not None else None
+            )
         else:
             staging_b = pools.staging[slot_ids]
+            staging_sb = (
+                pools.staging_scale[slot_ids]
+                if pools.staging_scale is not None
+                else None
+            )
         hist_args = (pools.kv, staging_b)
     else:
         kv_rows = pools.kv.reshape((P * ps,) + pools.kv.shape[2:])
@@ -630,6 +688,11 @@ def paged_forward(
                 attn = attn_impl(
                     q, k, v, hist_args[0], hist_args[1], l, page_table,
                     seq_lens, new_lens, cfg,
+                    **(
+                        dict(main_scale=pools.scale, staging_scale_b=staging_sb)
+                        if pools.scale is not None
+                        else {}
+                    ),
                 )
             else:
                 attn = attn_impl(
@@ -681,6 +744,11 @@ def paged_forward(
             attn = attn_impl(
                 q, k, v, hist_args[0], hist_args[1], l, page_table,
                 seq_lens, new_lens, cfg,
+                **(
+                    dict(main_scale=pools.scale, staging_scale_b=staging_sb)
+                    if pools.scale is not None
+                    else {}
+                ),
             )
         else:
             attn = attn_impl(
@@ -711,9 +779,12 @@ def paged_forward(
                 f"{n}_{t}": lp[f"moe_{n}_{t}"]
                 for n in ("gate", "up", "down") for t in ("qw", "scale")
             }
+            # the TP mesh's model axis doubles as the EP axis: local
+            # expert shard + psum combine (models/moe.py ep_axis path)
             y, _aux = moe_ffn(
                 normed.reshape(B * S, -1), experts, lp["ffn_sub"], lp["router"],
                 top_k=cfg.num_experts_per_tok, eps=cfg.rms_norm_eps,
+                ep_axis=tp_axis,
             )
             h = h + y.reshape(B, S, -1).astype(dtype)
             return h, (k, v)
@@ -763,9 +834,13 @@ def paged_forward(
     )
 
     if dual:
+        svals = None
+        if s_kv is not None:
+            s_pad = jnp.pad(s_kv, ((0, 0), (0, lp_pad)) + ((0, 0),) * 4)
+            svals = s_pad.transpose(2, 3, 0, 1, 4, 5).reshape(B, S, two_lp, KV)
         new_pools = _dual_write(
             pools, vals, page_table, seq_lens, new_lens, slot_ids,
-            kv_write == "pallas",
+            kv_write == "pallas" and s_kv is None, svals=svals,
         )
     elif kv_write == "pallas" and s_kv is None:
         from ..ops.kv_update_pallas import kv_write_pallas
@@ -793,8 +868,10 @@ def paged_forward(
         hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
 
     if head_fn is not None:
-        if tp_axis is not None:
-            raise NotImplementedError("head_fn under tensor parallelism")
+        # under TP `hidden` is already replicated across the model axis
+        # (the row-parallel psum ran inside the last layer), so a
+        # replicated head_fn — e.g. the engine's identity for the exact
+        # head — sees the same values on every shard
         return head_fn(hidden, params), new_pools
 
     from ..models.bitnet import compute_logits

@@ -51,8 +51,9 @@ class KVCache(NamedTuple):
     v: jax.Array
 
     @classmethod
-    def zeros(cls, cfg: BitNetConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def zeros(cls, cfg: BitNetConfig, batch: int, max_len: int, dtype=None):
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        dtype = cfg.dtype if dtype is None else dtype
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -65,13 +66,15 @@ def _stack(arrs):
     return jnp.asarray(np.stack(arrs, axis=0))
 
 
-def init_params(cfg: BitNetConfig, seed: int = 0, dtype=jnp.bfloat16, fast: bool = None):
+def init_params(cfg: BitNetConfig, seed: int = 0, dtype=None, fast: bool = None):
     """Random ternary model (for tests/benchmarks; real weights come from
-    wrinklefree_tpu.models.loader).
+    wrinklefree_tpu.models.loader). dtype defaults to cfg.dtype.
 
     fast=True (default for >=1B-param configs) draws ternary values
     directly instead of quantizing gaussians — billions of float64
     normals otherwise dominate benchmark startup."""
+    if dtype is None:
+        dtype = cfg.dtype
     if fast is None:
         fast = cfg.hidden_size * cfg.num_layers > 10_000
     if fast:
@@ -319,7 +322,8 @@ def compute_logits(hidden, params, cfg: BitNetConfig):
     )
 
 
-def greedy_exact_topk(hidden, params, cfg: BitNetConfig, k: int = 128):
+def greedy_exact_topk(hidden, params, cfg: BitNetConfig, k: int = 128,
+                      tp_axis: str | None = None):
     """Greedy next-token via int8 scan + exact bf16 top-k rescoring.
 
     At batch-1 decode the bf16 tied-embedding head streams 0.66 GB/token
@@ -341,11 +345,17 @@ def greedy_exact_topk(hidden, params, cfg: BitNetConfig, k: int = 128):
     certified [] bool — False means the fallback branch ran).
     Requires quantize_lm_head() applied. Counterpart of the reference's
     approximate low-precision head, which has no exactness story.
+
+    With ``tp_axis`` (inside shard_map, vocab-sharded head): each shard
+    scans/rescores its local V/tp rows, then the winner, the outside-
+    shortlist bound, and the error scale are combined with pmax/pmin —
+    token-identical to the single-device path (same shortlist per shard,
+    same tie-break: lowest global id among exact-max rows).
     """
     if "lm_head_q" not in params:
         raise ValueError("greedy_exact_topk requires quantize_lm_head(params)")
     head = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    V = head.shape[0]
+    V = head.shape[0]  # local vocab rows under TP
     approx = jax.lax.dot_general(
         hidden,
         params["lm_head_q"].astype(cfg.dtype),
@@ -371,15 +381,36 @@ def greedy_exact_topk(hidden, params, cfg: BitNetConfig, k: int = 128):
     # eps: int8 rounding bound + slack for f32 reduction-order drift
     h1 = jnp.sum(jnp.abs(hidden.astype(jnp.float32)), axis=-1)  # [B]
     s_max = jnp.max(params["lm_head_s"])
-    exact_max = jnp.max(exact, axis=-1)
+    exact_max = jnp.max(exact, axis=-1)  # [B] (local under TP)
+    SENT = jnp.int32(2**31 - 1)  # > any global vocab id
+
+    if tp_axis is None:
+        cand_g = cand
+    else:
+        # globalize: shard-local row ids -> global vocab ids; combine the
+        # shortlist winner, outside-shortlist bound and error scale
+        offset = jax.lax.axis_index(tp_axis).astype(jnp.int32) * V
+        cand_g = cand + offset
+
+    is_max = exact >= exact_max[:, None]
+    minid = jnp.min(jnp.where(is_max, cand_g, SENT), axis=-1)  # [B]
+
+    if tp_axis is not None:
+        g_exact_max = jax.lax.pmax(exact_max, tp_axis)
+        # lowest global id among shards that achieve the global max
+        minid = jax.lax.pmin(
+            jnp.where(exact_max >= g_exact_max, minid, SENT), tp_axis
+        )
+        exact_max = g_exact_max
+        m_out = jax.lax.pmax(m_out, tp_axis)
+        s_max = jax.lax.pmax(s_max, tp_axis)
+
     eps = 0.5 * s_max * h1 + 1e-3 * (jnp.abs(exact_max) + 1.0)
     certified = jnp.all(exact_max > m_out + eps)
 
     def from_shortlist(_):
         # argmax over candidates with full-vocab tie-breaking (lowest id)
-        is_max = exact >= exact_max[:, None]
-        ids = jnp.where(is_max, cand, V)
-        return jnp.min(ids, axis=-1).astype(jnp.int32)
+        return minid.astype(jnp.int32)
 
     def full_head(_):
         logits = jax.lax.dot_general(
@@ -388,7 +419,19 @@ def greedy_exact_topk(hidden, params, cfg: BitNetConfig, k: int = 128):
             dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if tp_axis is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # cross-shard argmax with lowest-global-id tie-break
+        lmax = jnp.max(logits, axis=-1)
+        offset = jax.lax.axis_index(tp_axis).astype(jnp.int32) * V
+        ids = jnp.arange(V, dtype=jnp.int32)[None, :] + offset
+        lid = jnp.min(
+            jnp.where(logits >= lmax[:, None], ids, SENT), axis=-1
+        )
+        gmax = jax.lax.pmax(lmax, tp_axis)
+        return jax.lax.pmin(
+            jnp.where(lmax >= gmax, lid, SENT), tp_axis
+        ).astype(jnp.int32)
 
     tok = jax.lax.cond(certified, from_shortlist, full_head, None)
     return tok, certified
@@ -509,6 +552,9 @@ def forward(
     def wlin(x, lp, l, name, **kw):
         if stacked:
             return lf(x, stack[name + "_qw"], stack[name + "_scale"], l, **kw)
+        # honor cfg.dtype (default_linear alone would round through bf16
+        # even for an f32 model); stacked pallas kernels emit bf16 only
+        kw.setdefault("out_dtype", dtype)
         return lf(x, lp[name + "_qw"], lp[name + "_scale"], **kw)
 
     # prologue-fused path: norm + act-quant (+ MLP activation) run INSIDE
@@ -630,9 +676,14 @@ def forward(
             experts.update(
                 {f"{n}_scale": lp[f"moe_{n}_scale"] for n in ("gate", "up", "down")}
             )
+            # under TP the mesh's model axis doubles as the EP axis:
+            # experts are sharded on it ([L, E/tp, ...] local stacks) and
+            # moe_ffn psums the partial combines (attention stays
+            # head-sharded TP — the Switch/GShard hybrid layout)
             y, _aux = moe_ffn(
                 normed.reshape(B * S, -1), experts, lp["ffn_sub"], lp["router"],
                 top_k=cfg.num_experts_per_tok, eps=cfg.rms_norm_eps,
+                ep_axis=tp_axis,
             )
             h = h + y.reshape(B, S, -1).astype(dtype)
             return h, (ck, cv)

@@ -148,7 +148,12 @@ def moe_ffn(
         return _expert_ffn(x, ew, ffn_sub, eps, lf)  # [T, H]
 
     outs = jax.vmap(run_expert)(experts)  # [E_local, T, H]
-    y = jnp.einsum("te,eth->th", combine_local, outs)
+    # f32 combine/psum: the partial-sum order must not round through
+    # bf16 per shard, or EP would drift from the single-device sum
+    y = jnp.einsum(
+        "te,eth->th", combine_local, outs,
+        preferred_element_type=jnp.float32,
+    )
     if ep_axis is not None:
         y = jax.lax.psum(y, ep_axis)
 

@@ -55,11 +55,16 @@ def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
 
 def repack_params_for_tp(params, tp: int):
     """Re-pack row-parallel projections so each K/tp shard is plane-major
-    within itself (see module docstring). No-op for tp == 1."""
+    within itself (see module docstring). No-op for tp == 1.
+
+    MoE expert stacks (``moe_*_qw``) are sharded on the EXPERT axis, so
+    each expert keeps its full K and needs no repacking."""
     if tp == 1:
         return params
     layers = dict(params["layers"])
     for name in ROW_PARALLEL:
+        if f"{name}_qw" not in layers:
+            continue  # MoE layers: dense gate/up/down replaced by experts
         qw = np.asarray(layers[f"{name}_qw"])  # [L, K4, N]
         L, k4, n = qw.shape
         if (k4 * 4) % (4 * tp):
@@ -77,21 +82,40 @@ def repack_params_for_tp(params, tp: int):
 
 def param_partition_specs(params) -> dict:
     """PartitionSpec pytree matching the params structure."""
+    layers = params["layers"]
     lsp = {}
     for name in COL_PARALLEL:
-        lsp[f"{name}_qw"] = P(None, None, MODEL)
-        lsp[f"{name}_scale"] = P(None)
+        if f"{name}_qw" in layers:
+            lsp[f"{name}_qw"] = P(None, None, MODEL)
+            lsp[f"{name}_scale"] = P(None)
     for name in ROW_PARALLEL:
-        lsp[f"{name}_qw"] = P(None, MODEL, None)
-        lsp[f"{name}_scale"] = P(None)
+        if f"{name}_qw" in layers:
+            lsp[f"{name}_qw"] = P(None, MODEL, None)
+            lsp[f"{name}_scale"] = P(None)
+    # MoE: experts sharded on the model axis (EP), router replicated
+    for name in ("gate", "up", "down"):
+        if f"moe_{name}_qw" in layers:
+            lsp[f"moe_{name}_qw"] = P(None, MODEL, None, None)
+            lsp[f"moe_{name}_scale"] = P(None, MODEL)
+    if "router" in layers:
+        lsp["router"] = P(None, None, None)
     for name in ("input_ln", "post_ln"):
         lsp[name] = P(None, None)
     # sub-norm weights span the head-sharded q_dim / FFN-sharded inter axis
     lsp["attn_sub"] = P(None, MODEL)
-    lsp["ffn_sub"] = P(None, MODEL)
+    if "moe_gate_qw" in layers:
+        # EP experts compute the FULL intermediate dim per device
+        lsp["ffn_sub"] = P(None, None)
+    else:
+        lsp["ffn_sub"] = P(None, MODEL)
     specs = {"embed": P(MODEL, None), "final_norm": P(None), "layers": lsp}
     if "lm_head" in params:
         specs["lm_head"] = P(MODEL, None)
+    if "lm_head_q" in params:
+        # int8 head follows the vocab sharding (per-row quantization
+        # commutes with a row shard)
+        specs["lm_head_q"] = P(MODEL, None)
+        specs["lm_head_s"] = P(MODEL)
     return specs
 
 
@@ -100,12 +124,29 @@ def cache_partition_spec() -> P:
     return P(None, DATA, None, MODEL, None)
 
 
+def put_sharded(x, mesh: Mesh, spec: P):
+    """device_put that also works when ``mesh`` spans processes.
+
+    Single-controller: plain jax.device_put. Multi-controller (the
+    2-process CPU test / real multi-host pods): every process holds the
+    FULL host value, so each addressable device fetches its shard by
+    GLOBAL index (make_array_from_callback). NOT
+    make_array_from_process_local_data: with full-copy input it
+    mis-assembles the global array (measured: every sharded leaf's
+    global checksum doubled on a 2-process mesh)."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        x_np = np.asarray(x)
+        return jax.make_array_from_callback(x_np.shape, sh, lambda idx: x_np[idx])
+    return jax.device_put(x, sh)
+
+
 def shard_params(params, mesh: Mesh):
-    """device_put params with TP NamedShardings (call repack_params_for_tp
-    first when the mesh has a model axis > 1)."""
+    """Put params on the mesh with TP NamedShardings (call
+    repack_params_for_tp first when the mesh has a model axis > 1)."""
     specs = param_partition_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put_sharded(x, mesh, s),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
