@@ -73,9 +73,11 @@ def main_variant(name: str):
             tp.mlp_block_megakernel,
             eps=cfg.rms_norm_eps, act="relu2", norm2=True,
         )
+        weights = (gw, dw, gateup_scale, down_rows, pln_rows, ffn_rows)
 
-        def call(h, l):
-            return mlp_fn(h, gw, dw, l, gateup_scale, down_rows, pln_rows, ffn_rows)
+        def call(h, l, w):
+            gw_, dw_, gsc, dro, pro, fro = w
+            return mlp_fn(h, gw_, dw_, l, gsc, dro, pro, fro)
 
         gb = (gw.shape[1] * gw.shape[2] + dw.shape[1] * dw.shape[2]) / 1e9
     else:
@@ -147,7 +149,9 @@ def main_variant(name: str):
                 o_ref[:] = hres_ref[:] + d
 
         n_gu, n_h = 2 * inter, H
-        tn_gu, tn_d = 2304, 2560
+        # int8 weights are 4x the packed bytes: tiles sized so double-
+        # buffered gw (H*tn_gu) + dw (I*tn_d) stay inside 16 MB VMEM
+        tn_gu, tn_d = 1152, 512
         ngu, nd = n_gu // tn_gu, n_h // tn_d
         tb = 8
 
@@ -177,8 +181,13 @@ def main_variant(name: str):
             ],
         )
 
-        @functools.partial(jax.jit, static_argnames=())
-        def call(h, l):
+        weights = (gw8, dw8, pln_rows.astype(jnp.float32),
+                   ffn_rows.astype(jnp.float32),
+                   gateup_scale.astype(jnp.float32),
+                   down_rows.astype(jnp.float32))
+
+        def call(h, l, w):
+            gw8_, dw8_, pro, fro, gsc, dro = w
             h2 = jnp.pad(h, ((0, tb - h.shape[0]), (0, 0)))
             lidx = jnp.asarray(l, jnp.int32).reshape(1)
             out = pl.pallas_call(
@@ -193,21 +202,19 @@ def main_variant(name: str):
                     bytes_accessed=H * n_gu + inter * n_h,
                     transcendentals=0,
                 ),
-            )(lidx, h2, h2, gw8, dw8,
-              pln_rows.astype(jnp.float32), ffn_rows.astype(jnp.float32),
-              gateup_scale.astype(jnp.float32), down_rows.astype(jnp.float32))
+            )(lidx, h2, h2, gw8_, dw8_, pro, fro, gsc, dro)
             return out[: h.shape[0]]
 
     @functools.partial(jax.jit, static_argnames=("steps",))
-    def chain(h, steps):
+    def chain(h, w, steps):
         def step(h, l):
-            return call(h, l % L), None
+            return call(h, l % L, w), None
 
         h, _ = jax.lax.scan(step, h, jnp.arange(steps, dtype=jnp.int32))
         return h
 
     def run(n):
-        np.asarray(chain(h0, n))
+        np.asarray(chain(h0, weights, n))
 
     def slope(n1=64, n2=512, reps=2):
         run(n1)
