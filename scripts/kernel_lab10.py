@@ -35,6 +35,10 @@ VARIANTS = {
 
 
 def main_variant(name: str):
+    # env must be set before the kernel TRACE reads the tile knobs —
+    # applies both via the spawner and when a variant is run directly
+    os.environ.update(VARIANTS.get(name, {}))
+
     import functools
 
     import jax
@@ -216,7 +220,9 @@ def main_variant(name: str):
     def run(n):
         np.asarray(chain(h0, weights, n))
 
-    def slope(n1=64, n2=512, reps=2):
+    def slope(n1=256, n2=4096, reps=3):
+        # long windows: the (n2-n1) signal must dwarf ~30 ms transport
+        # jitter (lab12: 64/512 windows gave +-5 us/layer scatter)
         run(n1)
         run(n2)
         t1 = min(_t(run, n1) for _ in range(reps))

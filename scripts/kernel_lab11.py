@@ -44,8 +44,8 @@ def main():
     ngu, nd = n_gu // tn_gu, n_h // tn_d
 
     rng = np.random.default_rng(0)
-    gw = jnp.asarray(rng.integers(0, 255, size=(L, k4, n_gu), dtype=np.uint8))
-    dw = jnp.asarray(rng.integers(0, 255, size=(L, i4, n_h), dtype=np.uint8))
+    gw = jnp.asarray(rng.integers(-127, 127, size=(L, k4, n_gu), dtype=np.int8))
+    dw = jnp.asarray(rng.integers(-127, 127, size=(L, i4, n_h), dtype=np.int8))
     h0 = jnp.ones((8, 128), jnp.float32)
 
     # --- stream-mlp: same two-stage tile walk, touch-only -----------------
@@ -98,7 +98,7 @@ def main():
     # --- stream-1buf: one flat tensor, same total bytes -------------------
     flat_n = n_gu + (i4 * n_h) // k4  # [k4, flat_n] == same bytes
     fw = jnp.asarray(
-        rng.integers(0, 255, size=(L, k4, flat_n), dtype=np.uint8))
+        rng.integers(-127, 127, size=(L, k4, flat_n), dtype=np.int8))
     tn_f = 2304
     nf = flat_n // tn_f if flat_n % tn_f == 0 else None
     if nf is None:
@@ -157,8 +157,9 @@ def main():
             run(n)
             return time.perf_counter() - t0
 
-        run(64); run(512)
-        s = min((t(512) - t(64)) / 448 for _ in range(2))
+        n1, n2 = 256, 4096  # long windows (see lab10/lab12 jitter note)
+        run(n1); run(n2)
+        s = min((t(n2) - t(n1)) / (n2 - n1) for _ in range(3))
         gb = nbytes / 1e9
         bw = gb / s
         print(f"{tag:12s}: {s*1e6:7.2f} us/layer  {gb*1e3:.2f} MB  "

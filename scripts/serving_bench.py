@@ -41,7 +41,11 @@ def main():
     ap.add_argument("--shared-prefix", type=int, default=0,
                     help="tokens of common prefix across streams (radix test)")
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--model", default="bitnet2b", choices=["bitnet2b", "llama8b"])
+    ap.add_argument("--model", default="bitnet2b",
+                    choices=["bitnet2b", "llama8b", "moe"],
+                    help="moe = 2B geometry with 8 ternary experts/top-2 "
+                         "(BASELINE config 5's single-host slice; EP "
+                         "sharding is the TP engine's model axis)")
     ap.add_argument("--kv-layout", default="auto", choices=["auto", "token", "layer"])
     ap.add_argument("--burst", type=int, default=None)
     ap.add_argument("--use-pallas", default=None, choices=[None, "0", "1"])
@@ -70,6 +74,15 @@ def main():
         cfg = BitNetConfig.tiny()
     elif args.model == "llama8b":
         cfg = BitNetConfig.llama3_8b_ternary()
+    elif args.model == "moe":
+        import dataclasses
+
+        # 2B layer geometry, 8 ternary experts, top-2 routing; fewer
+        # layers keep single-chip HBM/init sane (weights 8x FFN/layer)
+        cfg = dataclasses.replace(
+            BitNetConfig.bitnet_2b(), num_layers=8, num_experts=8,
+            num_experts_per_tok=2,
+        )
     else:
         cfg = BitNetConfig.bitnet_2b()
     max_ctx = min(cfg.max_position, args.prompt_len + args.new_tokens + 64)

@@ -30,7 +30,31 @@ if "WF_TPU_TESTS" not in os.environ:
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: engine/server jit compiles dominate suite
+# wall time (VERDICT r1 "test suite wall time"); repeat runs reuse them.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_tests")
+)
+import jax as _jax  # noqa: E402
+
+_jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 SERVER_MARKERS = {"integration", "kv_cache", "stress", "benchmark"}
+
+# Fast tier: `pytest -m smoke` — no Engine construction, no torch import,
+# compiles only tiny jits. Target < 60 s on the 1-CPU host.
+SMOKE_FILES = {
+    "test_configs.py",
+    "test_convert.py",
+    "test_lifecycle_and_utils.py",
+    "test_sampling.py",
+    "test_penalties.py",
+    "test_logit_bias.py",
+    "test_validator.py",
+}
 
 
 def _server_alive(url: str) -> bool:
@@ -56,6 +80,9 @@ def pytest_collection_modifyitems(config, items):
     Mirrors the reference mechanism (tests/conftest.py:50-69): the same
     suite is a unit suite in CI and an E2E suite against a live backend.
     """
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
     url = os.environ.get("INFERENCE_URL")
     if url and _server_alive(url):
         return

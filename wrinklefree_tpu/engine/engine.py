@@ -89,12 +89,21 @@ class Engine:
         linear_fn=None,
         attention_fn=None,
         mesh=None,
+        long_context_mesh=None,
     ):
         """With ``mesh`` (axes ('data','model'), data=1) the engine runs
         tensor-parallel: params are TP-repacked/sharded and every jitted
         program is a shard_map over the mesh (BASELINE config 4 — e.g.
-        Llama-3-8B ternary TP on one host)."""
+        Llama-3-8B ternary TP on one host).
+
+        With ``long_context_mesh`` (1-axis mesh named 'seq'), prompts
+        exceeding max_context fall back to the sequence-parallel
+        ring-attention path (engine/long_context.py) in generate()
+        instead of raising."""
         self.params = params
+        self._long_ctx_mesh = long_context_mesh
+        self._long_ctx_params = params  # unfused snapshot for the ring path
+        self._long_ctx = None
         self.cfg = cfg
         self.ecfg = ecfg or EngineConfig()
         self.mesh = mesh
@@ -696,7 +705,36 @@ class Engine:
     def generate(
         self, prompt_ids: List[int], sampling: SamplingParams | None = None
     ) -> Request:
-        """Synchronous convenience: run the loop until this request finishes."""
+        """Synchronous convenience: run the loop until this request finishes.
+
+        Prompts beyond max_context are served via the sequence-parallel
+        ring-attention path when ``long_context_mesh`` was given
+        (greedy-only; VERDICT r1 item 9)."""
+        sampling = sampling or SamplingParams()
+        if (
+            len(prompt_ids) >= self.ecfg.max_context
+            and self._long_ctx_mesh is not None
+        ):
+            if sampling.temperature > 0:
+                raise ValueError("long-context ring path is greedy-only")
+            if self._long_ctx is None:
+                from .long_context import LongContextEngine
+
+                self._long_ctx = LongContextEngine(
+                    self._long_ctx_params, self.cfg, self._long_ctx_mesh
+                )
+            out = self._long_ctx.generate(
+                list(prompt_ids), sampling.max_new_tokens,
+                eos_token_id=self.eos_token_id,
+            )
+            req = Request(next(self._rid), list(prompt_ids), sampling, None)
+            req.output_ids = out
+            req.finished = True
+            req.finish_reason = (
+                "stop" if out and out[-1] == self.eos_token_id else "length"
+            )
+            self.stats["requests"] += 1
+            return req
         req = self.submit(prompt_ids, sampling)
         while not req.finished:
             if not self.step():

@@ -1400,8 +1400,8 @@ def mlp_block_megakernel_static(
     lead = h.shape[:-1]
     h2 = h.reshape(-1, k)
     b = h2.shape[0]
-    tn_gu = _pick_tile_n(n_gu, want=int(os.environ.get("WF_MLP_TN_GU", "2304")))
-    tn_d = _pick_tile_n(n_h, want=int(os.environ.get("WF_MLP_TN_D", "2560")))
+    tn_gu = _pick_tile_n(n_gu, want=int(os.environ.get("WF_MLP_TN_GU", "1792")))
+    tn_d = _pick_tile_n(n_h, want=int(os.environ.get("WF_MLP_TN_D", "1792")))
     ngu, nd = n_gu // tn_gu, n_h // tn_d
     tb = min(_round_up(b, 8) if b <= 8 else _round_up(b, 32), 256)
     while tb > 32 and (
@@ -1502,8 +1502,8 @@ def mlp_block_megakernel(
     h2 = h.reshape(-1, k)
     b = h2.shape[0]
 
-    tn_gu = _pick_tile_n(n_gu, want=int(os.environ.get("WF_MLP_TN_GU", "2304")))
-    tn_d = _pick_tile_n(n_h, want=int(os.environ.get("WF_MLP_TN_D", "2560")))
+    tn_gu = _pick_tile_n(n_gu, want=int(os.environ.get("WF_MLP_TN_GU", "1792")))
+    tn_d = _pick_tile_n(n_h, want=int(os.environ.get("WF_MLP_TN_D", "1792")))
     ngu = n_gu // tn_gu
     nd = n_h // tn_d
 
