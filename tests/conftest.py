@@ -51,7 +51,6 @@ SMOKE_FILES = {
     "test_convert.py",
     "test_lifecycle_and_utils.py",
     "test_sampling.py",
-    "test_penalties.py",
     "test_logit_bias.py",
     "test_validator.py",
 }
