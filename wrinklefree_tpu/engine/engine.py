@@ -311,341 +311,33 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _pool_spec(self):
-        """PagedKV PartitionSpecs: KV-head lane axis sharded over 'model'."""
-        from jax.sharding import PartitionSpec as P
+        from .programs import pool_spec
 
-        spec = P(None, None, None, "model")
-        return PagedKV(
-            spec,
-            None if self.pools.scale is None else spec,
-            None if self.pools.staging is None else spec,
-            None if self.pools.staging_scale is None else spec,
-        )
+        return pool_spec(self)
 
     def _build_decode(self, with_logprobs: bool = False,
                       return_logits: bool = False,
                       with_mirostat: bool = False):
-        """Fused K-step decode burst: a device-side `lax.scan` samples K
-        tokens per slot per dispatch, so tunnel/host round-trips are paid
-        once per K tokens instead of per token (the decode-loop-overhead
-        trap, SURVEY.md §7; measured 100x on a remote-tunnel TPU).
+        """Build the fused K-step decode burst (engine/programs.py)."""
+        from .programs import build_decode
 
-        State arrays live on device between bursts; the host re-uploads
-        them only after scheduling events (admission/finish).
-
-        ``with_logprobs`` builds the logprobs variant (chosen-token
-        logprob + top-N per step; full bf16 head — the int8-scan exact
-        head can't produce a distribution); the engine selects it per
-        burst when an active request asked for logprobs.
-
-        ``return_logits`` builds the constrained-decoding variant: ONE
-        step per dispatch that also returns the full post-penalty
-        logits, so the host can re-select tokens through a grammar
-        validator (engine json_mode path) and feed the corrected token
-        back — KV stays exact because a token's KV is written when it is
-        FED, not when it is sampled."""
-        cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
-        kvw = self._kv_write
-        K = 1 if return_logits else self.ecfg.decode_burst
-        tp_axis = "model" if self.mesh is not None else None
-        fd = self.ecfg.flash_decode
-        ek = (
-            0 if (with_logprobs or return_logits or with_mirostat)
-            else self.ecfg.exact_head_k
-        )
-        lp_n = self.ecfg.logprobs_top if with_logprobs else 0
-
-        def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, slot_ids, ring, samp, mu=None):
-            # samp: per-slot sampler-state pytree (one dict entry per
-            # param — adding a sampler knob = one key, no re-plumbing)
-            temps, top_ps = samp["temps"], samp["tps"]
-            top_ks, min_ps = samp["topks"], samp["minps"]
-            typps, tfs = samp["typps"], samp["tfs"]
-            reps, pres, freqs = samp["reps"], samp["pres"], samp["freqs"]
-            lastn = samp["lastn"]
-            bias_ids, bias_vals = samp["bias_ids"], samp["bias_vals"]
-            W = ring.shape[1]
-            if (lp_n or return_logits) and self.ecfg.exact_head_k:
-                # logprobs / host re-selection need the clean bf16 head
-                params = {kk: vv for kk, vv in params.items()
-                          if not kk.startswith("lm_head_")}
-
-            def one(carry, _):
-                if with_mirostat:
-                    pools, tok, sl, ctr, ring, mu = carry
-                else:
-                    pools, tok, sl, ctr, ring = carry
-                    mu = None
-                # the token being fed sits at position sl — it's part of
-                # the penalty window for the token sampled this step
-                ring = ring.at[jnp.arange(tok.shape[0]), sl % W].set(tok)
-                logits, pools = paged_forward(
-                    params, cfg, tok[:, None], pools, page_table, sl,
-                    jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
-                    kv_write=kvw, tp_axis=tp_axis, slot_ids=slot_ids,
-                    flash_decode=fd,
-                    # exact head: forward returns the final hidden state;
-                    # the head runs below under a greedy/sampling cond
-                    head_fn=(lambda h, p: h) if ek else None,
-                )
-                keys = per_request_keys(seeds, ctr)
-                if ek:
-                    from ..models.bitnet import (
-                        compute_logits,
-                        greedy_exact_topk,
-                    )
-
-                    hidden = logits  # [B, H]
-
-                    def exact(h):
-                        # all rows greedy: int8 scan + certified top-k
-                        # rescore (internal bf16-head fallback on near-tie)
-                        return greedy_exact_topk(
-                            h, params, cfg, k=ek, tp_axis=tp_axis
-                        )[0]
-
-                    def sample(h):
-                        # some row samples or penalizes: full bf16 head so
-                        # the distribution is exact (int8 entries dropped)
-                        clean = {kk: vv for kk, vv in params.items()
-                                 if not kk.startswith("lm_head_")}
-                        lg = compute_logits(h, clean, cfg)
-                        if tp_axis is not None:
-                            lg = jax.lax.all_gather(
-                                lg, tp_axis, axis=lg.ndim - 1, tiled=True
-                            )
-                        lg = apply_logit_bias(
-                            apply_penalties(
-                                lg,
-                                ring, sl + 1, lastn, reps, pres, freqs,
-                            ),
-                            bias_ids, bias_vals,
-                        )
-                        return sample_token(
-                            lg, keys, temperature=temps, top_p=top_ps,
-                            top_k=top_ks, min_p=min_ps, typical_p=typps,
-                            tfs_z=tfs,
-                        )
-
-                    pen_on = jnp.any(
-                        (reps != 1.0) | (pres != 0.0) | (freqs != 0.0)
-                    ) | jnp.any(bias_ids >= 0)
-                    nxt = jax.lax.cond(
-                        jnp.any(temps > 0) | pen_on, sample, exact, hidden
-                    )
-                else:
-                    pen = apply_logit_bias(
-                        apply_penalties(
-                            logits, ring, sl + 1, lastn, reps, pres, freqs
-                        ),
-                        bias_ids, bias_vals,
-                    )
-                    if with_mirostat:
-                        nxt, mu = sample_token_mirostat(
-                            pen, keys, mu, temps, top_ps, top_ks, min_ps,
-                            typps, tfs, samp["miro"], samp["mtau"],
-                            samp["meta"],
-                        )
-                    else:
-                        nxt = sample_token(
-                            pen, keys, temperature=temps, top_p=top_ps,
-                            top_k=top_ks, min_p=min_ps, typical_p=typps,
-                            tfs_z=tfs,
-                        )
-                if lp_n:
-                    # distribution the step actually sampled from
-                    # (penalized, pre-temperature), OpenAI/llama.cpp style
-                    full_lp = jax.nn.log_softmax(pen, axis=-1)
-                    chosen = jnp.take_along_axis(
-                        full_lp, nxt[:, None], axis=1
-                    )[:, 0]
-                    top_lps, top_ids = jax.lax.top_k(full_lp, lp_n)
-                    out = (nxt, chosen, top_ids.astype(jnp.int32), top_lps)
-                elif return_logits:
-                    out = (nxt, pen)
-                else:
-                    out = nxt
-                if with_mirostat:
-                    return (pools, nxt, sl + 1, ctr + 1, ring, mu), out
-                return (pools, nxt, sl + 1, ctr + 1, ring), out
-
-            if with_mirostat:
-                (pools, last, sl, ctr, ring, mu), outs = jax.lax.scan(
-                    one, (pools, last_tokens, seq_lens, counters, ring, mu),
-                    None, length=K,
-                )
-                return outs, pools, last, sl, ctr, ring, mu
-            (pools, last, sl, ctr, ring), outs = jax.lax.scan(
-                one, (pools, last_tokens, seq_lens, counters, ring), None,
-                length=K,
-            )
-            return outs, pools, last, sl, ctr, ring
-
-        if self.mesh is not None:
-            from jax.sharding import PartitionSpec as P
-
-            from ..parallel.sharding import param_partition_specs
-
-            pool_spec = self._pool_spec()
-            rep7 = tuple(P() for _ in range(7))
-            samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals", "miro", "mtau", "meta")}
-            out0 = (
-                (P(), P(), P(), P()) if with_logprobs
-                else ((P(), P()) if return_logits else P())
-            )
-            extra_in = (P(),) if with_mirostat else ()
-            extra_out = (P(),) if with_mirostat else ()
-            burst = jax.shard_map(
-                burst, mesh=self.mesh,
-                in_specs=(param_partition_specs(self.params), pool_spec)
-                + rep7 + (samp_spec,) + extra_in,
-                out_specs=(out0, pool_spec, P(), P(), P(), P()) + extra_out,
-                check_vma=False,
-            )
-        return functools.partial(jax.jit, donate_argnums=(1,))(burst)
+        return build_decode(self, with_logprobs=with_logprobs,
+                            return_logits=return_logits,
+                            with_mirostat=with_mirostat)
 
     def _build_decode_spec(self):
-        """Speculative decode burst (greedy-only): each scan step drafts
-        up to k tokens by n-gram lookup in a device-resident history
-        buffer, verifies them in ONE k+1-token forward, and advances by
-        the accepted count. Windows clamp to the current KV page
-        (win = min(k+1, ps - sl%ps)), so rejected-draft KV lands either
-        in the trash or in positions the next real tokens overwrite
-        before they become visible (position-triggered page flushes
-        re-flush with real content — see kv/paged._dual_write)."""
-        cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
-        kvw = self._kv_write
-        K = self.ecfg.decode_burst
-        k = self.ecfg.speculative_k
-        ps = self.page_size
-        ek = self.ecfg.exact_head_k
+        """Build the speculative decode burst (engine/programs.py)."""
+        from .programs import build_decode_spec
 
-        from ..models.spec_decode import _draft_ngram
-
-        def burst(params, pools, last_tokens, page_table, seq_lens, seeds,
-                  counters, slot_ids, hist):
-            if ek:
-                # spec verify needs full per-position logits: use the
-                # clean bf16 head so greedy streams stay exact
-                params = {kk: vv for kk, vv in params.items()
-                          if not kk.startswith("lm_head_")}
-            H = hist.shape[1]
-            B = last_tokens.shape[0]
-
-            def one(carry, _):
-                pools, tok, sl, hist = carry
-                win = jnp.minimum(k + 1, ps - sl % ps).astype(jnp.int32)
-                draft = _draft_ngram(hist, sl, k, 2)  # [B, k]
-                toks = jnp.concatenate([tok[:, None], draft], axis=1)
-                logits, pools = paged_forward(
-                    params, cfg, toks, pools, page_table, sl, win,
-                    linear_fn=lf, attention_fn=af, kv_write=kvw,
-                    slot_ids=slot_ids, logits_all=True,
-                )
-                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
-                match = (draft == g[:, :-1]) & (
-                    jnp.arange(k)[None, :] < win[:, None] - 1
-                )
-                acc = jnp.sum(
-                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
-                )
-                n_new = jnp.minimum(acc + 1, win)
-                idx = sl[:, None] + 1 + jnp.arange(k + 1)[None, :]
-                bidx = jnp.broadcast_to(jnp.arange(B)[:, None], idx.shape)
-                hist = hist.at[bidx, jnp.clip(idx, 0, H - 1)].set(g)
-                new_last = jnp.take_along_axis(
-                    g, (n_new - 1)[:, None], axis=1
-                )[:, 0]
-                return (pools, new_last, sl + n_new, hist), (g, n_new)
-
-            (pools, last, sl, hist), (toks, counts) = jax.lax.scan(
-                one, (pools, last_tokens, seq_lens, hist), None, length=K
-            )
-            return toks, counts, pools, last, sl, hist
-
-        return functools.partial(jax.jit, donate_argnums=(1,))(burst)
+        return build_decode_spec(self)
 
     def _prefill_for_bucket(self, bucket: int, with_logprobs: bool = False,
                             return_logits: bool = False):
-        key = (bucket, with_logprobs, return_logits)
-        if key not in self._prefill_jits:
-            cfg, lf, af = self.cfg, self._linear_fn, self._attention_fn
-            kvw = self._kv_write
-            tp_axis = "model" if self.mesh is not None else None
+        """Bucketed prefill program, cached per variant (engine/programs.py)."""
+        from .programs import prefill_for_bucket
 
-            ek = self.ecfg.exact_head_k
-            lp_n = self.ecfg.logprobs_top if with_logprobs else 0
-
-            def prefill(params, pools, tokens, page_table, seq_len, new_len,
-                        seeds, counters, slot_ids, ring, samp):
-                temp, top_p = samp["temps"], samp["tps"]
-                top_k, min_p = samp["topks"], samp["minps"]
-                typp, tfs = samp["typps"], samp["tfs"]
-                reps, pres, freqs = samp["reps"], samp["pres"], samp["freqs"]
-                lastn = samp["lastn"]
-                bias_ids, bias_vals = samp["bias_ids"], samp["bias_vals"]
-                if ek:
-                    # exact-head mode: prefill always uses the clean bf16
-                    # head (its cost is negligible next to prefill compute)
-                    params = {kk: vv for kk, vv in params.items()
-                              if not kk.startswith("lm_head_")}
-                logits, pools = paged_forward(
-                    params, cfg, tokens, pools, page_table, seq_len, new_len,
-                    linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,
-                    slot_ids=slot_ids,
-                )
-                logits = apply_logit_bias(
-                    apply_penalties(
-                        logits, ring, seq_len + new_len, lastn, reps, pres,
-                        freqs,
-                    ),
-                    bias_ids, bias_vals,
-                )
-                keys = per_request_keys(seeds, counters)
-                nxt = sample_token(logits, keys, temperature=temp, top_p=top_p,
-                                   top_k=top_k, min_p=min_p,
-                                   typical_p=typp, tfs_z=tfs)
-                # pad: single-element D2H fetches hit a pathological slow
-                # path over remote-tunnel transports
-                padded = jnp.pad(nxt, (0, 63))
-                if lp_n:
-                    full_lp = jax.nn.log_softmax(logits, axis=-1)
-                    chosen = jnp.take_along_axis(
-                        full_lp, nxt[:, None], axis=1
-                    )[:, 0]
-                    top_lps, top_ids = jax.lax.top_k(full_lp, lp_n)
-                    return (padded, chosen, top_ids.astype(jnp.int32),
-                            top_lps), pools
-                if return_logits:
-                    # constrained first token: host re-selects through
-                    # the grammar validator from the full distribution
-                    return (padded, logits), pools
-                return padded, pools
-
-            if self.mesh is not None:
-                from jax.sharding import PartitionSpec as P
-
-                from ..parallel.sharding import param_partition_specs
-
-                pool_spec = self._pool_spec()
-                rep8 = tuple(P() for _ in range(8))
-                samp_spec = {k: P() for k in ("temps", "tps", "topks", "minps", "typps", "tfs", "reps", "pres", "freqs", "lastn", "bias_ids", "bias_vals", "miro", "mtau", "meta")}
-                out0 = (
-                    (P(), P(), P(), P()) if with_logprobs
-                    else ((P(), P()) if return_logits else P())
-                )
-                prefill = jax.shard_map(
-                    prefill, mesh=self.mesh,
-                    in_specs=(param_partition_specs(self.params), pool_spec)
-                    + rep8 + (samp_spec,),
-                    out_specs=(out0, pool_spec),
-                    check_vma=False,
-                )
-            self._prefill_jits[key] = functools.partial(
-                jax.jit, donate_argnums=(1,)
-            )(prefill)
-        return self._prefill_jits[key]
+        return prefill_for_bucket(self, bucket, with_logprobs=with_logprobs,
+                                  return_logits=return_logits)
 
     # ------------------------------------------------------------------
     # public API
@@ -753,111 +445,16 @@ class Engine:
     # ------------------------------------------------------------------
 
     def snapshot(self) -> dict:
-        """Preemption-safe state capture, designed fresh (the reference
-        has no elastic recovery — SURVEY.md §5.3).
+        """Preemption-safe state capture (engine/snapshot.py)."""
+        from .snapshot import snapshot
 
-        Key design point: KV pools are RECOMPUTABLE caches of the token
-        stream, so the snapshot is request-level and tiny (token ids +
-        sampling state, no tensors). `restore()` re-prefills
-        prompt+generated-so-far — the radix cache recovers shared
-        prefixes — and the per-request RNG counter offset keeps sampled
-        continuations on the same stream as an uninterrupted run.
-        """
-        with self._lock:
-            while True:
-                try:
-                    self._backlog.append(self.waiting.get_nowait())
-                except queue.Empty:
-                    break
-            reqs = []
-            live = [s for s in self.slots if s is not None] + self._backlog
-            for r in live:
-                if r.finished:
-                    continue
-                s = r.sampling
-                reqs.append({
-                    "prompt_ids": list(r.prompt_ids),
-                    "output_ids": list(r.output_ids),
-                    "counter_base": r.counter_base + len(r.output_ids),
-                    "seed": int(r.seed),
-                    "max_new_tokens": s.max_new_tokens - len(r.output_ids),
-                    "temperature": s.temperature,
-                    "top_p": s.top_p,
-                    "top_k": s.top_k,
-                    "min_p": s.min_p,
-                    "typical_p": s.typical_p,
-                    "tfs_z": s.tfs_z,
-                    "mirostat": s.mirostat,
-                    "mirostat_tau": s.mirostat_tau,
-                    "mirostat_eta": s.mirostat_eta,
-                    "stop_token_ids": list(s.stop_token_ids or []),
-                    "ignore_eos": s.ignore_eos,
-                    "repetition_penalty": s.repetition_penalty,
-                    "presence_penalty": s.presence_penalty,
-                    "frequency_penalty": s.frequency_penalty,
-                    "penalty_last_n": s.penalty_last_n,
-                    "logprobs_k": s.logprobs_k,
-                    "logit_bias": [
-                        [int(t), float(b)] for t, b in (s.logit_bias or [])
-                    ],
-                    "json_mode": s.json_mode,
-                    "grammar": s.grammar,
-                })
-            return {"version": 1, "requests": reqs}
+        return snapshot(self)
 
     def restore(self, snap: dict, on_token_factory=None) -> List[Request]:
-        """Resubmit every in-flight request from a `snapshot()`. Each
-        restored request's prompt is original-prompt + generated-so-far;
-        `on_token_factory(entry) -> callback` re-attaches streaming."""
-        if snap.get("version") != 1:
-            raise ValueError(f"unknown snapshot version: {snap.get('version')}")
-        entries = []
-        for d in snap["requests"]:
-            sp = SamplingParams(
-                temperature=d["temperature"], top_p=d["top_p"],
-                top_k=d["top_k"], min_p=d.get("min_p", 0.0),
-                typical_p=d.get("typical_p", 1.0),
-                tfs_z=d.get("tfs_z", 1.0),
-                mirostat=d.get("mirostat", 0),
-                mirostat_tau=d.get("mirostat_tau", 5.0),
-                mirostat_eta=d.get("mirostat_eta", 0.1),
-                max_new_tokens=d["max_new_tokens"],
-                stop_token_ids=d["stop_token_ids"] or None,
-                ignore_eos=d["ignore_eos"], seed=d["seed"],
-                repetition_penalty=d.get("repetition_penalty", 1.0),
-                presence_penalty=d.get("presence_penalty", 0.0),
-                frequency_penalty=d.get("frequency_penalty", 0.0),
-                penalty_last_n=d.get("penalty_last_n", 64),
-                logprobs_k=d.get("logprobs_k", 0),
-                logit_bias=[
-                    (int(t), float(b)) for t, b in d.get("logit_bias", [])
-                ] or None,
-                json_mode=d.get("json_mode", False),
-                grammar=d.get("grammar"),
-            )
-            entries.append((d, sp))
-        # atomic: validate EVERY entry before submitting any, so a bad
-        # snapshot can't leave a partial restore running
-        for d, sp in entries:
-            self._validate_submit(d["prompt_ids"] + d["output_ids"], sp)
-        out = []
-        for d, sp in entries:
-            cb = on_token_factory(d) if on_token_factory else None
-            r = self.submit(d["prompt_ids"] + d["output_ids"], sp, cb)
-            r.counter_base = d["counter_base"]
-            if sp.constrained:
-                # the generated-so-far text is part of the restored
-                # prompt: replay it through a fresh validator
-                r.grammar = self._make_validator(sp)
-                try:
-                    for t in d["output_ids"]:
-                        r.grammar.advance(self.token_pieces[t])
-                except ValueError:
-                    # grammar blow-up on replay: end this request
-                    # cleanly instead of aborting the whole restore
-                    self.cancel(r, "stop")
-            out.append(r)
-        return out
+        """Resubmit a snapshot's requests (engine/snapshot.py)."""
+        from .snapshot import restore
+
+        return restore(self, snap, on_token_factory)
 
     # ------------------------------------------------------------------
     # scheduling
@@ -1299,86 +896,11 @@ class Engine:
 
     def warmup(self, *, prefill_batches=(1,), page_buckets=None,
                full: bool = False) -> Dict[str, float]:
-        """Precompile the serving programs at their production shapes
-        (VERDICT r1 item 7: a cold server otherwise eats a multi-minute
-        XLA compile on the FIRST request per prefill bucket — 249 s
-        recorded for the 2B prefill in BENCH_r01.json).
+        """AOT-precompile the serving programs (engine/programs.py)."""
+        from .programs import warmup
 
-        AOT ``jit.lower(...).compile()`` on ShapeDtypeStructs: no state
-        is touched, nothing is dispatched, and with
-        JAX_COMPILATION_CACHE_DIR set the compilations persist across
-        restarts, so a warmed-up boot serves its first request at
-        steady-state TTFT.
-
-        Warms: the decode burst at the first page bucket (plus ALL page
-        buckets with ``full=True``) and every prefill bucket at batch
-        sizes ``prefill_batches``. Returns {program: seconds}.
-        """
-        import time as _time
-
-        S = len(self.slots)
-        W = self.ecfg.penalty_window
-        Kb = self.ecfg.logit_bias_slots
-
-        def sds(shape, dt):
-            return jax.ShapeDtypeStruct(shape, dt)
-
-        def live(x):
-            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
-
-        params_s = jax.tree.map(live, self.params)
-        pools_s = jax.tree.map(
-            live, self.pools,
-            is_leaf=lambda x: isinstance(x, jax.Array),
-        )
-
-        def samp_s(B):
-            d = {
-                k: sds((B,), jnp.float32)
-                for k in ("temps", "tps", "minps", "typps", "tfs", "reps",
-                          "pres", "freqs", "mtau", "meta")
-            }
-            d.update({k: sds((B,), jnp.int32) for k in ("topks", "lastn", "miro")})
-            d["bias_ids"] = sds((B, Kb), jnp.int32)
-            d["bias_vals"] = sds((B, Kb), jnp.float32)
-            return d
-
-        if page_buckets is None:
-            page_buckets = [8]
-            if full:
-                mp = 8
-                while mp < self.max_pages_per_seq:
-                    mp *= 2
-                    page_buckets.append(mp)
-
-        timings: Dict[str, float] = {}
-        for mp in page_buckets:
-            t0 = _time.perf_counter()
-            self._decode_jit.lower(
-                params_s, pools_s, sds((S,), jnp.int32), sds((S, mp), jnp.int32),
-                sds((S,), jnp.int32), sds((S,), jnp.uint32), sds((S,), jnp.int32),
-                sds((S,), jnp.int32), sds((S, W), jnp.int32), samp_s(S),
-            ).compile()
-            timings[f"decode_burst[mp={mp}]"] = _time.perf_counter() - t0
-
-        for bucket in self.ecfg.prefill_buckets:
-            for B in prefill_batches:
-                mp_pre = 8
-                t0 = _time.perf_counter()
-                self._prefill_for_bucket(bucket).lower(
-                    params_s, pools_s, sds((B, bucket), jnp.int32),
-                    sds((B, mp_pre), jnp.int32), sds((B,), jnp.int32),
-                    sds((B,), jnp.int32), sds((B,), jnp.uint32),
-                    sds((B,), jnp.int32), sds((B,), jnp.int32),
-                    sds((B, W), jnp.int32), samp_s(B),
-                ).compile()
-                timings[f"prefill[{bucket}x{B}]"] = _time.perf_counter() - t0
-        logger.info(
-            "warmup compiled %d programs in %.1f s: %s",
-            len(timings), sum(timings.values()),
-            {k: round(v, 2) for k, v in timings.items()},
-        )
-        return timings
+        return warmup(self, prefill_batches=prefill_batches,
+                      page_buckets=page_buckets, full=full)
 
     def _pages_bucket(self, tokens_needed: int) -> int:
         """Page-table width covering `tokens_needed`, rounded to the next
@@ -1401,124 +923,14 @@ class Engine:
         self._finish(req, reason)
 
     def _make_validator(self, s: SamplingParams):
-        if s.json_mode or not s.grammar:
-            from .json_constraint import JsonPrefixValidator
+        from .constrained import make_validator
 
-            return JsonPrefixValidator()
-        from .gbnf import GbnfValidator
-
-        return GbnfValidator(s.grammar)
+        return make_validator(self, s)
 
     def _select_constrained(self, req: Request, logits_row: np.ndarray):
-        """Next token for a json_mode request from full post-penalty
-        logits: walk candidates in preference order, accept the first
-        whose decoded piece keeps the JSON-prefix validator alive.
+        from .constrained import select_constrained
 
-        Greedy preference = descending logits (matches the device
-        sampler exactly when the best token is legal). Sampled
-        preference uses the gumbel-top-k trick: argsort of
-        (logits/T + gumbel) yields a categorical draw followed by
-        sampling-without-replacement from the renormalized remainder —
-        exactly the llama.cpp resample-until-grammar-accepts semantics
-        in one sort. Deterministic per (seed, step) numpy stream.
-
-        Returns (token, status) with status "ok"/"complete", or
-        (None, "dead") when no candidate is acceptable."""
-        s = req.sampling
-        pieces = self.token_pieces
-        lg = logits_row.astype(np.float64)
-        V = lg.shape[0]
-        g = None
-        if s.temperature > 0:
-            t = lg / s.temperature
-            t_raw = t.copy()  # pre-filter scores for the dead-end fallback
-            # top-k / tfs / typical / min_p / top-p masks
-            # (device-sampler semantics and order)
-            if s.top_k > 0:
-                kth = np.partition(t, -s.top_k)[-s.top_k]
-                t[t < kth] = -np.inf
-            if s.tfs_z < 1.0:
-                order0 = np.argsort(-t)
-                p = np.exp(t[order0] - t[order0[0]])
-                p /= p.sum()
-                d2 = np.abs(p[:-2] - 2 * p[1:-1] + p[2:])
-                d2 = d2 / max(d2.sum(), 1e-9)
-                cum = np.cumsum(d2)  # inclusive (device-kernel rule)
-                keep2 = cum <= s.tfs_z
-                keep = np.concatenate([keep2, keep2[-1:], keep2[-1:]])
-                keep[0] = True
-                t[order0[~keep]] = -np.inf
-            if s.typical_p < 1.0:
-                finite = np.isfinite(t)
-                lpv = np.full_like(t, -np.inf)
-                m = t[finite].max()
-                lse = m + np.log(np.exp(t[finite] - m).sum())
-                lpv[finite] = t[finite] - lse
-                pv = np.exp(lpv, where=finite, out=np.zeros_like(t))
-                ent = -(pv[finite] * lpv[finite]).sum()
-                dev = np.where(finite, np.abs(-lpv - ent), np.inf)
-                order0 = np.argsort(dev)
-                cum = np.cumsum(pv[order0])
-                keep_n = max(1, int(np.searchsorted(cum, s.typical_p) + 1))
-                t[order0[keep_n:]] = -np.inf
-            if s.min_p > 0:
-                t[t - t.max() < np.log(max(s.min_p, 1e-38))] = -np.inf
-            if s.top_p < 1.0:
-                order0 = np.argsort(-t)
-                p = np.exp(t[order0] - t[order0[0]])
-                p /= p.sum()
-                cum = np.cumsum(p)
-                drop = order0[1:][cum[:-1] > s.top_p]  # keep first always
-                t[drop] = -np.inf
-            rng = np.random.default_rng(
-                (int(req.seed) << 20)
-                ^ (req.counter_base + len(req.output_ids))
-            )
-            g = rng.gumbel(size=V)
-            score = t + g
-        else:
-            score = lg
-        eos = self.eos_token_id
-
-        def walk(order_scores):
-            order = np.argsort(-order_scores)
-            for tok in order[:4096]:
-                if not np.isfinite(order_scores[tok]):
-                    break
-                if (
-                    eos is not None and tok == eos
-                    and getattr(req.grammar, "completable", False)
-                    and not s.ignore_eos
-                ):
-                    # GBNF: input fully matches root and the model
-                    # prefers EOS — accept it (llama.cpp: EOS legal when
-                    # a parse stack is empty)
-                    return int(tok), "complete"
-                piece = pieces[tok]
-                if not piece:  # specials decode to "" — never legal text
-                    continue
-                cand = req.grammar.clone()
-                try:
-                    r = cand.advance(piece)
-                except ValueError:
-                    # grammar blow-up (GbnfError: stack explosion /
-                    # too-deep expansion) — treat as dead so the request
-                    # finishes instead of wedging the engine step loop
-                    continue
-                if r != "dead":
-                    req.grammar = cand
-                    return int(tok), r
-            return None, "dead"
-
-        tok, r = walk(score)
-        if tok is None and s.temperature > 0:
-            # every nucleus/top-k candidate was grammar-illegal: fall
-            # back to the UNFILTERED distribution (same temperature +
-            # gumbel noise, so it is still a sample, not a deterministic
-            # argmax) — llama.cpp's grammar resample never dead-ends
-            # while a legal token exists
-            tok, r = walk(t_raw + g)
-        return tok, r
+        return select_constrained(self, req, logits_row)
 
     def _decode(self) -> bool:
         # mid-prefill slots don't decode (masked to trash in _upload_state)

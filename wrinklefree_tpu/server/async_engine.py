@@ -46,6 +46,20 @@ class AsyncEngine:
     ) -> AsyncIterator[Tuple[int, bool, Request]]:
         """Yield (token_id, finished, request) as the engine produces them."""
         loop = asyncio.get_running_loop()
+        eng = self.engine
+        if (
+            len(prompt_ids) >= eng.ecfg.max_context
+            and getattr(eng, "_long_ctx_mesh", None) is not None
+            and sampling.temperature == 0
+        ):
+            # beyond-max_context request: sequence-parallel ring path
+            # (blocking jitted scan — tokens arrive together at the end)
+            req = await loop.run_in_executor(
+                None, lambda: eng.generate(prompt_ids, sampling)
+            )
+            for i, tok in enumerate(req.output_ids):
+                yield tok, i == len(req.output_ids) - 1, req
+            return
         q: asyncio.Queue = asyncio.Queue()
 
         def on_token(tok: int, fin: bool):

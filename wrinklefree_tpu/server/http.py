@@ -1034,6 +1034,7 @@ def create_server(
     use_pallas: Optional[bool] = None,
     tp: int = 1,
     tokenizer_path: Optional[str] = None,
+    long_context: bool = False,
 ) -> InferenceServer:
     """tp > 1 runs the engine tensor-parallel over the first tp devices
     (parallel/sharding.py layout). `model_path` may be an HF/wf-packed
@@ -1080,7 +1081,16 @@ def create_server(
 
         ecfg = _dc.replace(ecfg, use_pallas=use_pallas)
     eos = getattr(tokenizer, "eos_token_id", None)
-    engine = Engine(params, cfg, ecfg, eos_token_id=eos, mesh=mesh)
+    lc_mesh = None
+    if long_context:
+        # sequence-parallel ring path for beyond-max_context requests
+        # (engine/long_context.py); all local devices form the seq axis
+        import jax
+        import numpy as _np
+
+        lc_mesh = jax.sharding.Mesh(_np.asarray(jax.devices()), ("seq",))
+    engine = Engine(params, cfg, ecfg, eos_token_id=eos, mesh=mesh,
+                    long_context_mesh=lc_mesh)
     return InferenceServer(engine, tokenizer, name)
 
 
@@ -1103,6 +1113,9 @@ def main(argv=None):
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over local devices")
+    p.add_argument("--long-context", action="store_true",
+                   help="serve prompts beyond max-context via the "
+                        "sequence-parallel ring-attention path (greedy)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile decode burst + prefill buckets at boot "
                         "(AOT lower+compile; pairs with "
@@ -1137,7 +1150,7 @@ def main(argv=None):
     server = create_server(
         args.model, tiny=args.tiny, engine_config=ecfg,
         use_pallas=False if args.no_pallas else None, tp=args.tp,
-        tokenizer_path=args.tokenizer,
+        tokenizer_path=args.tokenizer, long_context=args.long_context,
     )
     if args.warmup:
         server.async_engine.engine.warmup()
