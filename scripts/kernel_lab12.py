@@ -72,8 +72,8 @@ def main():
         return mlp_fn(h, gw_, dw_, l, gsc, dro, pro, fro)
 
     # ----- interleave: per-tile activation --------------------------------
-    tg = 2304            # gate-side tile (divides inter=6912 -> 3 iters)
-    tn_d = 2560
+    tg = int(os.environ.get("WF_LAB12_TG", "2304"))
+    tn_d = int(os.environ.get("WF_LAB12_TD", "2560"))
     ngu, nd = inter // tg, H // tn_d
     tb = 8
 
