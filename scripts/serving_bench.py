@@ -47,6 +47,10 @@ def main():
                          "(BASELINE config 5's single-host slice; EP "
                          "sharding is the TP engine's model axis)")
     ap.add_argument("--kv-layout", default="auto", choices=["auto", "token", "layer"])
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "int8", "fp8_e4m3", "fp8_e5m2"],
+                    help="quantized KV runs on the dual layer-major "
+                         "layout too (0.5x pool memory)")
     ap.add_argument("--burst", type=int, default=None)
     ap.add_argument("--use-pallas", default=None, choices=[None, "0", "1"])
     ap.add_argument("--spec", type=int, default=0,
@@ -95,6 +99,7 @@ def main():
             b for b in (128, 512, 1024, 2048, 4096) if b <= max_ctx
         ) or (128,),
         kv_layout=args.kv_layout,
+        kv_dtype=args.kv_dtype,
         **({"decode_burst": args.burst} if args.burst else {}),
         **({"use_pallas": args.use_pallas == "1"} if args.use_pallas else {}),
         **({"flash_decode": args.flash_decode == "1"}
@@ -205,7 +210,7 @@ def main():
         "latency_p95_s": round(m.latency_p95_s, 3),
         "wall_s": round(wall, 2),
         "radix_hit_tokens": eng.stats["radix_hit_tokens"],
-        "kv_layout": eng.kv_layout, "spec_k": args.spec,
+        "kv_layout": eng.kv_layout, "kv_dtype": args.kv_dtype, "spec_k": args.spec,
         "spec_accept_rate": round(eng.stats.get("spec_accepted", 0) / max(eng.stats.get("spec_drafted", 1), 1), 3), "decode_steps": eng.stats["decode_steps"],
         "native_runtime": eng.native_runtime,
     }
