@@ -552,10 +552,13 @@ class Engine:
 
     def _start_request(self, slot: int, req: Request):
         ps = self.page_size
-        prompt = req.prompt_ids
-        total_budget = min(
-            len(prompt) + req.sampling.max_new_tokens, self.ecfg.max_context
-        )
+        # preempted/continued requests re-prefill generated-so-far too:
+        # the emitted tokens are part of the KV stream (restore() folds
+        # them into the prompt externally; in-engine retraction keeps
+        # the same Request object, so fold here)
+        src = req.prompt_ids + req.output_ids
+        remaining_new = max(1, req.sampling.max_new_tokens - len(req.output_ids))
+        total_budget = min(len(src) + remaining_new, self.ecfg.max_context)
         pages_needed_total = -(-total_budget // ps)
         if pages_needed_total > self.max_pages_per_seq:
             pages_needed_total = self.max_pages_per_seq
@@ -564,9 +567,9 @@ class Engine:
         matched_pages: List[int] = []
         nodes = []
         if self.radix is not None:
-            matched, matched_pages, nodes = self.radix.match(prompt)
+            matched, matched_pages, nodes = self.radix.match(src)
             # never match the full prompt: at least one token must run
-            while matched >= len(prompt) and nodes:
+            while matched >= len(src) and nodes:
                 nodes.pop()
                 matched_pages.pop()
                 matched -= ps
@@ -587,7 +590,7 @@ class Engine:
         req.matched_pages = matched_pages
         req.matched_tokens = matched
         req.seq_len = matched
-        req.pending = list(prompt[matched:])
+        req.pending = list(src[matched:])
         all_pages = matched_pages + own_pages
 
         row = np.zeros((self.max_pages_per_seq,), np.int32)
@@ -596,7 +599,9 @@ class Engine:
         self.seq_lens[slot] = matched
         self.slots[slot] = req
         self.slot_seeds[slot] = req.seed
-        self.slot_counters[slot] = req.counter_base
+        # counter = counter_base + #sampled-so-far: a retracted request
+        # resumes its seeded sampling stream exactly where it left off
+        self.slot_counters[slot] = req.counter_base + len(req.output_ids)
         self.slot_temps[slot] = req.sampling.temperature
         self.slot_tps[slot] = req.sampling.top_p
         s = req.sampling
@@ -958,17 +963,19 @@ class Engine:
         )
         adv = K * (spec_k + 1) if spec else K  # max positions per burst
 
-        # make sure pages cover the burst's maximum advance per slot
+        # make sure pages cover the burst's maximum advance per slot;
+        # a dry pool preempts (retracts) a victim instead of killing
+        # anything — no "oom" finish reason is reachable from decode
         for i in active:
             req = self.slots[i]
+            if req is None:  # retracted as a victim earlier in this loop
+                continue
             lp_lo = req.seq_len // ps
             lp_hi = min((req.seq_len + adv - 1) // ps, self.max_pages_per_seq - 1)
             for lp in range(lp_lo, lp_hi + 1):
                 if self.page_table[i, lp] == 0:
-                    try:
-                        (pg,) = self._alloc_pages(1)
-                    except MemoryError:
-                        self._finish(req, "oom")
+                    pg = self._alloc_or_preempt(req)
+                    if pg is None:  # req itself was the retracted victim
                         break
                     req.pages.append(pg)
                     self.page_table[i, lp] = pg
@@ -1174,6 +1181,82 @@ class Engine:
             req.on_token(tok, finished)
         if finished:
             self._finish(req, reason)
+
+    def _pick_victim(self, prefer_not: Request | None = None):
+        """Retraction victim under page pressure: the occupied slot with
+        the most remaining token budget (its re-prefill cost is smallest
+        relative to the work it still has to do); ties broken toward the
+        youngest arrival. Falls back to `prefer_not` itself when it is
+        the only occupied slot."""
+        cands = [r for r in self.slots if r is not None]
+        if not cands:
+            return None
+        others = [r for r in cands if r is not prefer_not]
+        pool = others or cands
+        return max(
+            pool,
+            key=lambda r: (
+                r.sampling.max_new_tokens - len(r.output_ids),
+                r.arrival_t,
+            ),
+        )
+
+    def _alloc_or_preempt(self, req: Request):
+        """Allocate one KV page; on a dry pool, retract victims until
+        the allocation succeeds. Returns None iff `req` itself was the
+        victim (nothing else held pages)."""
+        while True:
+            try:
+                (pg,) = self._alloc_pages(1)
+                return pg
+            except MemoryError:
+                victim = self._pick_victim(prefer_not=req)
+                if victim is None:
+                    return None
+                self._preempt(victim)
+                if victim is req:
+                    return None
+
+    def _preempt(self, req: Request):
+        """SGLang-style retraction (SURVEY.md §2.3 continuous-batching
+        row; recovery semantics of reference tests/test_stress.py:276-330):
+        instead of failing a request when the page pool runs dry, free
+        its slot and pages — full pages feed the radix tree, they are
+        valid KV for the stream so far — and requeue it. Re-admission
+        re-prefills prompt+generated (_start_request folds output_ids
+        into the prefill source; the radix cache recovers the shared
+        prefix) and the seeded sampling stream continues exactly
+        (counter = counter_base + len(output_ids)). Emitted tokens are
+        never re-emitted and streams resume token-identically
+        (tests/test_preemption.py::test_page_oom_preempts_not_kills)."""
+        self._dirty = True
+        slot = req.slot
+        if slot >= 0 and self.slots[slot] is req:
+            self.slots[slot] = None
+            self.page_table[slot] = 0
+            self.seq_lens[slot] = 0
+            self.last_tokens[slot] = 0
+        req.slot = -1
+        seq_tokens = req.prompt_ids + req.output_ids
+        full = req.seq_len // self.page_size
+        if self.radix is not None:
+            if full > 0:
+                all_pages = req.matched_pages + req.pages
+                self.radix.insert(
+                    seq_tokens[: full * self.page_size], all_pages[:full]
+                )
+            self.radix.unlock(req.matched_nodes)
+        self.allocator.release_all(req.pages)
+        req.pages = []
+        req.matched_nodes = []
+        req.matched_pages = []
+        req.matched_tokens = 0
+        req.seq_len = 0
+        req.pending = []
+        self.stats["preemptions"] = self.stats.get("preemptions", 0) + 1
+        logger.info("retracted request %d under page pressure "
+                    "(%d tokens generated so far)", req.rid, len(req.output_ids))
+        self._requeue(req)
 
     def cancel(self, req: Request, reason: str = "abort") -> bool:
         """Terminate an in-flight or queued request (stop-string hit,
