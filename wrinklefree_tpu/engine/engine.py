@@ -277,6 +277,7 @@ class Engine:
         # device-resident copies of the scheduling state (uploaded lazily;
         # page_table sliced to the active-history bucket)
         self._dstate = None
+        self._dstate_cand = None  # constrained-rows view (segregated decode)
         self._mp_bucket = 0
         self._dirty = True
 
@@ -876,16 +877,51 @@ class Engine:
             "mtau": jnp.asarray(self.slot_mtau),
             "meta": jnp.asarray(self.slot_meta),
         }
+        d_seeds = jnp.asarray(self.slot_seeds)
+        d_ctr = jnp.asarray(self.slot_counters)
+        d_ring = jnp.asarray(ring)
+        d_mu = jnp.asarray(self.slot_mu)
+        # segregated constrained decoding (VERDICT r2 item 5): while a
+        # grammar/json request is active, the burst view masks the
+        # constrained rows (they'd run ahead of host re-selection) and a
+        # second "cand" view masks everything EXCEPT them, so the
+        # unconstrained slots keep their K-step burst while constrained
+        # rows single-step through the full-logits program. Views share
+        # every device array the programs don't donate (only pools are).
+        cons_rows = [
+            i for i, r in enumerate(self.slots)
+            if r is not None and not r.pending and r.sampling.constrained
+        ]
+        if cons_rows:
+            pt_c = np.zeros_like(pt)
+            sl_c = np.zeros_like(sl)
+            last_c = np.zeros_like(last)
+            sids_c = np.full_like(sids, NS)
+            for i in cons_rows:
+                pt_c[i] = pt[i]
+                sl_c[i] = sl[i]
+                last_c[i] = last[i]
+                sids_c[i] = sids[i]
+                pt[i] = 0
+                sl[i] = 0
+                last[i] = 0
+                sids[i] = NS
+            self._dstate_cand = (
+                jnp.asarray(last_c), jnp.asarray(pt_c), jnp.asarray(sl_c),
+                d_seeds, d_ctr, jnp.asarray(sids_c), d_ring, samp, d_mu,
+            )
+        else:
+            self._dstate_cand = None
         self._dstate = (
             jnp.asarray(last),
             jnp.asarray(pt),
             jnp.asarray(sl),
-            jnp.asarray(self.slot_seeds),
-            jnp.asarray(self.slot_counters),
+            d_seeds,
+            d_ctr,
             jnp.asarray(sids),
-            jnp.asarray(ring),
+            d_ring,
             samp,
-            jnp.asarray(self.slot_mu),
+            d_mu,
         )
         if self.ecfg.speculative_k > 0:
             # device-resident token history for n-gram drafting:
@@ -1036,24 +1072,36 @@ class Engine:
                             self.last_tokens[i] = tok
             return True
 
-        if any(self.slots[i].sampling.constrained for i in active):
-            # constrained mode: single-step dispatches + host re-selection
-            # through the JSON validator. Unconstrained rows in the same
-            # batch advance one token per dispatch too (documented QoS
-            # tradeoff while a json_mode request is active).
+        cons = [i for i in active if self.slots[i].sampling.constrained]
+        if cons:
+            # segregated constrained decoding (VERDICT r2 item 5): the
+            # unconstrained slots keep their K-step burst on the burst
+            # view (constrained rows masked to trash there), while the
+            # constrained rows single-step through the full-logits cand
+            # program on the cand view (everything else masked). Both
+            # programs dispatch back-to-back — pools chain through
+            # donation — before either result is fetched, so the whole
+            # step costs ~one transport round trip; and only the
+            # constrained rows' logits are fetched (V floats per row,
+            # not the full [S, V] block).
+            uncons = [i for i in active
+                      if not self.slots[i].sampling.constrained]
+            if self._dstate_cand is None:
+                self._upload_state(mp)
             if self._decode_cand_jit is None:
                 self._decode_cand_jit = self._build_decode(return_logits=True)
-            outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = (
-                self._decode_cand_jit(
-                    self.params, self.pools, d_last, d_pt, d_sl, d_seeds,
-                    d_ctr, d_sids, d_ring, d_samp,
-                )
+            burst_fetch = self._dispatch_burst(uncons) if uncons else None
+            (c_last, c_pt, c_sl, c_seeds, c_ctr, c_sids, c_ring,
+             c_samp, c_mu) = self._dstate_cand
+            outs_d, self.pools, _, _, _, _ = self._decode_cand_jit(
+                self.params, self.pools, c_last, c_pt, c_sl, c_seeds,
+                c_ctr, c_sids, c_ring, c_samp,
             )
-            toks_d, logits_d = outs_d
-            toks = np.asarray(toks_d)  # [1, S]
-            logits = np.asarray(logits_d)  # [1, S, V]
+            _, logits_d = outs_d
+            if burst_fetch is not None:
+                burst_fetch()
             self.stats["decode_steps"] += 1
-            for i in active:
+            for i in cons:
                 req = self.slots[i]
                 if req.finished:
                     continue
@@ -1062,27 +1110,14 @@ class Engine:
                     continue
                 req.seq_len += 1
                 self.seq_lens[i] = req.seq_len
-                if req.sampling.constrained:
-                    tok, status = self._select_constrained(req, logits[0, i])
-                    if tok is None:  # dead end: no legal continuation
-                        self._finish_notify(req, "stop")
-                        continue
-                else:
-                    tok, status = int(toks[0, i]), ""
+                row = np.asarray(logits_d[0, i])  # this row only
+                tok, status = self._select_constrained(req, row)
+                if tok is None:  # dead end: no legal continuation
+                    self._finish_notify(req, "stop")
+                    continue
                 self.stats["decode_tokens"] += 1
                 self.slot_counters[i] += 1
-                lp = None
-                if req.sampling.logprobs_k > 0:
-                    # concurrent logprobs rows: entries computed host-side
-                    # from the same full logits so logprobs_seq stays
-                    # aligned with output_ids while json_mode is active
-                    row = logits[0, i].astype(np.float64)
-                    lsm = row - (
-                        row.max() + np.log(np.exp(row - row.max()).sum())
-                    )
-                    top = np.argsort(-lsm)[: self.ecfg.logprobs_top]
-                    lp = (lsm[tok], top, lsm[top])
-                self._emit_token(req, tok, lp)
+                self._emit_token(req, tok)
                 if not req.finished and status == "complete":
                     self._finish_notify(req, "stop")
                 if not req.finished:
@@ -1092,9 +1127,24 @@ class Engine:
             self._dirty = True
             return True
 
-        want_miro = any(
-            self.slots[i].sampling.mirostat for i in active
+        self._dispatch_burst(active)()
+        return True
+
+    def _dispatch_burst(self, rows):
+        """Dispatch one K-step decode burst for `rows` on the current
+        ``self._dstate`` view and return a closure that fetches the
+        sampled tokens and emits them. Dispatch and fetch are split so
+        the segregated constrained path can enqueue its single-step
+        program behind the burst before paying the transport round
+        trip (both dispatches then cost ~one trip together)."""
+        (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids, d_ring, d_samp,
+         d_mu) = self._dstate
+        K = self.ecfg.decode_burst
+        room_cap = min(
+            self.ecfg.max_context, self.max_pages_per_seq * self.page_size
         )
+        want_lp = any(self.slots[i].sampling.logprobs_k > 0 for i in rows)
+        want_miro = any(self.slots[i].sampling.mirostat for i in rows)
         if want_miro:
             if self._decode_miro_jit is None:
                 self._decode_miro_jit = self._build_decode(with_mirostat=True)
@@ -1117,35 +1167,39 @@ class Engine:
             )
         self._dstate = (d_last, d_pt, d_sl, d_seeds, d_ctr, d_sids,
                         d_ring, d_samp, d_mu)
-        if want_lp:
-            toks_d, chosen_d, tids_d, tlps_d = outs_d
-            lp_data = (np.asarray(chosen_d), np.asarray(tids_d),
-                       np.asarray(tlps_d))  # [K,S], [K,S,N], [K,S,N]
-        else:
-            toks_d, lp_data = outs_d, None
-        toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
-        self.stats["decode_steps"] += K
 
-        for i in active:
-            req = self.slots[i]
-            for k in range(K):
-                if req.finished:
-                    break
-                if req.seq_len >= room_cap:
-                    self._finish(req, "length")
-                    break
-                req.seq_len += 1
-                self.seq_lens[i] = req.seq_len
-                tok = int(toks[k, i])
-                self.stats["decode_tokens"] += 1
-                self.slot_counters[i] += 1
-                lp = None
-                if lp_data is not None and req.sampling.logprobs_k > 0:
-                    lp = (lp_data[0][k, i], lp_data[1][k, i], lp_data[2][k, i])
-                self._emit_token(req, tok, lp)
-                if not req.finished:
-                    self.last_tokens[i] = tok
-        return True
+        def fetch():
+            if want_lp:
+                toks_d, chosen_d, tids_d, tlps_d = outs_d
+                lp_data = (np.asarray(chosen_d), np.asarray(tids_d),
+                           np.asarray(tlps_d))  # [K,S], [K,S,N], [K,S,N]
+            else:
+                toks_d, lp_data = outs_d, None
+            toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
+            self.stats["decode_steps"] += K
+
+            for i in rows:
+                req = self.slots[i]
+                for k in range(K):
+                    if req.finished:
+                        break
+                    if req.seq_len >= room_cap:
+                        self._finish(req, "length")
+                        break
+                    req.seq_len += 1
+                    self.seq_lens[i] = req.seq_len
+                    tok = int(toks[k, i])
+                    self.stats["decode_tokens"] += 1
+                    self.slot_counters[i] += 1
+                    lp = None
+                    if lp_data is not None and req.sampling.logprobs_k > 0:
+                        lp = (lp_data[0][k, i], lp_data[1][k, i],
+                              lp_data[2][k, i])
+                    self._emit_token(req, tok, lp)
+                    if not req.finished:
+                        self.last_tokens[i] = tok
+
+        return fetch
 
     # ------------------------------------------------------------------
     # finishing
