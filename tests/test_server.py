@@ -1004,3 +1004,109 @@ class TestMirostatServer:
 
         a = run()
         assert len(a) > 0 and a == run()
+
+
+def _spin(server):
+    """Run an InferenceServer's app on a real socket in a daemon thread;
+    returns (url, stop)."""
+    from aiohttp import web
+
+    from wrinklefree_tpu.server.http import build_app
+
+    port = _free_port()
+    app = build_app(server)
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(app)
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    for _ in range(200):
+        try:
+            if requests.get(f"{url}/health", timeout=1).status_code == 200:
+                break
+        except requests.RequestException:
+            time.sleep(0.1)
+    else:
+        pytest.fail("server did not come up")
+    return url, lambda: loop.call_soon_threadsafe(loop.stop)
+
+
+@pytest.fixture(scope="module")
+def dp_server_url():
+    url, stop = _spin(create_server(tiny=True, use_pallas=False, dp=2))
+    yield url
+    stop()
+
+
+class TestDataParallel:
+    """--dp N serving (VERDICT r2 item 8): engine replicas behind the
+    least-loaded router; distribution observable via /slots + /stats."""
+
+    def test_dp_requests_distribute_across_replicas(self, dp_server_url):
+        url = dp_server_url
+        from concurrent.futures import ThreadPoolExecutor
+
+        def gen(i):
+            return requests.post(
+                f"{url}/v1/completions",
+                json={"model": "m", "prompt": f"hello {i}",
+                      "max_tokens": 24, "temperature": 0.0},
+                timeout=120,
+            ).status_code
+
+        with ThreadPoolExecutor(6) as ex:
+            assert all(c == 200 for c in ex.map(gen, range(6)))
+        stats = requests.get(f"{url}/stats", timeout=10).json()
+        assert stats["replicas"] == 2
+        # least-loaded + tie rotation: every replica serves some share
+        assert all(c >= 1 for c in stats["per_replica_requests"]), stats
+
+    def test_dp_slots_show_replica(self, dp_server_url):
+        slots = requests.get(f"{dp_server_url}/slots", timeout=10).json()
+        assert len({s["id"] for s in slots}) == len(slots)  # globally unique
+        assert {s["replica"] for s in slots} == {0, 1}
+
+    def test_dp_metrics_aggregate(self, dp_server_url):
+        text = requests.get(f"{dp_server_url}/metrics", timeout=10).text
+        assert "wf_replicas 2" in text
+
+
+@pytest.fixture(scope="module")
+def tp_server_url():
+    url, stop = _spin(create_server(tiny=True, use_pallas=False, tp=2))
+    yield url
+    stop()
+
+
+class TestEmbeddingsUnderTP:
+    """r2 weak item 8: /v1/embeddings used to reject tp > 1; now the
+    embed program runs single-device from the unsharded snapshot."""
+
+    def test_embeddings_tp2(self, tp_server_url):
+        r = requests.post(
+            f"{tp_server_url}/v1/embeddings",
+            json={"input": "hello world"},
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text
+        emb = r.json()["data"][0]["embedding"]
+        import numpy as np
+
+        n = float(np.linalg.norm(np.asarray(emb)))
+        assert abs(n - 1.0) < 1e-3  # L2-normalized
+
+    def test_tp2_generation_still_works(self, tp_server_url):
+        r = requests.post(
+            f"{tp_server_url}/v1/completions",
+            json={"model": "m", "prompt": "hi", "max_tokens": 4,
+                  "temperature": 0.0},
+            timeout=120,
+        )
+        assert r.status_code == 200, r.text

@@ -21,32 +21,66 @@ logger = logging.getLogger(__name__)
 
 
 class AsyncEngine:
-    def __init__(self, engine: Engine):
-        self.engine = engine
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True, name="wf-engine")
-        self._thread.start()
+    """One scheduler thread per engine replica. With a single Engine
+    this is the plain async bridge; with a list (data-parallel serving,
+    ``--dp N``) each replica runs its own step loop and requests are
+    routed least-loaded-first (parallel/router.py policy — SURVEY.md
+    §2.3 DP row, absent in the reference)."""
 
-    def _loop(self):
+    def __init__(self, engine):
+        engines = list(engine) if isinstance(engine, (list, tuple)) else [engine]
+        if not engines:
+            raise ValueError("need at least one engine")
+        self.engines = engines
+        self.engine = engines[0]  # primary: config/metadata endpoints
+        self._rr = 0
+        self._pick_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._loop, args=(e,), daemon=True,
+                             name=f"wf-engine-{i}")
+            for i, e in enumerate(engines)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _loop(self, engine: Engine):
         while not self._stop.is_set():
             try:
-                did = self.engine.step()
+                did = engine.step()
             except Exception:
                 logger.exception("engine step failed")
                 did = False
             if not did:
                 time.sleep(0.001)
 
+    def pick(self) -> Engine:
+        """Least-loaded replica (active slots + queue depth), rotating
+        among ties for fairness."""
+        if len(self.engines) == 1:
+            return self.engine
+        with self._pick_lock:
+            loads = [
+                sum(s is not None for s in e.slots) + e.waiting.qsize()
+                for e in self.engines
+            ]
+            m = min(loads)
+            ties = [i for i, l in enumerate(loads) if l == m]
+            choice = ties[self._rr % len(ties)]
+            self._rr += 1
+            return self.engines[choice]
+
     def shutdown(self):
         self._stop.set()
-        self._thread.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=5)
 
     async def generate_stream(
         self, prompt_ids: List[int], sampling: SamplingParams
     ) -> AsyncIterator[Tuple[int, bool, Request]]:
         """Yield (token_id, finished, request) as the engine produces them."""
         loop = asyncio.get_running_loop()
-        eng = self.engine
+        eng = self.pick()
         if (
             len(prompt_ids) >= eng.ecfg.max_context
             and getattr(eng, "_long_ctx_mesh", None) is not None
@@ -65,7 +99,7 @@ class AsyncEngine:
         def on_token(tok: int, fin: bool):
             loop.call_soon_threadsafe(q.put_nowait, (tok, fin))
 
-        req = self.engine.submit(prompt_ids, sampling, on_token=on_token)
+        req = eng.submit(prompt_ids, sampling, on_token=on_token)
         while True:
             tok, fin = await q.get()
             yield tok, fin, req

@@ -121,7 +121,9 @@ def _parse_stops(body: dict):
 
 
 class InferenceServer:
-    def __init__(self, engine: Engine, tokenizer, model_name: str):
+    def __init__(self, engine, tokenizer, model_name: str):
+        """``engine``: one Engine, or a list of DP replica Engines
+        (served behind AsyncEngine's least-loaded router)."""
         self.async_engine = AsyncEngine(engine)
         self.tokenizer = tokenizer
         self.model_name = model_name
@@ -255,6 +257,9 @@ class InferenceServer:
                 self.tokenizer.decode([i], skip_special_tokens=True)
                 for i in range(eng.cfg.vocab_size)
             ]
+        for e in self.async_engine.engines[1:]:  # DP replicas share the list
+            if e.token_pieces is None:
+                e.token_pieces = eng.token_pieces
 
     async def _prepare_sampling(self, sampling):
         if sampling.constrained:
@@ -364,17 +369,29 @@ class InferenceServer:
         )
 
     async def stats(self, request):
-        eng = self.async_engine.engine
-        return web.json_response(
-            {
-                **eng.stats,
-                "free_pages": eng.allocator.num_free,
-                "cached_pages": eng.radix.num_cached_pages if eng.radix else 0,
-                "active_slots": sum(s is not None for s in eng.slots),
-                "queued": eng.waiting.qsize(),
-                "latency": eng.latency_summary(),
-            }
-        )
+        engines = self.async_engine.engines
+        agg: dict = {}
+        for e in engines:
+            for k, v in e.stats.items():
+                agg[k] = agg.get(k, 0) + v
+        out = {
+            **agg,
+            "free_pages": sum(e.allocator.num_free for e in engines),
+            "cached_pages": sum(
+                e.radix.num_cached_pages if e.radix else 0 for e in engines
+            ),
+            "active_slots": sum(
+                sum(s is not None for s in e.slots) for e in engines
+            ),
+            "queued": sum(e.waiting.qsize() for e in engines),
+            "latency": self.async_engine.engine.latency_summary(),
+        }
+        if len(engines) > 1:
+            out["replicas"] = len(engines)
+            out["per_replica_requests"] = [
+                e.stats.get("requests", 0) for e in engines
+            ]
+        return web.json_response(out)
 
     async def props(self, request):
         """llama.cpp `/props`: server properties + generation defaults
@@ -401,29 +418,45 @@ class InferenceServer:
         )
 
     async def slots(self, request):
-        """llama.cpp `/slots`: per-slot occupancy and progress."""
-        eng = self.async_engine.engine
+        """llama.cpp `/slots`: per-slot occupancy and progress. With
+        DP replicas (--dp N) every replica's slots are listed with a
+        `replica` field, ids globally numbered — the least-loaded
+        request distribution is directly observable here."""
+        engines = self.async_engine.engines
+        dp = len(engines) > 1
         out = []
-        for i, r in enumerate(eng.slots):
-            if r is None:
-                out.append({"id": i, "state": "idle"})
-            else:
-                out.append({
-                    "id": i,
-                    "state": "prefill" if r.pending else "decoding",
-                    "request_id": r.rid,
-                    "prompt_tokens": len(r.prompt_ids),
-                    "generated_tokens": len(r.output_ids),
-                    "seq_len": int(r.seq_len),
-                })
+        base = 0
+        for rep, eng in enumerate(engines):
+            for i, r in enumerate(eng.slots):
+                entry = {"id": base + i}
+                if dp:
+                    entry["replica"] = rep
+                if r is None:
+                    entry["state"] = "idle"
+                else:
+                    entry.update({
+                        "state": "prefill" if r.pending else "decoding",
+                        "request_id": r.rid,
+                        "prompt_tokens": len(r.prompt_ids),
+                        "generated_tokens": len(r.output_ids),
+                        "seq_len": int(r.seq_len),
+                    })
+                out.append(entry)
+            base += len(eng.slots)
         return web.json_response(out)
 
     async def metrics(self, request):
         """Prometheus text exposition (llama-server `/metrics` analog;
         reference ops parity — SURVEY.md §5.5 metrics schema)."""
         eng = self.async_engine.engine
-        s = eng.stats
-        busy = sum(x is not None for x in eng.slots)
+        engines = self.async_engine.engines
+        s: dict = {}
+        for e in engines:
+            for k, v in e.stats.items():
+                s[k] = s.get(k, 0) + v
+        busy = sum(
+            sum(x is not None for x in e.slots) for e in engines
+        )
         lines = [
             "# TYPE wf_requests_total counter",
             f"wf_requests_total {s.get('requests', 0)}",
@@ -438,14 +471,16 @@ class InferenceServer:
             "# TYPE wf_slots_busy gauge",
             f"wf_slots_busy {busy}",
             "# TYPE wf_slots_total gauge",
-            f"wf_slots_total {len(eng.slots)}",
+            f"wf_slots_total {sum(len(e.slots) for e in engines)}",
+            "# TYPE wf_replicas gauge",
+            f"wf_replicas {len(engines)}",
             "# TYPE wf_queue_waiting gauge",
-            f"wf_queue_waiting {eng.waiting.qsize()}",
+            f"wf_queue_waiting {sum(e.waiting.qsize() for e in engines)}",
             "# TYPE wf_kv_pages_free gauge",
-            f"wf_kv_pages_free {eng.allocator.num_free}",
+            f"wf_kv_pages_free {sum(e.allocator.num_free for e in engines)}",
             "# TYPE wf_kv_pages_cached gauge",
             f"wf_kv_pages_cached "
-            f"{eng.radix.num_cached_pages if eng.radix else 0}",
+            f"{sum(e.radix.num_cached_pages if e.radix else 0 for e in engines)}",
             "# TYPE wf_uptime_seconds gauge",
             f"wf_uptime_seconds {round(time.time() - self.start_time, 1)}",
         ]
@@ -482,7 +517,19 @@ class InferenceServer:
 
             eng = self.async_engine.engine
             cfg = eng.cfg
-            lf = eng._linear_fn
+            if eng.mesh is not None:
+                # TP engines hold sharded/TP-repacked params the plain
+                # dense forward can't consume; embed single-device from
+                # the engine's unfused snapshot instead (r2 weak item 8:
+                # the endpoint used to reject tp > 1 outright)
+                if jax.devices()[0].platform == "tpu":
+                    from ..ops.ternary_pallas import make_pallas_linear_stacked
+
+                    lf = make_pallas_linear_stacked()
+                else:
+                    lf = None
+            else:
+                lf = eng._linear_fn
 
             @jax.jit
             def run(params, toks, length):  # toks [1, bucket], length []
@@ -510,8 +557,9 @@ class InferenceServer:
         import jax.numpy as jnp
 
         eng = self.async_engine.engine
-        if eng.mesh is not None:
-            raise ValueError("embeddings not supported with tp > 1")
+        # TP engines embed from the unsharded snapshot (single device);
+        # non-TP engines use the live (possibly fused) params directly
+        params = eng._long_ctx_params if eng.mesh is not None else eng.params
         ids = ids[: eng.ecfg.max_context]
         bucket = 16
         while bucket < len(ids):
@@ -519,7 +567,7 @@ class InferenceServer:
         toks = np.zeros((1, bucket), np.int32)
         toks[0, : len(ids)] = ids
         fn = self._embed_program(bucket)
-        out = fn(eng.params, jnp.asarray(toks), jnp.asarray(len(ids)))
+        out = fn(params, jnp.asarray(toks), jnp.asarray(len(ids)))
         return np.asarray(out).tolist()
 
     async def embeddings(self, request):
@@ -587,7 +635,11 @@ class InferenceServer:
         + sampling state only — KV is a recomputable cache (SURVEY.md
         §5.3; reference has no elastic recovery). POST the result to
         /admin/restore on this or another server to resume."""
-        return web.json_response(self.async_engine.engine.snapshot())
+        engines = self.async_engine.engines
+        snap = engines[0].snapshot()
+        for e in engines[1:]:  # DP replicas: merge request lists
+            snap["requests"].extend(e.snapshot()["requests"])
+        return web.json_response(snap)
 
     async def admin_restore(self, request):
         body = await request.json()
@@ -595,8 +647,19 @@ class InferenceServer:
                for d in body.get("requests", [])):
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(None, self._ensure_token_pieces)
+        engines = self.async_engine.engines
         try:
-            reqs = self.async_engine.engine.restore(body)
+            if len(engines) == 1:
+                reqs = engines[0].restore(body)
+            else:  # spread restored requests round-robin over replicas
+                entries = body.get("requests", [])
+                reqs = []
+                for rep, e in enumerate(engines):
+                    part = entries[rep::len(engines)]
+                    if part:
+                        reqs.extend(e.restore(
+                            {"version": body.get("version"), "requests": part}
+                        ))
         except (ValueError, KeyError) as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
         return web.json_response({"restored": len(reqs)})
@@ -1033,16 +1096,25 @@ def create_server(
     engine_config: Optional[EngineConfig] = None,
     use_pallas: Optional[bool] = None,
     tp: int = 1,
+    dp: int = 1,
     tokenizer_path: Optional[str] = None,
     long_context: bool = False,
 ) -> InferenceServer:
     """tp > 1 runs the engine tensor-parallel over the first tp devices
-    (parallel/sharding.py layout). `model_path` may be an HF/wf-packed
-    directory or an i2_s .gguf file (pass `tokenizer_path` for GGUF —
-    the wf GGUF carries no tokenizer)."""
+    (parallel/sharding.py layout). dp > 1 spawns dp engine replicas
+    (each optionally TP over its own device slice; replica r uses
+    devices [r*tp, (r+1)*tp)) behind a least-loaded router — DP is
+    absent in the reference (SURVEY.md §2.3), designed fresh. With
+    fewer devices than replicas the replicas share devices (testing
+    configuration; weights are shared, KV pools are per-replica).
+    `model_path` may be an HF/wf-packed directory or an i2_s .gguf file
+    (pass `tokenizer_path` for GGUF — the wf GGUF carries no
+    tokenizer)."""
     from ..models.bitnet import init_params
     from ..models.loader import load_params, load_tokenizer
 
+    if dp < 1:
+        raise ValueError(f"dp must be >= 1, got {dp}")
     mesh = None
     if tp > 1:
         from ..parallel.sharding import make_mesh
@@ -1089,9 +1161,34 @@ def create_server(
         import numpy as _np
 
         lc_mesh = jax.sharding.Mesh(_np.asarray(jax.devices()), ("seq",))
-    engine = Engine(params, cfg, ecfg, eos_token_id=eos, mesh=mesh,
-                    long_context_mesh=lc_mesh)
-    return InferenceServer(engine, tokenizer, name)
+    if dp == 1:
+        engine = Engine(params, cfg, ecfg, eos_token_id=eos, mesh=mesh,
+                        long_context_mesh=lc_mesh)
+        return InferenceServer(engine, tokenizer, name)
+
+    import jax
+
+    devs = jax.devices()
+    engines = []
+    for r in range(dp):
+        mesh_r = None
+        params_r = params
+        if tp > 1:
+            from ..parallel.sharding import make_mesh
+
+            lo = r * tp
+            if lo + tp <= len(devs):
+                mesh_r = make_mesh(1, tp, devices=devs[lo:lo + tp])
+            else:  # not enough devices: replicas share the first slice
+                mesh_r = make_mesh(1, tp)
+        elif r < len(devs) and len(devs) >= dp:
+            # one replica per device: explicit weight copy (DP semantics)
+            params_r = jax.device_put(params, devs[r])
+        engines.append(Engine(
+            params_r, cfg, ecfg, eos_token_id=eos, mesh=mesh_r,
+            long_context_mesh=lc_mesh if r == 0 else None,
+        ))
+    return InferenceServer(engines, tokenizer, name)
 
 
 def main(argv=None):
@@ -1113,6 +1210,10 @@ def main(argv=None):
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over local devices")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel engine replicas behind a "
+                        "least-loaded router (each replica optionally "
+                        "TP over its own device slice)")
     p.add_argument("--long-context", action="store_true",
                    help="serve prompts beyond max-context via the "
                         "sequence-parallel ring-attention path (greedy)")
@@ -1150,10 +1251,12 @@ def main(argv=None):
     server = create_server(
         args.model, tiny=args.tiny, engine_config=ecfg,
         use_pallas=False if args.no_pallas else None, tp=args.tp,
-        tokenizer_path=args.tokenizer, long_context=args.long_context,
+        dp=args.dp, tokenizer_path=args.tokenizer,
+        long_context=args.long_context,
     )
     if args.warmup:
-        server.async_engine.engine.warmup()
+        for e in server.async_engine.engines:
+            e.warmup()
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
 
