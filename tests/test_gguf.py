@@ -111,6 +111,28 @@ class TestHFConversion:
         tern = unpack_i2s_np(qw)  # [N, K] = [out, in] (llama.cpp row-major)
         np.testing.assert_array_equal(tern.astype(np.float32), src_w)
 
+    @pytest.mark.parametrize("qt,want_id", [("tl1", 31), ("tl2", 32)])
+    def test_tl_export_loads_identically_to_i2s(self, tmp_path, qt, want_id):
+        """tl1/tl2 converter round-trip (VERDICT r2 item 9): the TL
+        family carries the same 2-bit payload under its own type id and
+        must load to exactly the params the i2_s artifact loads to."""
+        from wrinklefree_tpu.convert.gguf import load_params_gguf
+
+        src = _make_model_dir(tmp_path, dtype="ternary_float")
+        out_i = convert_hf_to_gguf(src, tmp_path / "i.gguf", quant_type="i2_s")
+        out_t = convert_hf_to_gguf(src, tmp_path / "t.gguf", quant_type=qt)
+        meta, tensors = read_gguf(out_t)
+        _, gt = tensors["blk.0.attn_q.weight"]
+        assert gt == want_id and meta["bitnet.quant_type"] == qt
+        pi, ci = load_params_gguf(out_i)
+        pt, ct = load_params_gguf(out_t)
+        assert ci == ct
+        for k in pi["layers"]:
+            np.testing.assert_array_equal(
+                np.asarray(pi["layers"][k]), np.asarray(pt["layers"][k]),
+                err_msg=k,
+            )
+
     def test_f16_export(self, tmp_path):
         src = _make_model_dir(tmp_path, dtype="ternary_float")
         out = convert_hf_to_gguf(src, tmp_path / "m16.gguf", quant_type="f16")
@@ -147,22 +169,33 @@ class TestI2SByteConformance:
         np.testing.assert_array_equal(pack_i2s_np(w), self._spec_pack(w))
         np.testing.assert_array_equal(unpack_i2s_np(self._spec_pack(w)), w)
 
-    def test_bitnetcpp_style_artifact_loads(self, tmp_path):
-        """Construct a GGUF whose i2_s payloads come from the SPEC packer
-        (standing in for a BitNet.cpp-produced artifact) and prove
-        load_params_gguf dequantizes to the exact source ternary."""
+    @pytest.mark.parametrize("quant_type,gtype,marker", [
+        ("i2_s", None, True),     # our export convention (id 36 + marker)
+        ("i2_s", 30, False),      # reference-enum I2_S id, external style
+        ("tl1", 31, False),       # tuned-LUT v1 (VERDICT r2 item 9)
+        ("tl2", 32, False),       # tuned-LUT v2
+    ])
+    def test_bitnetcpp_style_artifact_loads(self, tmp_path, quant_type,
+                                            gtype, marker):
+        """Construct a GGUF whose ternary payloads come from the SPEC
+        packer (standing in for a BitNet.cpp-produced artifact) and
+        prove load_params_gguf dequantizes to the exact source ternary —
+        for i2_s under both type-id conventions AND for TL1/TL2, which
+        the reference dequantizes through the identical byte spec
+        (reference bitnet_quantization.py:36-40,170-252)."""
         import jax.numpy as jnp
 
         from wrinklefree_tpu.convert.gguf import load_params_gguf
         from wrinklefree_tpu.ops.ternary import unpack_ternary_np
 
+        if gtype is None:
+            gtype = GGML_I2_S
         rng = np.random.default_rng(8)
         H, I, NH, NKV, D, V, L = 64, 128, 4, 2, 16, 96, 2
         meta = {
             "general.architecture": "bitnet",
             "general.name": "spec-fixture",
-            "bitnet.quant_type": "i2_s",
-            "bitnet.i2s_layout": "ggml",
+            "bitnet.quant_type": quant_type,
             "llama.context_length": 64,
             "llama.embedding_length": H,
             "llama.block_count": L,
@@ -174,6 +207,8 @@ class TestI2SByteConformance:
             "llama.attention.layer_norm_rms_epsilon": 1e-5,
             "llama.vocab_size": V,
         }
+        if marker:
+            meta["bitnet.i2s_layout"] = "ggml"
         dims = {  # [out, in] llama.cpp row-major
             "attn_q.weight": (NH * D, H), "attn_k.weight": (NKV * D, H),
             "attn_v.weight": (NKV * D, H), "attn_output.weight": (H, NH * D),
@@ -195,7 +230,7 @@ class TestI2SByteConformance:
             for g, (n, k) in dims.items():
                 w = rng.integers(-1, 2, size=(n, k)).astype(np.int8)
                 truth[(li, g)] = w
-                tensors[f"blk.{li}.{g}"] = (self._spec_pack(w), GGML_I2_S)
+                tensors[f"blk.{li}.{g}"] = (self._spec_pack(w), gtype)
                 tensors[f"blk.{li}.{g}.scale"] = (
                     np.asarray([2.5], np.float32), GGML_F32)
             for nm in ("attn_norm", "ffn_norm", "attn_sub_norm",

@@ -160,7 +160,8 @@ def main(argv=None):
     s = sub.add_parser("convert-gguf", help="export HF/packed model to GGUF")
     s.add_argument("model")
     s.add_argument("output")
-    s.add_argument("--quant-type", default="i2_s", choices=["i2_s", "f16", "f32"])
+    s.add_argument("--quant-type", default="i2_s",
+                   choices=["i2_s", "tl1", "tl2", "f16", "f32"])
     s.set_defaults(fn=cmd_convert_gguf)
 
     s = sub.add_parser("convert", help="convert HF model to packed cache")

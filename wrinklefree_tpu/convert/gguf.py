@@ -15,6 +15,14 @@ GGUF v3 writer/reader with llama.cpp tensor naming (token_embd, blk.N.attn_q,
   bytes to the wf-tpu plane-major kernel layout; export produces bytes a
   BitNet.cpp i2_s consumer reads directly. Files from the pre-conformance
   wf layout (no `bitnet.i2s_layout` key) still load via the legacy path.
+- `tl1` / `tl2`: the BitNet fork's tuned-LUT quant family (reference
+  enum bitnet_quantization.py:36-40, type ids 31/32). The reference
+  dequantizes all three types through the SAME 2-bit byte spec
+  (bitnet_quantization.py:170-252), and import here matches that:
+  tl1/tl2 tensors dequant via the shared spec and repack to the wf
+  plane-major layout. The reference-enum i2_s id (30) is accepted too.
+  TL1/TL2 *kernels* (codegen-retiled CPU LUT paths) are deliberately
+  not reproduced — irrelevant on TPU (VERDICT r2 item 9).
 
 Validation mirrors the reference's checks (reference
 tests/test_conversion.py:64-108: existence, minimum size, magic bytes).
@@ -40,6 +48,20 @@ GGML_F32 = 0
 GGML_F16 = 1
 GGML_I8 = 24
 GGML_I2_S = 36  # BitNet fork's 2-bit ternary id
+# BitNet quant-type family per the reference's enum (reference
+# sglang_backend/bitnet_quantization.py:36-40: I2_S=30, TL1=31, TL2=32).
+# TL1/TL2 are the fork's "tuned lookup table" CPU-kernel formats; the
+# reference's own dequant path applies the IDENTICAL 2-bit byte spec to
+# all three types (bitnet_quantization.py:170-252 — _dequant_numba and
+# the byte->4-ternary LUT never branch on quant type), so import here
+# does the same: dequant the 2-bit payload, repack to the wf plane-major
+# kernel layout. Genuine codegen-tiled TL1/TL2 artifacts from BitNet.cpp
+# kernels remain unverifiable without egress (FIDELITY.md item 5).
+GGML_I2_S_REF = 30
+GGML_TL1 = 31
+GGML_TL2 = 32
+_TERNARY_GGML_TYPES = {GGML_I2_S, GGML_I2_S_REF, GGML_TL1, GGML_TL2}
+_QUANT_TYPE_IDS = {"i2_s": GGML_I2_S, "tl1": GGML_TL1, "tl2": GGML_TL2}
 
 # GGUF metadata value types
 _U8, _I8T, _U16, _I16, _U32, _I32T, _F32T, _BOOL, _STR, _ARR, _U64, _I64, _F64 = range(13)
@@ -200,7 +222,9 @@ def read_gguf(path: Path | str):
         data_start = pos + ((-pos) % align)
 
         dtypes = {GGML_F32: np.float32, GGML_F16: np.float16,
-                  GGML_I8: np.int8, GGML_I2_S: np.uint8}
+                  GGML_I8: np.int8, GGML_I2_S: np.uint8,
+                  GGML_I2_S_REF: np.uint8, GGML_TL1: np.uint8,
+                  GGML_TL2: np.uint8}
         tensors = {}
         for name, shape, gtype, off in infos:
             dt = dtypes.get(gtype)
@@ -280,12 +304,18 @@ def convert_hf_to_gguf(
         if is_proj:
             base = name[: -len(".weight")]
             qw, scale = _proj_to_wf(raw, base)  # [K/4, N] packed, f32 scale
-            if quant_type == "i2_s":
+            if quant_type in _QUANT_TYPE_IDS:
                 from ..ops.ternary import pack_i2s_np
 
-                # wf plane-major -> BitNet.cpp i2_s wire bytes [N, K/4]
-                w_kn = unpack_ternary_np(qw)
-                out[gname] = (pack_i2s_np(w_kn.T), GGML_I2_S)
+                # wf plane-major -> BitNet wire bytes [N, K/4]. tl1/tl2
+                # write the same 2-bit payload under their type ids —
+                # the byte-spec parity the reference's converter has
+                # (its gguf_converter.py:159-170 emits identical ternary
+                # data for all three quant types); BitNet.cpp's tuned
+                # LUT kernels additionally retile per codegen, which is
+                # out of scope without the submodule
+                out[gname] = (pack_i2s_np(unpack_ternary_np(qw).T),
+                              _QUANT_TYPE_IDS[quant_type])
                 out[gname + ".scale"] = (np.asarray([scale], np.float32), GGML_F32)
             else:
                 tern = unpack_ternary_np(qw).astype(np.float32) / max(scale, 1e-9)
@@ -328,10 +358,13 @@ def load_params_gguf(path: Path | str, dtype=None):
     if dtype is None:
         dtype = jnp.bfloat16
     meta, tensors = read_gguf(path)
-    if meta.get("bitnet.quant_type", "i2_s") != "i2_s":
+    qt = meta.get("bitnet.quant_type", "i2_s")
+    if qt not in ("i2_s", "tl1", "tl2"):
         raise ValueError(
-            "only i2_s GGUF is loadable; f16/f32 exports need the "
-            "HF-dir path (convert + load_params)"
+            f"quant_type {qt!r} GGUF is not loadable; f16/f32 exports "
+            "need the HF-dir path (convert + load_params). Supported: "
+            "i2_s, tl1, tl2 (TL1/TL2 dequant via the shared 2-bit spec, "
+            "reference bitnet_quantization.py:170-252)"
         )
     n_heads = int(meta["llama.attention.head_count"])
     hidden = int(meta["llama.embedding_length"])
@@ -371,14 +404,20 @@ def load_params_gguf(path: Path | str, dtype=None):
                 rows.append(np.ones((norm_dims[short],), np.float32))
         layers[short] = np.stack(rows)
     ggml_bytes = meta.get("bitnet.i2s_layout") == "ggml"
-    if ggml_bytes:
-        from ..ops.ternary import pack_ternary_np, unpack_i2s_np
+    from ..ops.ternary import pack_ternary_np, unpack_i2s_np
 
     for short, g in _GGUF_PROJS.items():
         qws, scs = [], []
         for i in range(cfg.num_layers):
-            qb = arr(f"blk.{i}.{g}")
-            if ggml_bytes:
+            qb, gtype = tensors[f"blk.{i}.{g}"]
+            qb = np.asarray(qb)
+            # TL1/TL2 (and the reference enum's I2_S id 30) are always
+            # BitNet wire bytes; our own i2_s exports carry the
+            # `bitnet.i2s_layout` marker (absence = legacy wf-tpu
+            # plane-major payload, no conversion needed)
+            if gtype in (GGML_I2_S_REF, GGML_TL1, GGML_TL2) or (
+                gtype == GGML_I2_S and ggml_bytes
+            ):
                 # BitNet.cpp wire bytes [N, K/4] -> wf plane-major [K/4, N]
                 qb = pack_ternary_np(unpack_i2s_np(qb).T)
             qws.append(qb)
