@@ -1466,6 +1466,175 @@ def _pick_tile_n(n: int, want: int = 1792) -> int:
     return n
 
 
+def _mlp_megakernel_manual(
+    l_ref, h_ref, gw_hbm, dw_hbm, nw1_ref, nw2_ref, sw1_ref, sw2_ref,
+    o_ref, ring_gw, ring_dw, gu_ref, xq_ref, sx_ref, xq2_ref, sx2_ref,
+    sem_gw, sem_dw,
+    *, dot_dtype, eps, act, norm2, ngu, nd, tn_gu, tn_d, inter,
+    depth, dring, dw_starts,
+):
+    """Manual-DMA software-pipelined MLP megakernel (batch-1 decode).
+
+    One grid step managing its own weight-tile DMA rings instead of the
+    auto-pipeliner (which is capped at double buffering and serializes
+    the step-0 input fetch ahead of the first body). Measured on the 2B
+    geometry (scripts/kernel_lab14.py, long 256/4096-step chain windows):
+    19.2-21.7 us/layer at ring depth 5 vs 24.7-25.6 for the auto kernel
+    — >=85% of the measured-achievable stream (ROOFLINE.md 18.16
+    us/layer floor), past the >=80% target.
+
+      - `depth`-deep gateup ring; the refill DMA targets the slot
+        consumed in the PREVIOUS iteration (prefetch distance depth-1 <
+        depth), so an in-flight copy never lands on the tile being read
+      - down-tile DMAs staged at late gateup steps (`dw_starts`), ring
+        `dring`; refills (nd > dring) issue inside the down loop at
+        distance dring-1
+      - prologue A (norm+quant) overlaps the warm-up stream, prologue B
+        (act+sub-norm+quant) overlaps the down-tile stream
+
+    Bit-exact with the auto `_mlp_megakernel`: identical tile sizes and
+    per-tile math, only the data movement differs."""
+    l = l_ref[0]
+
+    def gw_dma(t):
+        return pltpu.make_async_copy(
+            gw_hbm.at[l, :, pl.ds(t * tn_gu, tn_gu)],
+            ring_gw.at[t % depth], sem_gw.at[t % depth])
+
+    def dw_dma(t):
+        return pltpu.make_async_copy(
+            dw_hbm.at[l, :, pl.ds(t * tn_d, tn_d)],
+            ring_dw.at[t % dring], sem_dw.at[t % dring])
+
+    # warm-up: fill depth-1 ring slots (the last slot stays free so
+    # refills never target the tile being consumed)
+    for t in range(min(depth - 1, ngu)):
+        gw_dma(t).start()
+    for t, s in enumerate(dw_starts):
+        if s < 0:
+            dw_dma(t).start(priority=1)
+
+    # prologue A overlaps the warm-up stream
+    x = h_ref[:]
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) \
+        * nw1_ref[0, 0:1, :].astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+    sx = 127.0 / absmax
+    sx_ref[:] = sx
+    xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    # gateup tiles (static unroll: ngu is compile-time)
+    for g in range(ngu):
+        gw_dma(g).wait()
+        # refill distance depth-1: targets slot (g-1)%depth, consumed
+        # at iteration g-1 (never the live tile — ADVICE.md r2 race)
+        if g + depth - 1 < ngu:
+            gw_dma(g + depth - 1).start()
+        for t, s in enumerate(dw_starts):
+            if s == g:
+                dw_dma(t).start()
+        acc = _planes_dot(xq_ref[:], ring_gw[g % depth], dot_dtype)
+        inv = 1.0 / (sx_ref[:] * sw1_ref[0, 0:1, g * tn_gu:(g + 1) * tn_gu])
+        gu_ref[:, g * tn_gu:(g + 1) * tn_gu] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(gu_ref.dtype)
+
+    # prologue B overlaps the down-tile stream
+    gu = gu_ref[:]
+    gate, up = gu[:, :inter], gu[:, inter:]
+    if act == "silu":
+        xact = _silu_mul(gate, up)
+    else:
+        xact = jnp.square(jnp.maximum(gate, jnp.zeros_like(gate))) * up
+    if norm2:
+        xf = xact.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xact = (xf * jax.lax.rsqrt(var + eps)).astype(xact.dtype) \
+            * nw2_ref[0, 0:1, :].astype(xact.dtype)
+    xf = xact.astype(jnp.float32)
+    absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+    sx2 = 127.0 / absmax
+    sx2_ref[:] = sx2
+    xq2_ref[:] = jnp.clip(jnp.round(xf * sx2), -128, 127).astype(jnp.int8)
+
+    # down tiles + residual
+    for g in range(nd):
+        dw_dma(g).wait()
+        t = g + dring - 1
+        if t >= dring and t < nd:  # staged tiles covered slots 0..dring-1
+            dw_dma(t).start()
+        acc = _planes_dot(xq2_ref[:], ring_dw[g % dring], dot_dtype)
+        inv = 1.0 / (sx2_ref[:] * sw2_ref[0, 0:1, g * tn_d:(g + 1) * tn_d])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:, g * tn_d:(g + 1) * tn_d] = h_ref[:, g * tn_d:(g + 1) * tn_d] + d
+
+
+def _mlp_manual_call(
+    lidx, h2, gateup_qw, down_qw, post_ln_rows, ffn_sub_rows,
+    gateup_scale_rows, down_scale_rows,
+    *, dot_dtype, eps, act, norm2, out_dtype, tn_gu, tn_d, depth, dring,
+    dw_starts,
+):
+    """pallas_call wrapper for `_mlp_megakernel_manual` (tb == 8)."""
+    L, k4, n_gu = gateup_qw.shape
+    _, i4, n_h = down_qw.shape
+    H = 4 * k4
+    inter = 4 * i4
+    tb = h2.shape[0]
+    ngu, nd = n_gu // tn_gu, n_h // tn_d
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((tb, H), lambda i, l: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, H), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, 8, inter), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, 8, n_gu), lambda i, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, 8, n_h), lambda i, l: (l[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, n_h), lambda i, l: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((depth, k4, tn_gu), jnp.uint8),
+            pltpu.VMEM((dring, i4, tn_d), jnp.uint8),
+            pltpu.VMEM((tb, n_gu), jnp.bfloat16),
+            pltpu.VMEM((tb, H), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, inter), jnp.int8),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((dring,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _mlp_megakernel_manual,
+            dot_dtype=dot_dtype, eps=eps, act=act, norm2=norm2,
+            ngu=ngu, nd=nd, tn_gu=tn_gu, tn_d=tn_d, inter=inter,
+            depth=depth, dring=dring, dw_starts=dw_starts,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tb, n_h), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=15 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tb * H * n_gu + 2 * tb * inter * n_h,
+            # packed weights dominate; scale rows and activation
+            # round-trips are the remainder
+            bytes_accessed=(k4 * n_gu + i4 * n_h)
+            + 4 * 8 * (n_gu + n_h + H + inter)
+            + tb * (H * 2 + n_gu * 2 + inter + H),
+            transcendentals=0,
+        ),
+    )(lidx, h2, gateup_qw, down_qw, post_ln_rows, ffn_sub_rows,
+      gateup_scale_rows, down_scale_rows)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "dot_dtype", "interpret", "eps", "act", "norm2"),
@@ -1523,6 +1692,50 @@ def mlp_block_megakernel(
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     if ffn_sub_rows is None:
         ffn_sub_rows = jnp.ones((L, 8, inter), jnp.float32)
+
+    # batch-1 decode: manual-DMA software pipeline (ring depth sized to
+    # a VMEM budget; the auto pipeliner's double buffer starves the DMA
+    # queue — see _mlp_megakernel_manual). Falls through to the auto
+    # kernel off-TPU, in interpret mode, at serving batch, or when the
+    # geometry leaves no room for a >=3-deep ring.
+    if (
+        os.environ.get("WF_MLP_MANUAL", "1") == "1"
+        and not interpret
+        and b_pad == tb == 8
+        and ngu >= 2
+        and jax.devices()[0].platform == "tpu"
+    ):
+        ring_budget = int(os.environ.get(
+            "WF_MLP_RING_VMEM", str(10 * 1024 * 1024)))
+        tn_d_m = tn_d
+        for _ in range(2):
+            nd_m = n_h // tn_d_m
+            dring = min(3, nd_m) if nd_m > 2 else min(2, nd_m)
+            depth = (ring_budget - dring * i4 * tn_d_m) // (k4 * tn_gu)
+            depth = max(2, min(int(depth), int(os.environ.get(
+                "WF_MLP_DEPTH", "5")), ngu))
+            if depth >= 3:
+                break
+            smaller = _pick_tile_n_below(n_h, tn_d_m)
+            if smaller >= tn_d_m:
+                break
+            tn_d_m = smaller
+        if depth >= 3:
+            n_staged = min(dring, nd_m)
+            dw_starts = tuple(
+                max(0, ngu - 2 * (n_staged - j)) for j in range(n_staged)
+            )
+            out = _mlp_manual_call(
+                lidx, h2, gateup_qw, down_qw,
+                post_ln_rows.astype(jnp.float32),
+                ffn_sub_rows.astype(jnp.float32),
+                gateup_scale_rows.astype(jnp.float32),
+                down_scale_rows.astype(jnp.float32),
+                dot_dtype=dot_dtype, eps=eps, act=act, norm2=norm2,
+                out_dtype=out_dtype, tn_gu=tn_gu, tn_d=tn_d_m,
+                depth=depth, dring=dring, dw_starts=dw_starts,
+            )
+            return out[:b].reshape(*lead, n_h)
 
     def _clip_d(g):
         return jnp.clip(g - ngu, 0, nd - 1)
