@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--exact-head", type=int, default=0, metavar="K",
                     help="exact-greedy head: int8 scan + bf16 top-K rescore "
                          "+ certificate (argmax-exact; 0 = off)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window serving attention width "
+                         "(page-skipping gather; kv/paged.py)")
+    ap.add_argument("--global-tokens", type=int, default=0)
     ap.add_argument("--repetitive", type=int, default=0, metavar="P",
                     help="build prompts by looping a P-token pattern so "
                          "n-gram speculative drafts actually accept "
@@ -90,6 +94,8 @@ def main():
     else:
         cfg = BitNetConfig.bitnet_2b()
     max_ctx = min(cfg.max_position, args.prompt_len + args.new_tokens + 64)
+    if args.window and args.kv_layout == "auto":
+        args.kv_layout = "layer"  # the page-skipping gather needs dual
     ecfg = EngineConfig(
         max_batch_slots=args.slots,
         page_size=16,
@@ -108,6 +114,8 @@ def main():
         exact_head_k=args.exact_head,
         prefill_round_mode=args.prefill_mode,
         max_prefill_slots=args.max_prefill_slots,
+        attn_window=args.window,
+        attn_global_tokens=args.global_tokens,
     )
     print(f"init {('tiny' if args.tiny else args.model)} model + engine "
           f"(slots={args.slots}, pages={args.num_pages})...", file=sys.stderr)

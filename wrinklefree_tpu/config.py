@@ -198,6 +198,16 @@ class EngineConfig:
     # halves the dominant logits-matmul HBM stream at small batch;
     # approximate (per-row absmax) — off by default for exactness.
     int8_logits: bool = False
+    # Sliding-window attention on the paged serving path: pages wholly
+    # outside [pos-window, pos] (plus the attn_global_tokens prefix) are
+    # never gathered, so per-step attention READ bytes scale with
+    # window/context instead of context (kv/paged.py
+    # make_dual_window_attention — the reference only post-masks
+    # already-computed scores, reference sparse_attention.py:83-119).
+    # Approximate for contexts beyond the window; 0 = full attention.
+    # Requires the dual KV layout (kv_layout "layer"/"auto" on TPU).
+    attn_window: int = 0
+    attn_global_tokens: int = 0
 
 
 # ---------------------------------------------------------------------------

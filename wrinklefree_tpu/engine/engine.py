@@ -223,6 +223,21 @@ class Engine:
                     self.pools.staging_scale, mesh, ps_spec.staging_scale
                 ),
             )
+        if self._attention_fn is None and e.attn_window > 0:
+            # sliding-window serving attention: page-skipping gather on
+            # the dual layout (kv/paged.make_dual_window_attention) —
+            # attention READ bytes scale with window, not context
+            if not self.pools.dual:
+                raise ValueError(
+                    "attn_window requires the dual KV layout "
+                    "(kv_layout 'layer', or 'auto' on TPU with "
+                    "unquantized KV)"
+                )
+            from ..kv.paged import make_dual_window_attention
+
+            self._attention_fn = make_dual_window_attention(
+                e.attn_window, e.attn_global_tokens
+            )
         # Host bookkeeping hot path: native C++ runtime when it builds,
         # pure-Python oracle otherwise (same fallback pattern as the
         # reference's native kernels, kernels/bitnet_patch.py:22-25).

@@ -265,6 +265,157 @@ def _paged_attention_dual(
     return _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens)
 
 
+def _gqa_core_windowed(
+    q, k_cur, v_cur, k_hist, v_hist, hist_pos, hist_valid,
+    seq_lens, new_lens, window: int, global_tokens: int,
+):
+    """Masked-softmax GQA over [gathered history ++ current chunk] with
+    sliding-window + global-prefix key selection.
+
+    hist_pos [B, Th] carries each gathered history token's GLOBAL
+    sequence position; hist_valid [B, Th] its storage validity. A key at
+    position kp is visible to the query at position qp iff
+    ``qp-window <= kp <= qp`` (the window) or ``kp < global_tokens`` and
+    strictly before the window (the Longformer-style global prefix —
+    exclusive, so no key is double-counted across the two gathers)."""
+    B, S, NH, D = q.shape
+    KV = k_cur.shape[2]
+    G = NH // KV
+    Th = k_hist.shape[1]
+    k = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
+    v = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
+
+    qp = seq_lens[:, None] + jnp.arange(S)[None, :]  # [B, S] query pos
+
+    def win_ok(kp):  # kp [B, S, T'] -> visibility under window+globals
+        in_win = (kp >= qp[:, :, None] - window) & (kp <= qp[:, :, None])
+        is_glob = (kp < global_tokens) & (kp < qp[:, :, None] - window)
+        return in_win | is_glob
+
+    hist_ok = (
+        jnp.broadcast_to(hist_valid[:, None, :], (B, S, Th))
+        & win_ok(jnp.broadcast_to(hist_pos[:, None, :], (B, S, Th)))
+    )
+    cur_idx = jnp.arange(S)
+    cur_pos = seq_lens[:, None] + cur_idx[None, :]  # [B, S_k]
+    cur_ok = (
+        (cur_idx[None, None, :] <= cur_idx[None, :, None])
+        & (cur_idx[None, None, :] < new_lens[:, None, None])
+        & win_ok(jnp.broadcast_to(cur_pos[:, None, :], (B, S, S)))
+    )
+    mask = jnp.concatenate([hist_ok, cur_ok], axis=-1)  # [B, S, Th+S]
+
+    scale = 1.0 / np.sqrt(D)
+    qg = q.reshape(B, S, KV, G, D)
+    scores = (
+        jnp.einsum("bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    return out.reshape(B, S, NH, D)
+
+
+def make_dual_window_attention(window: int, global_tokens: int = 0):
+    """Sliding-window attention that actually changes the serving cost
+    shape (VERDICT r2 item 6): pages wholly outside [qp-window, qp] and
+    the global prefix are never gathered — the page-table indirection
+    lets the read skip them, so per-step attention bytes scale with
+    window/context instead of context (the TPU realization of the
+    reference's O(n*w) claim, reference
+    sglang_backend/sparse_attention.py:83-119 and research notes
+    docs/research/notebook.md:856-863 — there it only post-masks
+    already-computed scores, saving nothing).
+
+    Exact-equivalence property: whenever window >= seq_len the visible
+    set equals full causal attention, so outputs are identical to
+    `_paged_attention_dual` (tests/test_window_paged.py). KV writes are
+    unchanged — the full cache is retained, only READ bytes shrink.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    if window % 1:
+        raise ValueError("window must be an int")
+
+    def attn(q, k_cur, v_cur, main, staging_b, layer, page_table,
+             seq_lens, new_lens, cfg, main_scale=None, staging_scale_b=None):
+        B, S, NH, D = q.shape
+        KV = k_cur.shape[2]
+        lp = main.shape[1] // 2
+        ps = main.shape[2]
+        MP = page_table.shape[1]
+        # pages that can intersect any query's window this call
+        wp = min(MP, (window + S) // ps + 2)
+        gp = min(MP, -(-global_tokens // ps)) if global_tokens > 0 else 0
+
+        full_tokens = (seq_lens // ps) * ps  # committed to main pages
+        off = seq_lens - full_tokens
+
+        first = jnp.maximum(seq_lens - window, 0) // ps  # [B]
+        idx = jnp.minimum(first[:, None] + jnp.arange(wp)[None, :], MP - 1)
+        wpt = jnp.take_along_axis(page_table, idx, axis=1)  # [B, wp]
+
+        def gather(pt, n):
+            kk = main[pt, layer].reshape(B, n * ps, KV, D)
+            vv = main[pt, lp + layer].reshape(B, n * ps, KV, D)
+            if main_scale is not None:
+                sk = main_scale[pt, layer].reshape(B, n * ps, KV)[..., None]
+                sv = main_scale[pt, lp + layer].reshape(B, n * ps, KV)[..., None]
+                kk = dequantize_kv(kk, sk, out_dtype=q.dtype)
+                vv = dequantize_kv(vv, sv, out_dtype=q.dtype)
+            return kk.astype(q.dtype), vv.astype(q.dtype)
+
+        k_w, v_w = gather(wpt, wp)
+        wpos = first[:, None] * ps + jnp.arange(wp * ps)[None, :]  # [B, wp*ps]
+        w_valid = wpos < full_tokens[:, None]
+
+        segs_k, segs_v, segs_pos, segs_ok = [k_w], [v_w], [wpos], [w_valid]
+        if gp:
+            k_g, v_g = gather(page_table[:, :gp], gp)
+            gpos = jnp.broadcast_to(
+                jnp.arange(gp * ps)[None, :], (B, gp * ps)
+            )
+            # a position covered by the window gather (pos >= first*ps)
+            # must not be visible through this copy too — without this
+            # the early-generation overlap (first == 0) would double-
+            # count keys in the softmax
+            g_valid = (gpos < full_tokens[:, None]) & (
+                gpos < first[:, None] * ps
+            )
+            segs_k.append(k_g)
+            segs_v.append(v_g)
+            segs_pos.append(gpos)
+            segs_ok.append(g_valid)
+
+        k_stage = staging_b[:, :, layer].reshape(B, ps, KV, D)
+        v_stage = staging_b[:, :, lp + layer].reshape(B, ps, KV, D)
+        if main_scale is not None:
+            ssk = staging_scale_b[:, :, layer][..., None]
+            ssv = staging_scale_b[:, :, lp + layer][..., None]
+            k_stage = dequantize_kv(k_stage, ssk, out_dtype=q.dtype)
+            v_stage = dequantize_kv(v_stage, ssv, out_dtype=q.dtype)
+        spos = full_tokens[:, None] + jnp.arange(ps)[None, :]
+        s_valid = jnp.arange(ps)[None, :] < off[:, None]
+        segs_k.append(k_stage.astype(q.dtype))
+        segs_v.append(v_stage.astype(q.dtype))
+        segs_pos.append(spos)
+        segs_ok.append(s_valid)
+
+        return _gqa_core_windowed(
+            q, k_cur, v_cur,
+            jnp.concatenate(segs_k, axis=1),
+            jnp.concatenate(segs_v, axis=1),
+            jnp.concatenate(segs_pos, axis=1),
+            jnp.concatenate(segs_ok, axis=1),
+            seq_lens, new_lens, window, global_tokens,
+        )
+
+    attn.window = window
+    attn.global_tokens = global_tokens
+    return attn
+
+
 def _paged_attention_flash(
     q, k_cur, v_cur, kv_rows, scale_rows, layer, token_rows, positions,
     seq_lens, new_lens, cfg: BitNetConfig

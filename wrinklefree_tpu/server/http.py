@@ -662,6 +662,7 @@ class InferenceServer:
                         ))
         except (ValueError, KeyError) as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
+        self.async_engine.wake_all()
         return web.json_response({"restored": len(reqs)})
 
     async def tokenize(self, request):
@@ -1099,6 +1100,8 @@ def create_server(
     dp: int = 1,
     tokenizer_path: Optional[str] = None,
     long_context: bool = False,
+    attn_window: int = 0,
+    attn_global_tokens: int = 0,
 ) -> InferenceServer:
     """tp > 1 runs the engine tensor-parallel over the first tp devices
     (parallel/sharding.py layout). dp > 1 spawns dp engine replicas
@@ -1148,10 +1151,18 @@ def create_server(
         ecfg = engine_config or EngineConfig()
         name = str(model_path)
 
-    if use_pallas is not None and engine_config is None:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    if use_pallas is not None and engine_config is None:
         ecfg = _dc.replace(ecfg, use_pallas=use_pallas)
+    if attn_window > 0:
+        # page-skipping sliding-window serving (kv/paged.py); needs the
+        # dual layout, which `auto` only picks on TPU with bf16 KV
+        ecfg = _dc.replace(
+            ecfg, attn_window=attn_window,
+            attn_global_tokens=attn_global_tokens,
+            kv_layout="layer" if ecfg.kv_layout == "auto" else ecfg.kv_layout,
+        )
     eos = getattr(tokenizer, "eos_token_id", None)
     lc_mesh = None
     if long_context:
@@ -1217,6 +1228,14 @@ def main(argv=None):
     p.add_argument("--long-context", action="store_true",
                    help="serve prompts beyond max-context via the "
                         "sequence-parallel ring-attention path (greedy)")
+    p.add_argument("--window", type=int, default=0,
+                   help="sliding-window attention width: pages outside "
+                        "[pos-window, pos] are never gathered, so "
+                        "attention read bytes scale with window instead "
+                        "of context (approximate beyond the window)")
+    p.add_argument("--global-tokens", type=int, default=0,
+                   help="always-visible prefix length for --window "
+                        "(Longformer-style globals)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile decode burst + prefill buckets at boot "
                         "(AOT lower+compile; pairs with "
@@ -1252,7 +1271,8 @@ def main(argv=None):
         args.model, tiny=args.tiny, engine_config=ecfg,
         use_pallas=False if args.no_pallas else None, tp=args.tp,
         dp=args.dp, tokenizer_path=args.tokenizer,
-        long_context=args.long_context,
+        long_context=args.long_context, attn_window=args.window,
+        attn_global_tokens=args.global_tokens,
     )
     if args.warmup:
         for e in server.async_engine.engines:
