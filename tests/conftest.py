@@ -89,3 +89,16 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if SERVER_MARKERS & set(item.keywords):
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _module_cleanup():
+    """Per-module GC: the monolithic run accumulates dead engines/pools
+    across ~35 modules (VERDICT r2 weak item 3 — single-process
+    `pytest tests/` died at ~57 min while chunked runs pass in ~15).
+    Scheduler-thread leaks are fixed at the fixture level; this sweeps
+    the remaining cycles so device buffers free promptly."""
+    yield
+    import gc
+
+    gc.collect()

@@ -54,6 +54,7 @@ def server_url():
         pytest.fail("server did not come up")
     yield url
     loop.call_soon_threadsafe(loop.stop)
+    server.async_engine.shutdown()  # stop scheduler threads (leak = CPU drag)
 
 
 @pytest.fixture()
@@ -1035,7 +1036,12 @@ def _spin(server):
             time.sleep(0.1)
     else:
         pytest.fail("server did not come up")
-    return url, lambda: loop.call_soon_threadsafe(loop.stop)
+
+    def stop():
+        loop.call_soon_threadsafe(loop.stop)
+        server.async_engine.shutdown()  # leaked scheduler threads drag CPU
+
+    return url, stop
 
 
 @pytest.fixture(scope="module")

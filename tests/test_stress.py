@@ -54,6 +54,7 @@ def server_url():
         pytest.fail("server did not come up")
     yield url
     loop.call_soon_threadsafe(loop.stop)
+    server.async_engine.shutdown()  # leaked scheduler threads drag CPU
 
 
 def _one(url, prompt="hello", max_tokens=4):

@@ -80,6 +80,7 @@ def server_url(tok_dir):
         pytest.fail("server did not come up")
     yield url
     loop.call_soon_threadsafe(loop.stop)
+    server.async_engine.shutdown()  # leaked scheduler threads drag CPU
 
 
 def test_tokenize_roundtrip_real_tokenizer(server_url):

@@ -36,15 +36,20 @@ class AsyncEngine:
         self._rr = 0
         self._pick_lock = threading.Lock()
         self._stop = threading.Event()
+        # per-replica wake events: an idle scheduler thread parks on its
+        # event (50 ms cap) instead of spinning a 1 ms sleep loop — on a
+        # 1-CPU host N idle engines would otherwise eat the core, and a
+        # submit still wakes the loop immediately
+        self._wakes = [threading.Event() for _ in engines]
         self._threads = [
-            threading.Thread(target=self._loop, args=(e,), daemon=True,
+            threading.Thread(target=self._loop, args=(e, w), daemon=True,
                              name=f"wf-engine-{i}")
-            for i, e in enumerate(engines)
+            for i, (e, w) in enumerate(zip(engines, self._wakes))
         ]
         for t in self._threads:
             t.start()
 
-    def _loop(self, engine: Engine):
+    def _loop(self, engine: Engine, wake: threading.Event):
         while not self._stop.is_set():
             try:
                 did = engine.step()
@@ -52,7 +57,17 @@ class AsyncEngine:
                 logger.exception("engine step failed")
                 did = False
             if not did:
-                time.sleep(0.001)
+                wake.wait(timeout=0.05)
+                wake.clear()
+
+    def _wake_for(self, engine: Engine):
+        self._wakes[self.engines.index(engine)].set()
+
+    def wake_all(self):
+        """Kick every scheduler loop (work submitted out-of-band, e.g.
+        /admin/restore)."""
+        for w in self._wakes:
+            w.set()
 
     def pick(self) -> Engine:
         """Least-loaded replica (active slots + queue depth), rotating
@@ -100,6 +115,7 @@ class AsyncEngine:
             loop.call_soon_threadsafe(q.put_nowait, (tok, fin))
 
         req = eng.submit(prompt_ids, sampling, on_token=on_token)
+        self._wake_for(eng)
         while True:
             tok, fin = await q.get()
             yield tok, fin, req
