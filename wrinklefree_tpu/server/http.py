@@ -1137,6 +1137,18 @@ def create_server(
             prefill_buckets=(16, 64, 128),
         )
         name = "wrinklefree-tiny-test"
+    elif str(model_path or "").startswith("synth:"):
+        # synthetic random-weight model at real geometry (benchmarks:
+        # cold-boot/TTFT measurement needs the true 2B compile+init cost
+        # and throughput is value-independent; no egress on this box)
+        kind = str(model_path).split(":", 1)[1]
+        cfg = getattr(BitNetConfig, kind)()
+        params = init_params(cfg, seed=0)
+        tokenizer = (
+            load_tokenizer(tokenizer_path) if tokenizer_path else ByteTokenizer()
+        )
+        ecfg = engine_config or EngineConfig()
+        name = str(model_path)
     else:
         assert model_path, "--model required unless --tiny"
         if str(model_path).endswith(".gguf"):
