@@ -164,6 +164,19 @@ def main():
     ttft_s = time.perf_counter() - t0  # includes compile on first call
     log(f"prefill done in {ttft_s:.1f}s; compiling decode...")
 
+    # one-time flat relayout for the manual-DMA decode attention kernel
+    # (5D<->flat is a ~2 ms relayout copy — NEVER per step; forward
+    # accepts either form and returns what it was given)
+    if batch == 1 and getattr(linear_fn, "attn_mega_manual_stacked", None) \
+            is not None and jax.devices()[0].platform == "tpu":
+        from wrinklefree_tpu.ops.ternary_pallas import attn_manual_tile
+
+        if attn_manual_tile(max_len, cfg.num_kv_heads, cfg.head_dim):
+            from wrinklefree_tpu.models.bitnet import flatten_cache_for_decode
+
+            cache = flatten_cache_for_decode(cache)
+            log("cache flattened for manual-DMA decode attention")
+
     # warmup decode (compile)
     import numpy as _np1
 

@@ -57,6 +57,23 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def flatten_cache_for_decode(cache: KVCache) -> KVCache:
+    """One-time relayout of a batch-1 cache to the flat [L*T*KV, D] row
+    form the manual-DMA decode attention kernel consumes.
+
+    [.., KV, D] with KV=5 is TPU-tile padded (KV 5 -> 8) in HBM, so
+    5D<->flat reshape is a ~2 ms full-cache relayout COPY for the 2B
+    model — do it ONCE after prefill, never inside the decode loop.
+    `forward` accepts either form and returns the form it was given
+    (falling back to an internal relayout on paths that need 5D)."""
+    L, B, T, KV, D = cache.k.shape
+    assert B == 1, "flat decode cache is batch-1 only"
+    return KVCache(
+        cache.k.reshape(L * T * KV, D), cache.v.reshape(L * T * KV, D)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Parameter construction
 # ---------------------------------------------------------------------------
@@ -719,7 +736,56 @@ def forward(
     # kernel (aliased operand) — no per-layer cache slice/stack copies.
     attn_mega = getattr(lf, "attn_mega", None) if prologue else None
     mlp_mega = getattr(lf, "mlp_mega", None) if prologue else None
-    T_cache = cache.k.shape[2]
+    # flat-cache protocol: a 2-D cache.k ([L*T*KV, D], batch-1 decode)
+    # comes from flatten_cache_for_decode(). The manual-DMA attention
+    # path consumes it as-is; every other path pays ONE relayout here.
+    # Critical because [.., KV=5, 128] is TPU-tile padded (KV 5 -> 8),
+    # so reshape 5D<->flat is a ~2 ms full-cache relayout COPY — it
+    # must happen once per sequence, never once per decode step.
+    _KVh = cfg.num_kv_heads
+    _Dh = cfg.head_dim
+    flat_cache = cache.k.ndim == 2
+    if flat_cache:
+        T_cache = cache.k.shape[0] // (L * _KVh)
+        _ck5 = None  # materialized lazily by _cache5()
+    else:
+        T_cache = cache.k.shape[2]
+
+    def _cache5():
+        if not flat_cache:
+            return cache
+        return KVCache(
+            cache.k.reshape(L, 1, T_cache, _KVh, _Dh),
+            cache.v.reshape(L, 1, T_cache, _KVh, _Dh),
+        )
+
+    def _cache_out(new_k, new_v):
+        """Return the cache in the SAME format it arrived in."""
+        if flat_cache and new_k.ndim != 2:
+            new_k = new_k.reshape(L * T_cache * _KVh, _Dh)
+            new_v = new_v.reshape(L * T_cache * _KVh, _Dh)
+        elif not flat_cache and new_k.ndim == 2:
+            new_k = new_k.reshape(L, 1, T_cache, _KVh, _Dh)
+            new_v = new_v.reshape(L, 1, T_cache, _KVh, _Dh)
+        return KVCache(new_k, new_v)
+    # auto kernel: both cache blocks (in+out, k+v) must fit VMEM next
+    # to the weight tiles and scratch. The manual-DMA attention variant
+    # (unrolled path only) keeps the cache in HBM and supports larger T
+    # — accept it when its own gate (attn_manual_tile) passes.
+    _auto_cache_ok = (
+        T_cache * cfg.num_kv_heads * cfg.head_dim * 2 * 4 <= 8 * 1024 * 1024
+    )
+    _manual_possible = False
+    if (
+        not _auto_cache_ok
+        and getattr(lf, "attn_mega_manual_stacked", None) is not None
+    ):
+        from ..ops.ternary_pallas import attn_manual_tile as _amt
+
+        _manual_possible = (
+            jax.devices()[0].platform == "tpu"
+            and _amt(T_cache, cfg.num_kv_heads, cfg.head_dim) is not None
+        )
     use_attn_mega = (
         attn_mega is not None
         and mlp_mega is not None
@@ -727,9 +793,7 @@ def forward(
         and B == 1
         and cfg.num_experts == 0
         and "gateup_qw" in stack
-        # both cache blocks (in+out, k+v) must fit VMEM next to the
-        # weight tiles and scratch
-        and T_cache * cfg.num_kv_heads * cfg.head_dim * 2 * 4 <= 8 * 1024 * 1024
+        and (_auto_cache_ok or _manual_possible)
     )
     if use_attn_mega:
         H, Q = cfg.hidden_size, cfg.q_dim
@@ -753,15 +817,48 @@ def forward(
         split = params.get("layers_split")
         attn_static = getattr(lf, "attn_mega_static", None)
         mlp_static = getattr(lf, "mlp_mega_static", None)
+        # manual-DMA attention variant: cache stays in HBM, read bytes
+        # scale with pos, RMW row write — bit-exact vs attn_static and
+        # ~3x faster (ops/ternary_pallas.py _attn_megakernel_manual)
+        attn_manual = getattr(lf, "attn_mega_manual", None)
+        manual_tt = None
+        if attn_manual is not None and jax.devices()[0].platform == "tpu":
+            from ..ops.ternary_pallas import attn_manual_tile
+
+            manual_tt = attn_manual_tile(T_cache, cfg.num_kv_heads, D)
         if split is not None and attn_static is not None and mlp_static is not None:
             # UNROLLED layer loop over pre-split weights: static index
             # maps, no scalar-prefetch (~8-10 us/call cheaper, lab8).
             h2 = hidden.reshape(B, -1)
             ck_ls, cv_ls = [], []
+            KVh = cfg.num_kv_heads
+            _c5 = _cache5()
             for l in range(L):
                 sl = split[l]
+                if manual_tt is not None:
+                    h2, ckf, cvf = attn_manual(
+                        h2, _c5.k[l].reshape(T_cache * KVh, D),
+                        _c5.v[l].reshape(T_cache * KVh, D),
+                        sl["qkv_qw"], sl["o_qw"], pos0, sl["qkv_scale"],
+                        sl["o_scale"], sl["input_ln"], sl.get("attn_sub"),
+                        cos8, sin8, q_dim=Q, n_kv=KVh,
+                        n_heads=cfg.num_heads, head_dim=D, tt=manual_tt,
+                        eps=cfg.rms_norm_eps, norm2=cfg.sub_norms,
+                    )
+                    ck_l = ckf.reshape(1, T_cache, KVh, D)
+                    cv_l = cvf.reshape(1, T_cache, KVh, D)
+                    ck_ls.append(ck_l)
+                    cv_ls.append(cv_l)
+                    h2 = mlp_static(
+                        h2, sl["gateup_qw"], sl["down_qw"],
+                        sl["gateup_scale"], sl["down_scale"],
+                        sl["post_ln"], sl.get("ffn_sub"),
+                        eps=cfg.rms_norm_eps, act=mlp_act,
+                        norm2=cfg.sub_norms,
+                    )
+                    continue
                 h2, ck_l, cv_l = attn_static(
-                    h2, cache.k[l], cache.v[l], sl["qkv_qw"], sl["o_qw"],
+                    h2, _c5.k[l], _c5.v[l], sl["qkv_qw"], sl["o_qw"],
                     pos0, sl["qkv_scale"], sl["o_scale"], sl["input_ln"],
                     sl.get("attn_sub"), cos8, sin8,
                     q_dim=Q, n_kv=cfg.num_kv_heads, n_heads=cfg.num_heads,
@@ -781,9 +878,9 @@ def forward(
             if not logits_all:
                 hidden = hidden[:, -1]
             if head_fn is not None:
-                return head_fn(hidden, params), KVCache(new_k, new_v)
+                return head_fn(hidden, params), _cache_out(new_k, new_v)
             logits = compute_logits(hidden, params, cfg)
-            return logits, KVCache(new_k, new_v)
+            return logits, _cache_out(new_k, new_v)
 
         layer_mega = getattr(lf, "layer_mega", None)
 
@@ -817,29 +914,72 @@ def forward(
                 eps=cfg.rms_norm_eps, act=mlp_act, norm2=cfg.sub_norms,
             )
 
-        (h2, new_k, new_v), _ = jax.lax.scan(
-            mega_step,
-            (hidden.reshape(B, -1), cache.k, cache.v),
-            jnp.arange(L, dtype=jnp.int32),
-        )
+        # manual-DMA attention in the PRODUCTION scan path: the caches
+        # ride as ONE flat aliased [L*T*KV, D] buffer each (no per-layer
+        # BlockSpec traffic — the kernel DMAs only rows < pos of its
+        # layer and RMWs the new token's row group). Bit-exact vs
+        # attn_mega (kernel_lab15); ~3x less attention-kernel time.
+        attn_manual_st = getattr(lf, "attn_mega_manual_stacked", None)
+        manual_tt = None
+        if (
+            attn_manual_st is not None
+            and layer_mega is None
+            and jax.devices()[0].platform == "tpu"
+        ):
+            from ..ops.ternary_pallas import attn_manual_tile
+
+            manual_tt = attn_manual_tile(T_cache, cfg.num_kv_heads, D)
+        if manual_tt is not None:
+            KVh = cfg.num_kv_heads
+
+            def mega_step_manual(carry, l):
+                h2, ckf, cvf = carry
+                h2, ckf, cvf = attn_manual_st(
+                    h2, ckf, cvf, stack["qkv_qw"], stack["o_qw"], l,
+                    pos0, stack["qkv_scale"], o_rows, iln_rows, sub_rows,
+                    cos8, sin8, T=T_cache, q_dim=Q, n_kv=KVh,
+                    n_heads=cfg.num_heads, head_dim=D, tt=manual_tt,
+                    eps=cfg.rms_norm_eps, norm2=cfg.sub_norms,
+                )
+                h2 = mega_mlp_call(h2, l)
+                return (h2, ckf, cvf), None
+
+            if flat_cache:
+                ck0, cv0 = cache.k, cache.v
+            else:
+                ck0 = cache.k.reshape(L * T_cache * KVh, D)
+                cv0 = cache.v.reshape(L * T_cache * KVh, D)
+            (h2, new_k, new_v), _ = jax.lax.scan(
+                mega_step_manual,
+                (hidden.reshape(B, -1), ck0, cv0),
+                jnp.arange(L, dtype=jnp.int32),
+            )
+        else:
+            _c5 = _cache5()
+            (h2, new_k, new_v), _ = jax.lax.scan(
+                mega_step,
+                (hidden.reshape(B, -1), _c5.k, _c5.v),
+                jnp.arange(L, dtype=jnp.int32),
+            )
         hidden = h2.reshape(B, S, -1)
     else:
+        _c5 = _cache5()
         hidden, (new_k, new_v) = jax.lax.scan(
             layer_step,
             hidden,
-            (params["layers"], cache.k, cache.v, jnp.arange(L, dtype=jnp.int32)),
+            (params["layers"], _c5.k, _c5.v, jnp.arange(L, dtype=jnp.int32)),
         )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     if not logits_all:
         hidden = hidden[:, -1]
     if head_fn is not None:
-        return head_fn(hidden, params), KVCache(new_k, new_v)
+        return head_fn(hidden, params), _cache_out(new_k, new_v)
     logits = compute_logits(hidden, params, cfg)
     if tp_axis is not None:
         # head is vocab-sharded: gather the local [.., V/tp] logits
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1, tiled=True)
-    return logits, KVCache(new_k, new_v)
+    return logits, _cache_out(new_k, new_v)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "logits_all"), donate_argnames=("cache",))
@@ -867,9 +1007,18 @@ def generate(
 
     prompt = jnp.asarray(prompt_ids, jnp.int32)[None, :]
     T = max_len or min(cfg.max_position, prompt.shape[1] + max_new_tokens)
+    # 8-slot multiple: the manual-DMA decode attention kernel writes
+    # the new token's k/v via an aligned RMW of its 8-slot group
+    T = min(-(-T // 8) * 8, cfg.max_position)
     cache = KVCache.zeros(cfg, 1, T, cfg.dtype)
 
     logits, cache = forward_jit(params, cfg, prompt, cache, jnp.zeros((1,), jnp.int32))
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.ternary_pallas import attn_manual_tile
+
+        if attn_manual_tile(T, cfg.num_kv_heads, cfg.head_dim):
+            # one-time relayout for the manual-DMA decode attention path
+            cache = flatten_cache_for_decode(cache)
     rng = jax.random.PRNGKey(seed)
     out = list(np.asarray(prompt[0]))
     pos = prompt.shape[1]

@@ -1318,6 +1318,555 @@ def attn_block_megakernel_static(
     return out[:b], ck2, cv2
 
 
+def _attn_megakernel_manual(
+    pos_ref, h_ref, qw_hbm, ow_hbm, nw_ref, subw_ref, sq_ref, so_ref,
+    cos_ref, sin_ref, ckr_hbm, cvr_hbm,
+    o_ref, ck_out, cv_out,
+    w_qw, w_ow, k_res, v_res, scores, qkv_s, qh_s,
+    xq_ref, sx_ref, xq2_ref, sx2_ref, knew, vnew, kwin, vwin, oacc_ref,
+    sem_qw, sem_ow, sem_k, sem_v, sem_wr,
+    *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, nt, tt, q_dim,
+    n_kv, n_heads, head_dim, stacked=False, cache_rows=0,
+):
+    """Manual-DMA attention megakernel (batch-1 decode, unrolled layer).
+
+    The auto kernel (`_attn_megakernel_static`) moves ~3x the cache
+    bytes it needs: the full static-T cache is a BlockSpec operand —
+    DMA'd in, copied VMEM->VMEM, DMA'd back out in full, every layer —
+    and the attention grid step streams no weights behind it. Measured
+    27.8-42 us/layer (lab6 / lab15) against a ~6-9 us weight+cache
+    stream floor.
+
+    Here (scripts/kernel_lab15.py campaign, BIT-EXACT vs the auto
+    kernel incl. cache contents):
+      - caches stay in HBM (memory_space=ANY, aliased) viewed as
+        [T*KV, 128] rows; only tiles with rows < pos are read, so
+        cache-read bytes scale with the ACTUAL context, not static T
+      - the new token's roped k/v rows land via an aligned RMW of the
+        40-row window of their 8-slot group ((pos//8)*8*KV is provably
+        8-divisible — Mosaic rejects a direct write at pos*KV); the RMW
+        preserves every other row exactly
+      - scores use one joint [R=KV*8, tt*KV] dot per tile (head-mask
+        keeps each packed q row on its own kv head) into an f32 buffer;
+        exact two-pass softmax with the new-token column merged
+        analytically — no flash-accumulation drift
+      - all weight/cache DMAs start up front and are waited
+        just-in-time; norm/quant prologues overlap the streams
+
+    Measured: ~9-10 us/layer at T=512-1024 vs 27.8 (auto, T=328) /
+    41.9 (auto, T=1024) — and lifts the auto kernel's T<=1638 VMEM cap
+    to ~2048+ (resident-v budget).
+
+    With ``stacked=True`` the kernel serves the production layer-scan
+    path: scalars are (layer, pos), weights are the full [L, ., .]
+    stacks (DMA source indexed by layer), scale/norm rows are blocked
+    per-layer, and the caches are ONE flat [L*T*KV, D] aliased array
+    addressed at row offset layer*cache_rows — the scan carries a
+    single buffer, no per-layer slice/stack copies at all.
+    """
+    if stacked:
+        lyr = pos_ref[0]
+        pos = pos_ref[1]
+        cb = lyr * cache_rows  # this layer's first cache row
+    else:
+        pos = pos_ref[0]
+        cb = 0
+    D = head_dim
+    KV = n_kv
+    G = n_heads // n_kv
+    kvd = KV * D
+    R = KV * 8  # packed q rows (G real per kv head)
+
+    def _rows2(ref):
+        # blocked [1, 8, n] (stacked) vs full [8, n] operand -> VALUE
+        return ref[0] if stacked else ref[:]
+
+    nw_ref = _rows2(nw_ref)
+    subw_ref = _rows2(subw_ref)
+    sq_ref = _rows2(sq_ref)
+    so_ref = _rows2(so_ref)
+
+    def qw_dma(g):
+        src = (qw_hbm.at[lyr, :, pl.ds(g * tn_q, tn_q)] if stacked
+               else qw_hbm.at[:, pl.ds(g * tn_q, tn_q)])
+        return pltpu.make_async_copy(src, w_qw.at[g], sem_qw.at[g])
+
+    def ow_dma(g):
+        src = (ow_hbm.at[lyr, :, pl.ds(g * tn_o, tn_o)] if stacked
+               else ow_hbm.at[:, pl.ds(g * tn_o, tn_o)])
+        return pltpu.make_async_copy(src, w_ow.at[g], sem_ow.at[g])
+
+    def k_dma(t):
+        return pltpu.make_async_copy(
+            ckr_hbm.at[pl.ds(cb + t * tt * KV, tt * KV)],
+            k_res.at[pl.ds(t * tt * KV, tt * KV)], sem_k.at[t])
+
+    def v_dma(t):
+        return pltpu.make_async_copy(
+            cvr_hbm.at[pl.ds(cb + t * tt * KV, tt * KV)],
+            v_res.at[pl.ds(t * tt * KV, tt * KV)], sem_v.at[t])
+
+    # aligned RMW window: the 8-slot group holding slot pos
+    grp = pos // 8
+    W = 8 * KV
+    rd_k = pltpu.make_async_copy(
+        ckr_hbm.at[pl.ds(cb + grp * W, W)], kwin, sem_wr.at[0])
+    rd_v = pltpu.make_async_copy(
+        cvr_hbm.at[pl.ds(cb + grp * W, W)], vwin, sem_wr.at[1])
+
+    # ---- warm-up: every stream starts now; waits are just-in-time ----
+    for g in range(nq):
+        qw_dma(g).start()
+    rd_k.start()
+    rd_v.start()
+    for t in range(nt):
+        @pl.when(pos > t * tt)
+        def _():
+            k_dma(t).start()
+            v_dma(t).start()
+    for g in range(no):
+        ow_dma(g).start(priority=1)  # o weights are needed last
+
+    # ---- prologue A (overlaps the streams): norm + quant ----
+    x = h_ref[:]
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) \
+        * nw_ref[0:1, :].astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+    sx = 127.0 / absmax
+    sx_ref[:] = sx
+    xq_ref[:] = jnp.clip(jnp.round(xf * sx), -128, 127).astype(jnp.int8)
+
+    # ---- qkv tiles ----
+    for g in range(nq):
+        qw_dma(g).wait()
+        acc = _planes_dot(xq_ref[:], w_qw[g], dot_dtype)
+        inv = 1.0 / (sx_ref[:] * sq_ref[0:1, g * tn_q:(g + 1) * tn_q])
+        qkv_s[:, pl.ds(g * tn_q, tn_q)] = (
+            acc.astype(jnp.float32) * inv
+        ).astype(qkv_s.dtype)
+
+    # ---- attention ----
+    qkv = qkv_s[:]
+    cos = cos_ref[0:1, :].astype(qkv.dtype)
+    sin = sin_ref[0:1, :].astype(qkv.dtype)
+    scale = 1.0 / float(np.sqrt(D))
+
+    # new-token roped k / v -> staging rows 0..KV-1 (padding rows must
+    # be FINITE: vnew feeds a masked dot where NaN * 0 would still
+    # poison the accumulator)
+    knew[:] = jnp.zeros((8, D), knew.dtype)
+    vnew[:] = jnp.zeros((8, D), vnew.dtype)
+    for kvh in range(KV):
+        k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
+        k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
+        knew[kvh : kvh + 1, :] = k_roped[0:1, :]
+        v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
+        vnew[kvh : kvh + 1, :] = v_h[0:1, :]
+
+    # overlay the new rows at sublane offset (pos%8)*KV, write back
+    woff = (pos % 8) * KV
+    rd_k.wait()
+    rd_v.wait()
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+    sel = (wrow >= woff) & (wrow < woff + KV)
+    pad8 = jnp.zeros((W - 8, 128), jnp.float32)
+
+    def _place(new_ref):
+        # dynamic rotate is 32-bit only: roll in f32, cast back
+        stacked = jnp.concatenate([new_ref[:].astype(jnp.float32), pad8], 0)
+        return pltpu.roll(stacked, woff, 0).astype(kwin.dtype)
+
+    kwin[:] = jnp.where(sel, _place(knew), kwin[:])
+    vwin[:] = jnp.where(sel, _place(vnew), vwin[:])
+    wr_k = pltpu.make_async_copy(
+        kwin, ck_out.at[pl.ds(cb + grp * W, W)], sem_wr.at[2])
+    wr_v = pltpu.make_async_copy(
+        vwin, cv_out.at[pl.ds(cb + grp * W, W)], sem_wr.at[3])
+    wr_k.start()
+    wr_v.start()
+
+    # packed q heads: row kvh*8+g holds head (kvh*G+g); rows g>=G unused
+    for kvh in range(KV):
+        for gg in range(G):
+            off = (kvh * G + gg) * D
+            qh_s[kvh * 8 + gg : kvh * 8 + gg + 1, :] = qkv[0:1, off : off + D]
+    q_roped = qh_s[:] * cos + _rotate_half_lanes(qh_s[:]) * sin  # [R, D]
+
+    # scores pass: one joint dot per tile over [tt*KV, D] rows; column
+    # c of tile t is (time t*tt + c//KV, head c%KV); the head mask
+    # keeps each packed q row on its own kv head
+    scores[:] = jnp.full((R, nt * tt * KV), -1e30, jnp.float32)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 0) // 8
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 1) % KV
+    col_time0 = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 1) // KV
+    for t in range(nt):
+        @pl.when(pos > t * tt)
+        def _():
+            k_dma(t).wait()
+            s = jax.lax.dot_general(
+                q_roped, k_res[pl.ds(t * tt * KV, tt * KV), :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [R, tt*KV]
+            ok = (col_head == row_head) & (col_time0 + (t * tt) < pos)
+            scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.where(ok, s, -1e30)
+
+    # new-token scores [R, 8] (cols >= KV masked; head-matched)
+    s_new = jax.lax.dot_general(
+        q_roped, knew[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    colh = jax.lax.broadcasted_iota(jnp.int32, (R, 8), 1)
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (R, 8), 0) // 8
+    s_new = jnp.where((colh == rowh) & (colh < KV), s_new, -1e30)
+
+    # exact two-pass softmax over buffer + new column
+    m = jnp.maximum(
+        jnp.max(scores[:], axis=-1, keepdims=True),
+        jnp.max(s_new, axis=-1, keepdims=True),
+    )  # [R, 1]
+    scores[:] = jnp.exp(scores[:] - m)
+    e_new = jnp.exp(s_new - m)  # [R, 8]
+    denom = (
+        jnp.sum(scores[:], axis=-1, keepdims=True)
+        + jnp.sum(e_new, axis=-1, keepdims=True)
+    )
+
+    # PV: tiled accumulation (VMEM ref — pl.when bodies cannot carry
+    # Python values out) from resident v + the new-token term
+    oacc_ref[:] = jax.lax.dot_general(
+        e_new, vnew[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for t in range(nt):
+        @pl.when(pos > t * tt)
+        def _():
+            v_dma(t).wait()
+            p = scores[:, pl.ds(t * tt * KV, tt * KV)].astype(qkv.dtype)
+            oacc_ref[:] += jax.lax.dot_general(
+                p, v_res[pl.ds(t * tt * KV, tt * KV), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_all = (oacc_ref[:] / denom).astype(qkv.dtype)  # [R, D]
+
+    # repack head rows into qkv_s columns, then sub-norm + quant
+    for kvh in range(KV):
+        for gg in range(G):
+            off = (kvh * G + gg) * D
+            qkv_s[0:1, pl.ds(off, D)] = out_all[kvh * 8 + gg : kvh * 8 + gg + 1, :]
+    x = qkv_s[:, :q_dim]
+    if norm2:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) \
+            * subw_ref[0:1, :].astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    absmax = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-5, None)
+    sx2 = 127.0 / absmax
+    sx2_ref[:] = sx2
+    xq2_ref[:] = jnp.clip(jnp.round(xf * sx2), -128, 127).astype(jnp.int8)
+
+    # ---- o tiles + residual ----
+    for g in range(no):
+        ow_dma(g).wait()
+        acc = _planes_dot(xq2_ref[:], w_ow[g], dot_dtype)
+        inv = 1.0 / (sx2_ref[:] * so_ref[0:1, g * tn_o:(g + 1) * tn_o])
+        d = (acc.astype(jnp.float32) * inv).astype(o_ref.dtype)
+        o_ref[:, pl.ds(g * tn_o, tn_o)] = h_ref[:, pl.ds(g * tn_o, tn_o)] + d
+
+    wr_k.wait()
+    wr_v.wait()
+
+
+def attn_manual_tile(T: int, n_kv: int, head_dim: int) -> int | None:
+    """Time-tile for the manual attention kernel, or None if the
+    geometry doesn't fit: T must be a multiple of 8 (aligned RMW
+    groups) and of the tile; resident k/v + f32 scores must fit the
+    VMEM budget next to the ~4.1 MB weight tiles.
+
+    T floor: in the REAL decode window (profiled, not lab chains) the
+    auto kernel runs 13.6 us/layer at T=328 vs 19.4 manual — the
+    manual variant's fixed VPU cost (joint masked scores over
+    [KV*8, T*KV], buffer init, RMW roll) loses below ~T=512, while at
+    T=1024 it is 8.9 vs 41.9 and beyond T=1638 the auto kernel cannot
+    run at all (VMEM cap). Lab chains overstate the auto kernel ~2x
+    (27.8 measured solo) — gate on the in-window numbers."""
+    if T % 8 or T < 512:
+        return None
+    # per-slot VMEM: k+v rows (bf16) + scores row block (f32)
+    per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
+    if T * per_slot > 11 * 1024 * 1024:
+        return None
+    if T <= 640:
+        return T
+    # smallest tile count whose tile is an 8-multiple <= 640 (tiny
+    # tiles explode the unroll: T=1288 with the old divisor list fell
+    # to tt=8 -> 161 tiles -> 71 us/layer)
+    for nt in range(2, 17):
+        if T % nt == 0 and (T // nt) % 8 == 0 and T // nt <= 640:
+            return T // nt
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "eps", "norm2", "q_dim",
+                     "n_kv", "n_heads", "head_dim", "tt"),
+)
+def attn_block_megakernel_manual(
+    h: jax.Array,  # [1, H]
+    ck_flat: jax.Array,  # [T*KV, D] — this layer's cache, row-major
+    cv_flat: jax.Array,
+    qkv_qw_l: jax.Array,  # [H//4, Nq]
+    o_qw_l: jax.Array,  # [Q//4, H]
+    pos,
+    qkv_scale_l: jax.Array,  # [8, Nq]
+    o_scale_l: jax.Array,  # [8, H]
+    input_ln_l: jax.Array,  # [8, H]
+    attn_sub_l: jax.Array | None,  # [8, Q]
+    cos_row: jax.Array,  # [8, D]
+    sin_row: jax.Array,
+    *,
+    q_dim: int,
+    n_kv: int,
+    n_heads: int,
+    head_dim: int,
+    tt: int,
+    eps: float = 1e-5,
+    norm2: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+):
+    """Manual-DMA attention block (see `_attn_megakernel_manual`).
+    Returns (h' [1,H], ck_flat', cv_flat') with the caches updated in
+    place (aliased). Caller passes the cache as flat [T*KV, D] rows;
+    `tt` from `attn_manual_tile(T, ...)`."""
+    k4, n_q = qkv_qw_l.shape
+    q4, n_h = o_qw_l.shape
+    H = 4 * k4
+    KV, D = n_kv, head_dim
+    T = ck_flat.shape[0] // KV
+    assert ck_flat.shape == (T * KV, D) and T % tt == 0 and tt % 8 == 0
+    b = h.shape[0]
+    assert b == 1
+    h2 = jnp.pad(h.reshape(b, H), ((0, 8 - b), (0, 0)))
+    tn_q = _pick_tile_n(n_q)
+    tn_o = _pick_tile_n(n_h)
+    nq, no = n_q // tn_q, n_h // tn_o
+    nt = T // tt
+    R = KV * 8
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if attn_sub_l is None:
+        attn_sub_l = jnp.ones((8, q_dim), jnp.float32)
+
+    out, ck2, cv2 = pl.pallas_call(
+        functools.partial(
+            _attn_megakernel_manual,
+            dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
+            tn_q=tn_q, tn_o=tn_o, nt=nt, tt=tt, q_dim=q_dim, n_kv=KV,
+            n_heads=n_heads, head_dim=D,
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
+            pl.BlockSpec((8, H), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # qkv weights
+            pl.BlockSpec(memory_space=pl.ANY),  # o weights
+            pl.BlockSpec((8, H), lambda i: (0, 0)),  # input_ln rows
+            pl.BlockSpec((8, q_dim), lambda i: (0, 0)),  # attn_sub rows
+            pl.BlockSpec((8, n_q), lambda i: (0, 0)),  # qkv scale rows
+            pl.BlockSpec((8, n_h), lambda i: (0, 0)),  # o scale rows
+            pl.BlockSpec((8, D), lambda i: (0, 0)),  # cos
+            pl.BlockSpec((8, D), lambda i: (0, 0)),  # sin
+            pl.BlockSpec(memory_space=pl.ANY),  # k rows
+            pl.BlockSpec(memory_space=pl.ANY),  # v rows
+        ],
+        out_specs=[
+            pl.BlockSpec((8, n_h), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_h), out_dtype),
+            jax.ShapeDtypeStruct(ck_flat.shape, ck_flat.dtype),
+            jax.ShapeDtypeStruct(cv_flat.shape, cv_flat.dtype),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        scratch_shapes=[
+            pltpu.VMEM((nq, k4, tn_q), jnp.uint8),
+            pltpu.VMEM((no, q4, tn_o), jnp.uint8),
+            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # k resident
+            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # v resident
+            pltpu.VMEM((R, nt * tt * KV), jnp.float32),  # scores
+            pltpu.VMEM((8, n_q), jnp.bfloat16),
+            pltpu.VMEM((R, D), jnp.bfloat16),
+            pltpu.VMEM((8, H), jnp.int8),
+            pltpu.VMEM((8, 1), jnp.float32),
+            pltpu.VMEM((8, q_dim), jnp.int8),
+            pltpu.VMEM((8, 1), jnp.float32),
+            pltpu.VMEM((8, D), jnp.bfloat16),  # knew staging
+            pltpu.VMEM((8, D), jnp.bfloat16),  # vnew staging
+            pltpu.VMEM((8 * KV, D), jnp.bfloat16),  # k RMW window
+            pltpu.VMEM((8 * KV, D), jnp.bfloat16),  # v RMW window
+            pltpu.VMEM((R, D), jnp.float32),  # PV accumulator
+            pltpu.SemaphoreType.DMA((nq,)),
+            pltpu.SemaphoreType.DMA((no,)),
+            pltpu.SemaphoreType.DMA((nt,)),
+            pltpu.SemaphoreType.DMA((nt,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * H * n_q + 2 * 8 * q_dim * n_h
+            + 4 * n_heads * head_dim * T,
+            bytes_accessed=k4 * n_q + q4 * n_h + 4 * T * KV * D,
+            transcendentals=R * T,
+        ),
+    )(pos_arr, h2, qkv_qw_l, o_qw_l,
+      input_ln_l.astype(jnp.float32), attn_sub_l.astype(jnp.float32),
+      qkv_scale_l.astype(jnp.float32), o_scale_l.astype(jnp.float32),
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32),
+      ck_flat, cv_flat)
+    return out[:b], ck2, cv2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "dot_dtype", "eps", "norm2", "q_dim",
+                     "n_kv", "n_heads", "head_dim", "tt", "T"),
+)
+def attn_block_megakernel_manual_stacked(
+    h: jax.Array,  # [1, H]
+    ck_flat: jax.Array,  # [L*T*KV, D] — ALL layers' caches, row-major
+    cv_flat: jax.Array,
+    qkv_qw: jax.Array,  # [L, H//4, Nq]
+    o_qw: jax.Array,  # [L, Q//4, H]
+    layer,
+    pos,
+    qkv_scale_rows: jax.Array,  # [L, 8, Nq]
+    o_scale_rows: jax.Array,  # [L, 8, H]
+    input_ln_rows: jax.Array,  # [L, 8, H]
+    attn_sub_rows: jax.Array | None,  # [L, 8, Q]
+    cos_row: jax.Array,  # [8, D]
+    sin_row: jax.Array,
+    *,
+    T: int,
+    q_dim: int,
+    n_kv: int,
+    n_heads: int,
+    head_dim: int,
+    tt: int,
+    eps: float = 1e-5,
+    norm2: bool = True,
+    out_dtype=jnp.bfloat16,
+    dot_dtype=jnp.int8,
+):
+    """Layer-scan variant of the manual-DMA attention block (see
+    `_attn_megakernel_manual`): the scan carries ONE flat aliased cache
+    buffer per k/v; this call reads/writes only layer `layer`'s rows at
+    offset layer*T*KV. Production batch-1 decode path."""
+    L, k4, n_q = qkv_qw.shape
+    _, q4, n_h = o_qw.shape
+    H = 4 * k4
+    KV, D = n_kv, head_dim
+    assert ck_flat.shape == (L * T * KV, D), (ck_flat.shape, L, T, KV)
+    assert T % tt == 0 and tt % 8 == 0 and (T * KV) % 8 == 0
+    b = h.shape[0]
+    assert b == 1
+    h2 = jnp.pad(h.reshape(b, H), ((0, 8 - b), (0, 0)))
+    tn_q = _pick_tile_n(n_q)
+    tn_o = _pick_tile_n(n_h)
+    nq, no = n_q // tn_q, n_h // tn_o
+    nt = T // tt
+    R = KV * 8
+    scalars = jnp.stack([
+        jnp.asarray(layer, jnp.int32).reshape(()),
+        jnp.asarray(pos, jnp.int32).reshape(()),
+    ])
+    if attn_sub_rows is None:
+        attn_sub_rows = jnp.ones((L, 8, q_dim), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((8, H), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # qkv weight stack
+            pl.BlockSpec(memory_space=pl.ANY),  # o weight stack
+            pl.BlockSpec((1, 8, H), lambda i, s: (s[0], 0, 0)),  # input_ln
+            pl.BlockSpec((1, 8, q_dim), lambda i, s: (s[0], 0, 0)),  # sub
+            pl.BlockSpec((1, 8, n_q), lambda i, s: (s[0], 0, 0)),  # sq
+            pl.BlockSpec((1, 8, n_h), lambda i, s: (s[0], 0, 0)),  # so
+            pl.BlockSpec((8, D), lambda i, s: (0, 0)),  # cos
+            pl.BlockSpec((8, D), lambda i, s: (0, 0)),  # sin
+            pl.BlockSpec(memory_space=pl.ANY),  # k rows (all layers)
+            pl.BlockSpec(memory_space=pl.ANY),  # v rows
+        ],
+        out_specs=[
+            pl.BlockSpec((8, n_h), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nq, k4, tn_q), jnp.uint8),
+            pltpu.VMEM((no, q4, tn_o), jnp.uint8),
+            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # k resident
+            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # v resident
+            pltpu.VMEM((R, nt * tt * KV), jnp.float32),  # scores
+            pltpu.VMEM((8, n_q), jnp.bfloat16),
+            pltpu.VMEM((R, D), jnp.bfloat16),
+            pltpu.VMEM((8, H), jnp.int8),
+            pltpu.VMEM((8, 1), jnp.float32),
+            pltpu.VMEM((8, q_dim), jnp.int8),
+            pltpu.VMEM((8, 1), jnp.float32),
+            pltpu.VMEM((8, D), jnp.bfloat16),  # knew staging
+            pltpu.VMEM((8, D), jnp.bfloat16),  # vnew staging
+            pltpu.VMEM((8 * KV, D), jnp.bfloat16),  # k RMW window
+            pltpu.VMEM((8 * KV, D), jnp.bfloat16),  # v RMW window
+            pltpu.VMEM((R, D), jnp.float32),  # PV accumulator
+            pltpu.SemaphoreType.DMA((nq,)),
+            pltpu.SemaphoreType.DMA((no,)),
+            pltpu.SemaphoreType.DMA((nt,)),
+            pltpu.SemaphoreType.DMA((nt,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out, ck2, cv2 = pl.pallas_call(
+        functools.partial(
+            _attn_megakernel_manual,
+            dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
+            tn_q=tn_q, tn_o=tn_o, nt=nt, tt=tt, q_dim=q_dim, n_kv=KV,
+            n_heads=n_heads, head_dim=D, stacked=True, cache_rows=T * KV,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_h), out_dtype),
+            jax.ShapeDtypeStruct(ck_flat.shape, ck_flat.dtype),
+            jax.ShapeDtypeStruct(cv_flat.shape, cv_flat.dtype),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * H * n_q + 2 * 8 * q_dim * n_h
+            + 4 * n_heads * head_dim * T,
+            bytes_accessed=k4 * n_q + q4 * n_h + 4 * T * KV * D,
+            transcendentals=R * T,
+        ),
+    )(scalars, h2, qkv_qw, o_qw,
+      input_ln_rows.astype(jnp.float32), attn_sub_rows.astype(jnp.float32),
+      qkv_scale_rows.astype(jnp.float32), o_scale_rows.astype(jnp.float32),
+      cos_row.astype(jnp.float32), sin_row.astype(jnp.float32),
+      ck_flat, cv_flat)
+    return out[:b], ck2, cv2
+
+
 def _mlp_megakernel_static(
     h_ref, hres_ref, gw_ref, dw_ref, nw1_ref, nw2_ref, sw1_ref, sw2_ref,
     o_ref, gu_ref, xq_ref, sx_ref, xq2_ref, sx2_ref,
@@ -1901,6 +2450,31 @@ def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False,
             eps=eps, norm2=norm2, dot_dtype=dot_dtype, interpret=interpret,
         )
 
+    def attn_mega_manual_fn(h, ck_flat, cv_flat, qkv_qw_l, o_qw_l, pos,
+                            qkv_scale_l, o_scale_l, input_ln_l,
+                            attn_sub_l, cos_row, sin_row, *, q_dim, n_kv,
+                            n_heads, head_dim, tt, eps=1e-5, norm2=True):
+        return attn_block_megakernel_manual(
+            h, ck_flat, cv_flat, qkv_qw_l, o_qw_l, pos, qkv_scale_l,
+            o_scale_l, input_ln_l, attn_sub_l, cos_row, sin_row,
+            q_dim=q_dim, n_kv=n_kv, n_heads=n_heads, head_dim=head_dim,
+            tt=tt, eps=eps, norm2=norm2, dot_dtype=dot_dtype,
+        )
+
+    def attn_mega_manual_stacked_fn(h, ck_flat, cv_flat, qkv_qw, o_qw,
+                                    layer, pos, qkv_scale_rows,
+                                    o_scale_rows, input_ln_rows,
+                                    attn_sub_rows, cos_row, sin_row, *,
+                                    T, q_dim, n_kv, n_heads, head_dim,
+                                    tt, eps=1e-5, norm2=True):
+        return attn_block_megakernel_manual_stacked(
+            h, ck_flat, cv_flat, qkv_qw, o_qw, layer, pos,
+            qkv_scale_rows, o_scale_rows, input_ln_rows, attn_sub_rows,
+            cos_row, sin_row, T=T, q_dim=q_dim, n_kv=n_kv,
+            n_heads=n_heads, head_dim=head_dim, tt=tt, eps=eps,
+            norm2=norm2, dot_dtype=dot_dtype,
+        )
+
     def mlp_mega_static_fn(h, gateup_qw_l, down_qw_l, gateup_scale_l,
                            down_scale_l, post_ln_l, ffn_sub_l, *,
                            eps=1e-5, act="relu2", norm2=True):
@@ -1918,6 +2492,17 @@ def make_pallas_linear_fused(dot_dtype=None, interpret: bool = False,
         if os.environ.get("WF_ATTN_MEGA", "1") == "1":
             linear_fn.attn_mega = attn_mega_fn
             linear_fn.attn_mega_static = attn_mega_static_fn
+            # manual-DMA variant (TPU only, batch-1, geometry-gated by
+            # attn_manual_tile): ~3x faster than the auto kernel and
+            # bit-exact against it (kernel_lab15)
+            if (
+                os.environ.get("WF_ATTN_MANUAL", "1") == "1"
+                and not interpret
+            ):
+                linear_fn.attn_mega_manual = attn_mega_manual_fn
+                linear_fn.attn_mega_manual_stacked = (
+                    attn_mega_manual_stacked_fn
+                )
             # measured SLOWER than the attn+mlp pair on v5e (4.18 vs
             # 3.56 ms/token — 4 concurrent weight streams overflow VMEM
             # double-buffering); keep opt-in for future tuning
