@@ -188,6 +188,13 @@ def main():
                 p, SamplingParams(max_new_tokens=args.new_tokens), on_token=mk()
             )
 
+    # snapshot engine counters: stats accumulate from the warmup passes
+    # too, and dividing ALL-TIME prefill tokens by the measured wall
+    # inflated total_tok_s ~3x on prefill-heavy scenarios (the warmup
+    # replays the full scenario shape twice). Deltas = measured window.
+    pre = {k: eng.stats[k]
+           for k in ("prefill_tokens", "radix_hit_tokens", "decode_steps")}
+
     t0 = time.perf_counter()
     threading.Thread(target=submit_all).start()
     steps = 0
@@ -198,7 +205,7 @@ def main():
     wall = time.perf_counter() - t0
 
     out_tokens = sum(len(r.output_ids) for r in results)
-    prefill_tokens = eng.stats["prefill_tokens"]
+    prefill_tokens = eng.stats["prefill_tokens"] - pre["prefill_tokens"]
     m = BenchmarkMetrics.from_latencies(
         [l for l in lat if l], ttfts_s=[t for t in ttft if t],
         total_tokens=out_tokens, total_time_s=wall,
@@ -217,9 +224,9 @@ def main():
         "latency_p50_s": round(m.latency_p50_s, 3),
         "latency_p95_s": round(m.latency_p95_s, 3),
         "wall_s": round(wall, 2),
-        "radix_hit_tokens": eng.stats["radix_hit_tokens"],
+        "radix_hit_tokens": eng.stats["radix_hit_tokens"] - pre["radix_hit_tokens"],
         "kv_layout": eng.kv_layout, "kv_dtype": args.kv_dtype, "spec_k": args.spec,
-        "spec_accept_rate": round(eng.stats.get("spec_accepted", 0) / max(eng.stats.get("spec_drafted", 1), 1), 3), "decode_steps": eng.stats["decode_steps"],
+        "spec_accept_rate": round(eng.stats.get("spec_accepted", 0) / max(eng.stats.get("spec_drafted", 1), 1), 3), "decode_steps": eng.stats["decode_steps"] - pre["decode_steps"],
         "native_runtime": eng.native_runtime,
     }
     print(json.dumps(report))
