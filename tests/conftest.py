@@ -91,14 +91,25 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+_MODULES_SEEN = [0]
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _module_cleanup():
-    """Per-module GC: the monolithic run accumulates dead engines/pools
-    across ~35 modules (VERDICT r2 weak item 3 — single-process
-    `pytest tests/` died at ~57 min while chunked runs pass in ~15).
-    Scheduler-thread leaks are fixed at the fixture level; this sweeps
-    the remaining cycles so device buffers free promptly."""
+    """Per-module GC + periodic jax.clear_caches(): the monolithic run
+    accumulates live XLA executables across ~35 modules and eventually
+    SEGFAULTS inside `backend.deserialize_executable` on a compile-cache
+    read (reproduced twice at the same test after ~45% of the suite;
+    the same test passes standalone, so the entry is fine — the
+    accumulated native state is the trigger). Scheduler-thread leaks
+    are fixed at the fixture level; the cache clear keeps the live
+    executable count low, and the persistent compile cache makes the
+    re-compiles cheap."""
     yield
     import gc
 
     gc.collect()
+    _MODULES_SEEN[0] += 1
+    if _MODULES_SEEN[0] % 4 == 0:
+        _jax.clear_caches()
+        gc.collect()
