@@ -394,7 +394,13 @@ def warmup(eng, *, prefill_batches=(1,), page_buckets=None,
         return jax.ShapeDtypeStruct(shape, dt)
 
     def live(x):
-        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        # NO sharding= here: attaching the arrays' shardings bakes
+        # sdy.sharding annotations into the lowered module, so the
+        # warmup compile landed under a DIFFERENT persistent-cache key
+        # than the live call (which lowers uncommitted arrays without
+        # annotations) — the first request recompiled everything warmup
+        # had just compiled (cold-boot measurement, RESULTS.md)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
 
     params_s = jax.tree.map(live, eng.params)
     pools_s = jax.tree.map(
@@ -424,25 +430,39 @@ def warmup(eng, *, prefill_batches=(1,), page_buckets=None,
     timings: Dict[str, float] = {}
     for mp in page_buckets:
         t0 = _time.perf_counter()
+        # mu is a REAL array in the live call (engine.py _upload_state)
+        # — lowering with the mu=None default produced a different
+        # signature, so the first real burst recompiled (~5 s) despite
+        # warmup (cold-boot measurement, RESULTS.md)
         eng._decode_jit.lower(
             params_s, pools_s, sds((S,), jnp.int32), sds((S, mp), jnp.int32),
             sds((S,), jnp.int32), sds((S,), jnp.uint32), sds((S,), jnp.int32),
             sds((S,), jnp.int32), sds((S, W), jnp.int32), samp_s(S),
+            sds((S,), jnp.float32),
         ).compile()
         timings[f"decode_burst[mp={mp}]"] = _time.perf_counter() - t0
 
     for bucket in eng.ecfg.prefill_buckets:
+        # the live prefill's page-table width is
+        # _pages_bucket(seq_len + chunk + 1), NOT a constant: warm the
+        # fresh-request width for this bucket (first-request TTFT is
+        # the product story), plus every width under full=True
+        mps = {eng._pages_bucket(bucket + 1)}
+        if full:
+            mps.update(page_buckets)
         for B in prefill_batches:
-            mp_pre = 8
-            t0 = _time.perf_counter()
-            prefill_for_bucket(eng, bucket).lower(
-                params_s, pools_s, sds((B, bucket), jnp.int32),
-                sds((B, mp_pre), jnp.int32), sds((B,), jnp.int32),
-                sds((B,), jnp.int32), sds((B,), jnp.uint32),
-                sds((B,), jnp.int32), sds((B,), jnp.int32),
-                sds((B, W), jnp.int32), samp_s(B),
-            ).compile()
-            timings[f"prefill[{bucket}x{B}]"] = _time.perf_counter() - t0
+            for mp_pre in sorted(mps):
+                t0 = _time.perf_counter()
+                prefill_for_bucket(eng, bucket).lower(
+                    params_s, pools_s, sds((B, bucket), jnp.int32),
+                    sds((B, mp_pre), jnp.int32), sds((B,), jnp.int32),
+                    sds((B,), jnp.int32), sds((B,), jnp.uint32),
+                    sds((B,), jnp.int32), sds((B,), jnp.int32),
+                    sds((B, W), jnp.int32), samp_s(B),
+                ).compile()
+                timings[f"prefill[{bucket}x{B}@mp{mp_pre}]"] = (
+                    _time.perf_counter() - t0
+                )
     logger.info(
         "warmup compiled %d programs in %.1f s: %s",
         len(timings), sum(timings.values()),

@@ -1288,7 +1288,10 @@ def main(argv=None):
     )
     if args.warmup:
         for e in server.async_engine.engines:
-            e.warmup()
+            # full=True compiles every page-bucket decode variant too:
+            # the default left the first request paying a ~3 s compile
+            # for its page bucket (cold-boot measurement, RESULTS.md)
+            e.warmup(full=True)
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
 
