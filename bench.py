@@ -269,5 +269,81 @@ def main():
     return result
 
 
+def _run_attempt(timeout_s):
+    """Run the real bench in a child process with a hard timeout.
+
+    Returns (rc, stdout, stderr_tail). A hung backend init (the r3 failure
+    mode: jax.devices() blocked on an unavailable TPU tunnel) cannot be
+    interrupted in-process, so each attempt gets a fresh process we can
+    kill as a group.
+    """
+    import signal
+    import subprocess
+
+    env = dict(os.environ, WF_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        env=env,
+        text=True,
+        start_new_session=True,  # own pgid: kill the whole tree on timeout
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out, err[-2000:]
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        out, err = proc.communicate()
+        return -9, out, (err or "")[-2000:] + f"\n[bench] attempt timed out after {timeout_s}s"
+
+
+def _supervise():
+    """Retry-with-backoff supervisor. Emits ONE JSON line no matter what."""
+    attempts = int(os.environ.get("WF_BENCH_ATTEMPTS", "5"))
+    timeout_s = float(os.environ.get("WF_BENCH_ATTEMPT_TIMEOUT", "1500"))
+    backoffs = [20, 45, 90, 150, 240]
+    last_err = ""
+    for i in range(attempts):
+        log(f"attempt {i + 1}/{attempts} (timeout {timeout_s:.0f}s)")
+        rc, out, err_tail = _run_attempt(timeout_s)
+        # forward the child's JSON result line if present
+        json_line = None
+        for line in reversed(out.splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                json_line = line
+                break
+        if rc == 0 and json_line:
+            print(json_line)
+            return 0
+        last_err = err_tail or out[-2000:]
+        log(f"attempt {i + 1} failed rc={rc}: ...{last_err[-300:]!r}")
+        if i + 1 < attempts:
+            delay = backoffs[min(i, len(backoffs) - 1)]
+            log(f"backing off {delay}s before retry")
+            time.sleep(delay)
+    # terminal failure: structured, parseable error line (never a bare trace)
+    print(
+        json.dumps(
+            {
+                "metric": "bitnet-2b ternary decode throughput (batch 1, greedy)",
+                "value": None,
+                "unit": "tok/s",
+                "vs_baseline": None,
+                "error": last_err[-800:],
+                "attempts": attempts,
+            }
+        )
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("WF_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())

@@ -127,3 +127,59 @@ class TestTPEngine:
             a = ref.generate(prompt, SamplingParams(max_new_tokens=8))
             b = tp.generate(prompt, SamplingParams(max_new_tokens=8))
             assert b.output_ids == a.output_ids, (a.output_ids, b.output_ids)
+
+
+# The REAL flagship head geometry: 20 Q / 5 KV heads (reference
+# legacy/src/models/bitnet.py:27-37), reduced hidden/vocab for CPU. tp=2/4
+# does not divide 5 KV heads -> the engine replicates KV (pools + k/v
+# projections) while Q/o/gate/up/down/embed stay sharded
+# (parallel/sharding.tp_kv_replicated). VERDICT r3 item 3.
+FLAGSHIP_CFG = BitNetConfig(
+    vocab_size=256, hidden_size=64, intermediate_size=128,
+    num_layers=2, num_heads=20, num_kv_heads=5, head_dim=8,
+    max_position=256,
+)
+
+
+class TestTPFlagshipGeometry:
+    def _check(self, tp, ecfg=ECFG, **sp_kw):
+        mesh = _mesh_or_skip(tp)
+        params = init_params(FLAGSHIP_CFG, seed=0)
+        ref = Engine(params, FLAGSHIP_CFG, ecfg)
+        eng = Engine(params, FLAGSHIP_CFG, ecfg, mesh=mesh)
+        assert eng._tp_kv_rep
+        for prompt in ([1, 5, 9, 2, 7], [3, 3, 4]):
+            a = ref.generate(prompt, SamplingParams(max_new_tokens=8, **sp_kw))
+            b = eng.generate(prompt, SamplingParams(max_new_tokens=8, **sp_kw))
+            assert b.output_ids == a.output_ids, (a.output_ids, b.output_ids)
+
+    def test_tp2_kv_replicated_matches_single_device(self):
+        self._check(2)
+
+    def test_tp4_kv_replicated_matches_single_device(self):
+        self._check(4)
+
+    def test_tp4_sampling_matches_single_device(self):
+        self._check(4, temperature=0.9, seed=13)
+
+    def test_tp4_exact_head_matches_single_device(self):
+        import dataclasses
+
+        self._check(4, ecfg=dataclasses.replace(ECFG, exact_head_k=8))
+
+    def test_tp5_divides_kv_heads_no_replication(self):
+        # tp=5 divides both 20 and 5: the sharded-KV path must engage
+        # (vocab/inter adjusted to be 5-divisible)
+        cfg5 = BitNetConfig(
+            vocab_size=250, hidden_size=64, intermediate_size=160,
+            num_layers=2, num_heads=20, num_kv_heads=5, head_dim=8,
+            max_position=256,
+        )
+        mesh = _mesh_or_skip(5)
+        params = init_params(cfg5, seed=0)
+        ref = Engine(params, cfg5, ECFG)
+        eng = Engine(params, cfg5, ECFG, mesh=mesh)
+        assert not eng._tp_kv_rep
+        a = ref.generate([1, 5, 9], SamplingParams(max_new_tokens=8))
+        b = eng.generate([1, 5, 9], SamplingParams(max_new_tokens=8))
+        assert b.output_ids == a.output_ids

@@ -107,6 +107,7 @@ class Engine:
         self.cfg = cfg
         self.ecfg = ecfg or EngineConfig()
         self.mesh = mesh
+        self._tp_kv_rep = False  # set under mesh init below
         if self.ecfg.exact_head_k and self.ecfg.int8_logits:
             raise ValueError(
                 "int8_logits (approximate) and exact_head_k (exact) "
@@ -127,14 +128,18 @@ class Engine:
                     f"num_experts {cfg.num_experts} not divisible by tp={tp} "
                     "(the model axis doubles as the EP axis for MoE)"
                 )
-            if cfg.num_kv_heads % tp or cfg.num_heads % tp:
-                raise ValueError(f"heads ({cfg.num_heads}/{cfg.num_kv_heads}) not divisible by tp={tp}")
+            from ..parallel.sharding import tp_kv_replicated
+
+            # raises when tp cannot split the Q heads; True -> replicate
+            # KV heads/pools (flagship 20q/5kv geometry on tp=2/4)
+            self._tp_kv_rep = tp_kv_replicated(cfg, tp)
             if self.params["embed"].shape[0] % tp:
                 raise ValueError(
                     f"vocab {self.params['embed'].shape[0]} not divisible by tp={tp}"
                 )
             self.params = shard_params(
-                repack_params_for_tp(self.params, tp), mesh
+                repack_params_for_tp(self.params, tp), mesh,
+                kv_replicated=self._tp_kv_rep,
             )
         self.eos_token_id = eos_token_id
         use_pallas = self.ecfg.use_pallas

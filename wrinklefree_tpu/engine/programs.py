@@ -29,10 +29,16 @@ logger = logging.getLogger(__name__)
 
 
 def pool_spec(eng):
-    """PagedKV PartitionSpecs: KV-head lane axis sharded over 'model'."""
+    """PagedKV PartitionSpecs: KV-head lane axis sharded over 'model'
+    (replicated instead when the KV-head count doesn't divide tp —
+    parallel/sharding.tp_kv_replicated)."""
     from jax.sharding import PartitionSpec as P
 
-    spec = P(None, None, None, "model")
+    spec = (
+        P(None, None, None, None)
+        if getattr(eng, "_tp_kv_rep", False)
+        else P(None, None, None, "model")
+    )
     return PagedKV(
         spec,
         None if eng.pools.scale is None else spec,
@@ -101,7 +107,8 @@ def build_decode(eng, with_logprobs: bool = False,
             logits, pools = paged_forward(
                 params, cfg, tok[:, None], pools, page_table, sl,
                 jnp.ones_like(sl), linear_fn=lf, attention_fn=af,
-                kv_write=kvw, tp_axis=tp_axis, slot_ids=slot_ids,
+                kv_write=kvw, tp_axis=tp_axis,
+                tp_kv_replicated=eng._tp_kv_rep, slot_ids=slot_ids,
                 flash_decode=fd,
                 # exact head: forward returns the final hidden state;
                 # the head runs below under a greedy/sampling cond
@@ -216,7 +223,7 @@ def build_decode(eng, with_logprobs: bool = False,
         extra_out = (P(),) if with_mirostat else ()
         burst = jax.shard_map(
             burst, mesh=eng.mesh,
-            in_specs=(param_partition_specs(eng.params), pspec)
+            in_specs=(param_partition_specs(eng.params, eng._tp_kv_rep), pspec)
             + rep7 + (samp_spec,) + extra_in,
             out_specs=(out0, pspec, P(), P(), P(), P()) + extra_out,
             check_vma=False,
@@ -311,7 +318,7 @@ def prefill_for_bucket(eng, bucket: int, with_logprobs: bool = False,
             logits, pools = paged_forward(
                 params, cfg, tokens, pools, page_table, seq_len, new_len,
                 linear_fn=lf, attention_fn=af, kv_write=kvw, tp_axis=tp_axis,
-                slot_ids=slot_ids,
+                tp_kv_replicated=eng._tp_kv_rep, slot_ids=slot_ids,
             )
             logits = apply_logit_bias(
                 apply_penalties(
@@ -355,7 +362,8 @@ def prefill_for_bucket(eng, bucket: int, with_logprobs: bool = False,
             )
             prefill = jax.shard_map(
                 prefill, mesh=eng.mesh,
-                in_specs=(param_partition_specs(eng.params), pspec)
+                in_specs=(param_partition_specs(eng.params, eng._tp_kv_rep),
+                          pspec)
                 + rep8 + (samp_spec,),
                 out_specs=(out0, pspec),
                 check_vma=False,

@@ -668,6 +668,10 @@ def paged_forward(
     attention_fn=None,
     kv_write: str = "xla",  # "pallas" = in-place DMA kernel (TPU, unquantized)
     tp_axis: Optional[str] = None,
+    tp_kv_replicated: bool = False,  # KV replicated over tp_axis (e.g.
+    # the flagship 20q/5kv geometry on tp=2/4): pools/k/v are full per
+    # device, local Q heads scatter into the full layout for attention
+    # and slice back out (parallel/sharding.tp_kv_replicated).
     slot_ids: Optional[jax.Array] = None,  # [B] staging slots (dual layout)
     logits_all: bool = False,  # True: [B, S, V] logits (speculative verify)
     flash_decode: Optional[bool] = None,  # in-kernel page-gather decode
@@ -891,6 +895,17 @@ def paged_forward(
             v = wlin(normed, lp, l, "v").reshape(B, S, -1, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
+        if tp_axis is not None and tp_kv_replicated:
+            # KV replicated, Q head-sharded (flagship 20q/5kv on tp=2/4):
+            # scatter local Q heads into the full [NH] layout so the
+            # grouped GQA mapping stays correct, slice local heads back
+            # out afterwards (see models/bitnet.forward).
+            nh_local = q.shape[2]
+            off = jax.lax.axis_index(tp_axis) * nh_local
+            qf = jnp.zeros((B, S, cfg.num_heads, cfg.head_dim), q.dtype)
+            q = jax.lax.dynamic_update_slice(qf, q, (0, 0, off, 0))
+        else:
+            nh_local = off = None
         if dual:
             attn = attn_impl(
                 q, k, v, hist_args[0], hist_args[1], l, page_table,
@@ -905,6 +920,11 @@ def paged_forward(
             attn = attn_impl(
                 q, k, v, kv_rows, scale_rows, l, token_rows, positions,
                 seq_lens, new_lens, cfg,
+            )
+        if off is not None:
+            attn = jax.lax.dynamic_slice(
+                attn.reshape(B, S, cfg.num_heads, cfg.head_dim),
+                (0, 0, off, 0), (B, S, nh_local, cfg.head_dim),
             )
         attn = attn.reshape(B, S, -1)
         if tp_axis is None:

@@ -514,6 +514,11 @@ def forward(
     # compute_logits. Takes params as an argument (NOT a closure) so the
     # head weights stay jit parameters instead of baked-in constants.
     tp_axis: Optional[str] = None,
+    tp_kv_replicated: bool = False,  # KV heads replicated across tp_axis
+    # (num_kv_heads % tp != 0, e.g. the flagship 20q/5kv on tp=2/4 —
+    # parallel/sharding.tp_kv_replicated). k/v/cache are full-size per
+    # device; local Q heads are scattered into the full head layout for
+    # attention and sliced back out for the row-parallel o_proj.
     act_sparsity=None,  # ActivationSparsityConfig | None
     attn_sparsity=None,  # AttentionSparsityConfig | None
 ) -> Tuple[jax.Array, KVCache]:
@@ -661,7 +666,23 @@ def forward(
         ck = ck.at[batch_idx, positions].set(k)
         cv = cv.at[batch_idx, positions].set(v)
 
-        attn = _attention(q, ck, cv, positions, cfg, attn_sparsity)  # [B,S,NH_local,D]
+        if tp_axis is not None and tp_kv_replicated:
+            # KV replicated, Q head-sharded: scatter the local Q heads
+            # into the full [NH] layout (zeros elsewhere) so the grouped
+            # GQA reshape maps q->kv correctly, then slice local heads
+            # back out. Remote-head outputs are computed but discarded;
+            # at decode the cost is dominated by the (replicated) cache
+            # read either way.
+            nh_local = q.shape[2]
+            off = jax.lax.axis_index(tp_axis) * nh_local
+            qf = jnp.zeros((B, S, cfg.num_heads, cfg.head_dim), q.dtype)
+            q = jax.lax.dynamic_update_slice(qf, q, (0, 0, off, 0))
+            attn = _attention(q, ck, cv, positions, cfg, attn_sparsity)
+            attn = jax.lax.dynamic_slice(
+                attn, (0, 0, off, 0), (B, S, nh_local, cfg.head_dim)
+            )
+        else:
+            attn = _attention(q, ck, cv, positions, cfg, attn_sparsity)  # [B,S,NH_local,D]
         attn = attn.reshape(B, S, -1)
         # NOTE (TP): attn_sub_norm is a true RMS over the FULL q_dim; under
         # TP each device holds q_dim/tp of it, so the mean-square is

@@ -44,6 +44,27 @@ COL_PARALLEL = ("q", "k", "v", "gate", "up")
 ROW_PARALLEL = ("o", "down")
 
 
+def tp_kv_replicated(cfg: BitNetConfig, tp: int) -> bool:
+    """Decide the KV layout for a TP degree.
+
+    The flagship BitNet-2B has 20 Q / 5 KV heads (reference
+    legacy/src/models/bitnet.py:27-37): tp=2/4 cannot shard 5 KV heads.
+    In that case k/v projections and the KV cache are REPLICATED across
+    the model axis while Q heads (and o/gate/up/down, embed) stay
+    sharded — each device computes attention with its local Q heads
+    scattered into the full head layout (zero rows for remote heads),
+    then slices its own heads back out for the row-parallel o_proj.
+    Attention HBM traffic is then full-cache per device (not /tp), but
+    the linears — the dominant ternary-decode cost — still shard.
+
+    Raises if tp cannot split the Q heads at all."""
+    if cfg.num_heads % tp:
+        raise ValueError(
+            f"num_heads {cfg.num_heads} not divisible by tp={tp}"
+        )
+    return bool(cfg.num_kv_heads % tp)
+
+
 def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = n_data * n_model
@@ -80,13 +101,19 @@ def repack_params_for_tp(params, tp: int):
     return new
 
 
-def param_partition_specs(params) -> dict:
-    """PartitionSpec pytree matching the params structure."""
+def param_partition_specs(params, kv_replicated: bool = False) -> dict:
+    """PartitionSpec pytree matching the params structure.
+
+    kv_replicated: k/v projections replicated instead of head-sharded
+    (KV-head count not divisible by tp — see tp_kv_replicated)."""
     layers = params["layers"]
     lsp = {}
     for name in COL_PARALLEL:
         if f"{name}_qw" in layers:
-            lsp[f"{name}_qw"] = P(None, None, MODEL)
+            if kv_replicated and name in ("k", "v"):
+                lsp[f"{name}_qw"] = P(None, None, None)
+            else:
+                lsp[f"{name}_qw"] = P(None, None, MODEL)
             lsp[f"{name}_scale"] = P(None)
     for name in ROW_PARALLEL:
         if f"{name}_qw" in layers:
@@ -119,8 +146,10 @@ def param_partition_specs(params) -> dict:
     return specs
 
 
-def cache_partition_spec() -> P:
+def cache_partition_spec(kv_replicated: bool = False) -> P:
     # [L, B, T, KV, D]
+    if kv_replicated:
+        return P(None, DATA, None, None, None)
     return P(None, DATA, None, MODEL, None)
 
 
@@ -141,10 +170,10 @@ def put_sharded(x, mesh: Mesh, spec: P):
     return jax.device_put(x, sh)
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, kv_replicated: bool = False):
     """Put params on the mesh with TP NamedShardings (call
     repack_params_for_tp first when the mesh has a model axis > 1)."""
-    specs = param_partition_specs(params)
+    specs = param_partition_specs(params, kv_replicated)
     return jax.tree.map(
         lambda x, s: put_sharded(x, mesh, s),
         params,
@@ -156,7 +185,7 @@ def shard_params(params, mesh: Mesh):
 def make_tp_forward(cfg: BitNetConfig, mesh: Mesh, *, linear_fn=None, logits_all=False):
     """Build a jitted shard_map'd forward: (params, tokens, cache, start_pos)
     -> (logits, cache). Params/cache must be sharded per the specs above."""
-    pspecs = None  # resolved lazily against the params structure
+    kv_rep = tp_kv_replicated(cfg, mesh.shape[MODEL])
 
     def body(params, tokens, cache, start_pos):
         return forward(
@@ -168,18 +197,20 @@ def make_tp_forward(cfg: BitNetConfig, mesh: Mesh, *, linear_fn=None, logits_all
             linear_fn=linear_fn,
             logits_all=logits_all,
             tp_axis=MODEL,
+            tp_kv_replicated=kv_rep,
         )
 
     def build(params):
+        cspec = cache_partition_spec(kv_rep)
         in_specs = (
-            param_partition_specs(params),
+            param_partition_specs(params, kv_rep),
             P(DATA, None),  # tokens [B, S]
-            KVCache(cache_partition_spec(), cache_partition_spec()),
+            KVCache(cspec, cspec),
             P(DATA),  # start_pos [B]
         )
         out_specs = (
             P(DATA),  # logits replicated over model (all-gathered inside)
-            KVCache(cache_partition_spec(), cache_partition_spec()),
+            KVCache(cspec, cspec),
         )
         fn = jax.shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
