@@ -57,8 +57,8 @@ def main():
                     help="speculative_k (greedy n-gram drafts per step)")
     ap.add_argument("--flash-decode", default=None, choices=[None, "0", "1"],
                     help="in-kernel page-gather decode attention")
-    ap.add_argument("--prefill-mode", default="bucket",
-                    choices=["bucket", "all"],
+    ap.add_argument("--prefill-mode", default="stagger",
+                    choices=["stagger", "bucket", "all"],
                     help="prefill round membership (EngineConfig"
                          ".prefill_round_mode)")
     ap.add_argument("--max-prefill-slots", type=int, default=None,

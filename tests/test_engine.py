@@ -316,3 +316,69 @@ class TestSchedulerKnobs:
             )
         assert max_prefilling <= 1
         assert [r.output_ids for r in reqs] == want
+
+
+class TestStaggerPrefill:
+    """Depth-first chunked prefill (prefill_round_mode="stagger", the
+    default): the oldest rows take the biggest fitting bucket and only
+    budget/bucket rows advance per round, so early requests finish
+    prefill and start decoding while later rows still prefill — instead
+    of every slot finishing together (13.1 s TTFT p50 lockstep on
+    8x3968, VERDICT r3 item 2). Token-identical to the other modes."""
+
+    def _run_all(self, eng, prompts, max_new=6):
+        reqs = [eng.submit(p, SamplingParams(max_new_tokens=max_new))
+                for p in prompts]
+        while not all(r.finished for r in reqs):
+            eng.step()
+        return [r.output_ids for r in reqs]
+
+    def test_stagger_matches_bucket_mode(self, params):
+        rng = np.random.default_rng(6)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(n,)).tolist()
+                   for n in (5, 30, 12, 21, 7, 26)]
+        ecfg_b = EngineConfig(**{**ECFG.__dict__,
+                                 "prefill_round_mode": "bucket"})
+        want = self._run_all(Engine(params, CFG, ecfg_b), prompts)
+        assert ECFG.prefill_round_mode == "stagger"  # the default
+        got = self._run_all(Engine(params, CFG, ECFG), prompts)
+        assert got == want
+
+    def test_stagger_budget_matches_lockstep_budget(self, params):
+        # binding round budget: stagger runs 1 deep row/round, bucket
+        # mode runs all rows at a shrunken bucket — outputs identical
+        rng = np.random.default_rng(7)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(30,)).tolist()
+                   for _ in range(4)]
+        mk = lambda mode: EngineConfig(**{
+            **ECFG.__dict__, "prefill_round_mode": mode,
+            "max_prefill_tokens_per_round": 32,
+        })
+        want = self._run_all(Engine(params, CFG, mk("bucket")), prompts)
+        got = self._run_all(Engine(params, CFG, mk("stagger")), prompts)
+        assert got == want
+
+    def test_stagger_finishes_oldest_first(self, params):
+        """Under a binding budget the first-submitted request completes
+        its WHOLE prefill in round 1 (depth-first) while later rows have
+        not advanced; lockstep advances everyone a shallow chunk."""
+        rng = np.random.default_rng(8)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(30,)).tolist()
+                   for _ in range(4)]
+
+        def first_round_pending(mode):
+            ecfg = EngineConfig(**{
+                **ECFG.__dict__, "prefill_round_mode": mode,
+                "max_prefill_tokens_per_round": 32,
+            })
+            eng = Engine(params, CFG, ecfg)
+            reqs = [eng.submit(p, SamplingParams(max_new_tokens=2))
+                    for p in prompts]
+            eng.step()  # admit + ONE prefill round (+ decode burst)
+            return [len(r.pending or []) for r in reqs]
+
+        stag = first_round_pending("stagger")
+        assert stag[0] == 0, stag  # oldest row fully prefilled
+        assert all(p == 30 for p in stag[1:]), stag  # others untouched
+        lock = first_round_pending("bucket")
+        assert all(0 < p < 30 for p in lock), lock  # everyone shallow

@@ -151,12 +151,22 @@ class EngineConfig:
     # sustained admission can't turn the whole batch into prefill waves.
     # None = no cap (measured default; see RESULTS.md serving rows).
     max_prefill_slots: "int | None" = None
-    # Prefill round membership: "bucket" (default) runs only the oldest
-    # row's chunk-bucket group per round; "all" advances every
-    # mid-prefill row each round at that bucket width (more padding
-    # compute, fewer dispatches — candidate win on high-latency
-    # transports).
-    prefill_round_mode: str = "bucket"
+    # Prefill round membership (all modes token-identical; chunk
+    # boundaries never change outputs):
+    #   "stagger" (default): depth-first — the OLDEST mid-prefill rows
+    #     get the biggest chunk bucket that fits their pending length,
+    #     and only max_prefill_tokens_per_round/bucket rows advance per
+    #     round. Early rows finish whole prompts in 1-2 rounds and start
+    #     decoding while later rows prefill, instead of every row
+    #     finishing together (the lockstep policy measured 13.1 s TTFT
+    #     p50 on 8x3968 prefill-heavy — RESULTS.md; VERDICT r3 item 2).
+    #     Same total dispatch count and compute as lockstep.
+    #   "bucket": only the oldest row's chunk-bucket group per round,
+    #     bucket shrunk until all its rows fit the round budget
+    #     (lockstep when all rows are the same length).
+    #   "all": every mid-prefill row advances each round at the oldest
+    #     row's bucket width (more padding compute, fewer dispatches).
+    prefill_round_mode: str = "stagger"
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

@@ -676,19 +676,34 @@ class Engine:
         for i, r in rows:
             by_bucket.setdefault(self._pick_bucket(len(r.pending)), []).append((i, r))
         oldest = min(rows, key=lambda ir: ir[1].arrival_t)
-        bucket = self._pick_bucket(len(oldest[1].pending))
-        if self.ecfg.prefill_round_mode == "all":
-            # every mid-prefill row advances each round at the oldest
-            # row's bucket width (short rows pad, long rows take a
-            # bucket-sized chunk): more padding compute, ~half the
-            # dispatches — wins when round trips dominate (tunnel
-            # transports pay ~30 ms per dispatch; see RESULTS.md)
-            pass
-        else:  # "bucket" (default): only the oldest row's bucket group
-            rows = by_bucket[bucket]
+        budget = self.ecfg.max_prefill_tokens_per_round
+        mode = self.ecfg.prefill_round_mode
+        if mode == "stagger":
+            # depth-first (default): the oldest rows take the BIGGEST
+            # bucket that fits their pending length within the round
+            # budget; row count is capped by budget/bucket. Long prompts
+            # finish whole in 1-2 rounds and start decoding while later
+            # rows prefill — vs lockstep where all rows finish together
+            # (13.1 s TTFT p50 on 8x3968 — VERDICT r3 item 2). Chunk
+            # boundaries don't affect outputs, so this is token-identical
+            # to the other modes. Same total dispatches: fewer rows/round
+            # x proportionally bigger chunks.
+            bucket = self._pick_bucket(min(len(oldest[1].pending), budget))
+            nrows = max(1, budget // bucket)
+            rows = sorted(rows, key=lambda ir: (ir[1].arrival_t, ir[0]))[:nrows]
+        else:
+            bucket = self._pick_bucket(len(oldest[1].pending))
+            if mode == "all":
+                # every mid-prefill row advances each round at the oldest
+                # row's bucket width (short rows pad, long rows take a
+                # bucket-sized chunk): more padding compute, ~half the
+                # dispatches — wins when round trips dominate (tunnel
+                # transports pay ~30 ms per dispatch; see RESULTS.md)
+                pass
+            else:  # "bucket": only the oldest row's bucket group
+                rows = by_bucket[bucket]
         # bound the round's write transients: shrink the bucket until
         # rows x bucket fits the budget (never below the smallest bucket)
-        budget = self.ecfg.max_prefill_tokens_per_round
         while (
             len(rows) * bucket > budget
             and bucket > self.ecfg.prefill_buckets[0]
