@@ -15,6 +15,11 @@ bf16 bit per layer (measured: max 0.125 on hidden of magnitude ~16-32
 after one layer). Greedy argmax on RANDOM weights can flip on such
 near-ties; that is a property of any kernel whose reduction order
 differs, not an error (same reason the exact-greedy head exists).
+
+The authoritative exactness contract (which gate applies to which
+comparison) lives in ROOFLINE.md "Exactness contract" — lab-chain
+bit-exactness claims are per-input regression gates, never a
+cross-kernel (manual-vs-auto) equivalence claim.
 """
 
 import os

@@ -24,6 +24,10 @@ def cmd_serve(args):
     argv += ["--host", args.host, "--port", str(args.port)]
     if args.kv_dtype:
         argv += ["--kv-dtype", args.kv_dtype]
+    if args.tokenizer:
+        argv += ["--tokenizer", args.tokenizer]
+    if args.platform:
+        argv += ["--platform", args.platform]
     server_main(argv)
 
 
@@ -142,6 +146,10 @@ def main(argv=None):
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=30000)
     s.add_argument("--kv-dtype", default=None)
+    s.add_argument("--tokenizer", default=None,
+                   help="tokenizer.json dir (default: the model dir)")
+    s.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("generate", help="generate from a live server")
