@@ -109,3 +109,29 @@ class TestEngineSpeculative:
                 eng.step()
             outs.extend(r.output_ids for r in reqs)
         assert gots == wants
+
+
+def test_force_accept_cost_harness(tiny):
+    """spec_decode_window(force_accept=a) emits exactly a+1 tokens per
+    step and advances start accordingly — the controlled-acceptance
+    knob scripts/spec_accept_curve.py times (VERDICT r3 item 7)."""
+    from wrinklefree_tpu.models.bitnet import KVCache, forward
+    from wrinklefree_tpu.models.spec_decode import spec_decode_window
+
+    cfg, params = tiny
+    P, steps, k, acc = 8, 4, 3, 2
+    cache = KVCache.zeros(cfg, 1, 64)
+    toks = jnp.ones((1, P), jnp.int32)
+    logits, cache = forward(params, cfg, toks, cache,
+                            jnp.zeros((1,), jnp.int32), logits_all=False)
+    last = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(1)
+    hist = jnp.zeros((1, 64), jnp.int32)
+    hist = hist.at[0, :P].set(toks[0])
+    hist = hist.at[0, P].set(last[0])
+    start = jnp.full((1,), P, jnp.int32)
+    _, counts, _, _, start2, _ = spec_decode_window(
+        params, cfg, last, cache, start, hist,
+        steps=steps, k=k, force_accept=acc,
+    )
+    assert (np.asarray(counts) == acc + 1).all()
+    assert int(np.asarray(start2)[0]) == P + steps * (acc + 1)

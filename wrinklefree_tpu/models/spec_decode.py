@@ -68,7 +68,8 @@ def _draft_ngram(hist, seq_len, k: int, n: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "k", "ngram", "linear_fn"),
+    static_argnames=("cfg", "steps", "k", "ngram", "linear_fn",
+                     "force_accept"),
     donate_argnames=("cache",),
 )
 def spec_decode_window(
@@ -83,11 +84,19 @@ def spec_decode_window(
     k: int = 4,
     ngram: int = 2,
     linear_fn=None,
+    force_accept: Optional[int] = None,
 ):
     """Run `steps` speculative greedy decode steps in one dispatch.
 
     Returns (tokens [steps, B, k+1], counts [steps, B], last_tok, cache,
     start, hist). Step s emits tokens[s, b, :counts[s, b]] for row b.
+
+    force_accept: COST-HARNESS ONLY (scripts/spec_accept_curve.py) —
+    overrides the acceptance count with a fixed value in [0, k] while
+    running the identical compute (draft + k+1-token verify forward +
+    bookkeeping), so realized tok/s can be measured at a CONTROLLED
+    acceptance rate. Outputs are no longer greedy-exact (forced
+    acceptance emits unverified drafts); never use outside benchmarks.
     """
 
     def step(carry, _):
@@ -102,6 +111,8 @@ def spec_decode_window(
         # accepted = longest prefix where draft matches the model's greedy
         match = draft == g[:, :-1]  # [B, k]
         acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        if force_accept is not None:  # controlled-acceptance cost harness
+            acc = jnp.full_like(acc, min(int(force_accept), k))
         n_new = acc + 1  # emitted this step (g[:, :acc] == draft[:, :acc])
         # record emitted tokens at their positions in hist (positions
         # beyond n_new get garbage — overwritten before ever drafted
