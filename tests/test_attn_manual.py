@@ -46,8 +46,16 @@ def test_tile_gate_geometry():
     assert attn_manual_tile(1288, 5, 128) == 184
     assert attn_manual_tile(1024, 5, 128) == 512
     assert attn_manual_tile(2048, 5, 128) == 512
-    # VMEM budget cap
-    assert attn_manual_tile(4096, 5, 128) is None
+    # beyond the resident-VMEM cap: ring-streamed mode engages
+    # (VERDICT r3 item 10 — was None; scores stay full-T, k/v stream
+    # through attn_manual_ring slots)
+    from wrinklefree_tpu.ops.ternary_pallas import attn_manual_ring
+
+    assert attn_manual_ring(2048, 5, 128) == 0  # resident
+    assert attn_manual_tile(4096, 5, 128) == 512
+    assert attn_manual_ring(4096, 5, 128) > 0  # streamed
+    # far past any budget (scores alone overflow): still gated off
+    assert attn_manual_tile(16384, 5, 128) is None
 
 
 def test_flat_cache_roundtrip_cpu():
@@ -131,3 +139,76 @@ def test_stacked_manual_bitexact_unit():
                 np.float32)
             np.testing.assert_array_equal(
                 rs, np.asarray(cka[l, 0, pos], np.float32))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not TPU, reason="real-chip kernel test (WF_TPU_TESTS=1)")
+def test_ring_streamed_matches_resident():
+    """Ring-streamed cache mode (attn_manual_ring > 0, VERDICT r3 item
+    10) must be BIT-exact vs the fully-resident kernel at a T where
+    both run (per-input bitwise gate — ROOFLINE.md exactness contract),
+    and must run at T=4096 where resident mode cannot."""
+    import jax.numpy as jnp
+
+    from wrinklefree_tpu.config import BitNetConfig
+    from wrinklefree_tpu.ops import ternary_pallas as tp
+
+    cfg = BitNetConfig.bitnet_2b()
+    H, Q, KV, D = (cfg.hidden_size, cfg.q_dim, cfg.num_kv_heads,
+                   cfg.head_dim)
+    n_q = Q + 2 * KV * D
+    rng = np.random.default_rng(1)
+    L = 2
+
+    def mk(T):
+        qw = jnp.asarray(rng.integers(0, 255, (L, H // 4, n_q), np.uint8))
+        ow = jnp.asarray(rng.integers(0, 255, (L, Q // 4, H), np.uint8))
+        sq = jnp.asarray(rng.uniform(0.01, 0.02, (L, 8, n_q)), jnp.float32)
+        so = jnp.asarray(rng.uniform(0.01, 0.02, (L, 8, H)), jnp.float32)
+        nw = jnp.asarray(rng.uniform(0.9, 1.1, (L, 8, H)), jnp.float32)
+        subw = jnp.asarray(rng.uniform(0.9, 1.1, (L, 8, Q)), jnp.float32)
+        cos8 = jnp.asarray(rng.uniform(-1, 1, (1, D)), jnp.float32) \
+            * jnp.ones((8, 1), jnp.float32)
+        sin8 = jnp.asarray(rng.uniform(-1, 1, (1, D)), jnp.float32) \
+            * jnp.ones((8, 1), jnp.float32)
+        h1 = jnp.asarray(rng.standard_normal((1, H)) * 0.05, jnp.bfloat16)
+        ckf = jnp.asarray(rng.standard_normal((L * T * KV, D)) * 0.1,
+                          jnp.bfloat16)
+        cvf = jnp.asarray(rng.standard_normal((L * T * KV, D)) * 0.1,
+                          jnp.bfloat16)
+        return qw, ow, sq, so, nw, subw, cos8, sin8, h1, ckf, cvf
+
+    kw = dict(q_dim=Q, n_kv=KV, n_heads=cfg.num_heads, head_dim=D,
+              eps=cfg.rms_norm_eps, norm2=True)
+
+    # A/B at T=1288 (tt=184, nt=7): ring=3 genuinely refills slots
+    T, tt = 1288, attn_manual_tile(1288, 5, 128)
+    qw, ow, sq, so, nw, subw, cos8, sin8, h1, ckf, cvf = mk(T)
+    for pos in (0, 700, 1283):
+        h_res, ck_res, cv_res = tp.attn_block_megakernel_manual_stacked(
+            h1, ckf, cvf, qw, ow, 1, pos, sq, so, nw, subw, cos8, sin8,
+            T=T, tt=tt, ring=0, **kw)
+        h_ring, ck_ring, cv_ring = tp.attn_block_megakernel_manual_stacked(
+            h1, ckf, cvf, qw, ow, 1, pos, sq, so, nw, subw, cos8, sin8,
+            T=T, tt=tt, ring=3, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(h_res, np.float32), np.asarray(h_ring, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(ck_res, np.float32), np.asarray(ck_ring, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(cv_res, np.float32), np.asarray(cv_ring, np.float32))
+
+    # T=4096: streamed mode must run, output finite, cache row written
+    T4 = 4096
+    tt4 = attn_manual_tile(T4, 5, 128)
+    assert tt4 is not None
+    qw, ow, sq, so, nw, subw, cos8, sin8, h1, ckf, cvf = mk(T4)
+    pos = 4000
+    h4, ck4, cv4 = tp.attn_block_megakernel_manual_stacked(
+        h1, ckf, cvf, qw, ow, 0, pos, sq, so, nw, subw, cos8, sin8,
+        T=T4, tt=tt4, **kw)
+    out = np.asarray(h4, np.float32)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+    wrote = np.asarray(ck4[pos * KV:(pos + 1) * KV], np.float32)
+    before = np.asarray(ckf[pos * KV:(pos + 1) * KV], np.float32)
+    assert not np.array_equal(wrote, before)  # new-token rows landed

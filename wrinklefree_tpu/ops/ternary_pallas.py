@@ -1326,7 +1326,7 @@ def _attn_megakernel_manual(
     xq_ref, sx_ref, xq2_ref, sx2_ref, knew, vnew, kwin, vwin, oacc_ref,
     sem_qw, sem_ow, sem_k, sem_v, sem_wr,
     *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, nt, tt, q_dim,
-    n_kv, n_heads, head_dim, stacked=False, cache_rows=0,
+    n_kv, n_heads, head_dim, stacked=False, cache_rows=0, ring=0,
 ):
     """Manual-DMA attention megakernel (batch-1 decode, unrolled layer).
 
@@ -1396,15 +1396,26 @@ def _attn_megakernel_manual(
                else ow_hbm.at[:, pl.ds(g * tn_o, tn_o)])
         return pltpu.make_async_copy(src, w_ow.at[g], sem_ow.at[g])
 
+    # ring > 0: k_res/v_res hold only `ring` tiles (double/triple
+    # buffered cache stream) instead of all nt — lifts the resident-VMEM
+    # cap so T=4096+ runs; tile t lives in slot t % ring and is refilled
+    # for tile t+ring right after its last consumer (scores pass for k,
+    # PV pass for v). ring == 0 keeps every tile resident (small-T path,
+    # bit-identical to round 3's kernel).
+    def _slot(t):
+        return (t % ring) if ring else t
+
     def k_dma(t):
+        s = _slot(t)
         return pltpu.make_async_copy(
             ckr_hbm.at[pl.ds(cb + t * tt * KV, tt * KV)],
-            k_res.at[pl.ds(t * tt * KV, tt * KV)], sem_k.at[t])
+            k_res.at[pl.ds(s * tt * KV, tt * KV)], sem_k.at[s])
 
     def v_dma(t):
+        s = _slot(t)
         return pltpu.make_async_copy(
             cvr_hbm.at[pl.ds(cb + t * tt * KV, tt * KV)],
-            v_res.at[pl.ds(t * tt * KV, tt * KV)], sem_v.at[t])
+            v_res.at[pl.ds(s * tt * KV, tt * KV)], sem_v.at[s])
 
     # aligned RMW window: the 8-slot group holding slot pos
     grp = pos // 8
@@ -1419,7 +1430,7 @@ def _attn_megakernel_manual(
         qw_dma(g).start()
     rd_k.start()
     rd_v.start()
-    for t in range(nt):
+    for t in range(nt if ring == 0 else min(ring, nt)):
         @pl.when(pos > t * tt)
         def _():
             k_dma(t).start()
@@ -1507,12 +1518,17 @@ def _attn_megakernel_manual(
         def _():
             k_dma(t).wait()
             s = jax.lax.dot_general(
-                q_roped, k_res[pl.ds(t * tt * KV, tt * KV), :],
+                q_roped, k_res[pl.ds(_slot(t) * tt * KV, tt * KV), :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [R, tt*KV]
             ok = (col_head == row_head) & (col_time0 + (t * tt) < pos)
             scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.where(ok, s, -1e30)
+            if ring and t + ring < nt:
+                # slot free: stream the next k tile behind the compute
+                @pl.when(pos > (t + ring) * tt)
+                def _():
+                    k_dma(t + ring).start()
 
     # new-token scores [R, 8] (cols >= KV masked; head-matched)
     s_new = jax.lax.dot_general(
@@ -1548,10 +1564,14 @@ def _attn_megakernel_manual(
             v_dma(t).wait()
             p = scores[:, pl.ds(t * tt * KV, tt * KV)].astype(qkv.dtype)
             oacc_ref[:] += jax.lax.dot_general(
-                p, v_res[pl.ds(t * tt * KV, tt * KV), :],
+                p, v_res[pl.ds(_slot(t) * tt * KV, tt * KV), :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if ring and t + ring < nt:
+                @pl.when(pos > (t + ring) * tt)
+                def _():
+                    v_dma(t + ring).start()
     out_all = (oacc_ref[:] / denom).astype(qkv.dtype)  # [R, D]
 
     # repack head rows into qkv_s columns, then sub-norm + quant
@@ -1600,8 +1620,22 @@ def attn_manual_tile(T: int, n_kv: int, head_dim: int) -> int | None:
         return None
     # per-slot VMEM: k+v rows (bf16) + scores row block (f32)
     per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
-    if T * per_slot > 11 * 1024 * 1024:
-        return None
+    resident = T * per_slot <= _ATTN_VMEM_BUDGET
+    if not resident:
+        # ring-streamed mode (VERDICT r3 item 10: T=4096 previously
+        # returned None): only the f32 scores stay full-T; k/v stream
+        # through _ATTN_RING ring slots per side
+        scores_b = T * 8 * 8 * n_kv * 4
+        tile = None
+        for nt in range(2, 33):
+            tt = T // nt
+            if T % nt or tt % 8 or tt > 640:
+                continue
+            ring_b = 2 * _ATTN_RING * tt * n_kv * head_dim * 2
+            if scores_b + ring_b <= _ATTN_VMEM_BUDGET:
+                tile = tt
+                break
+        return tile
     if T <= 640:
         return T
     # smallest tile count whose tile is an 8-multiple <= 640 (tiny
@@ -1613,10 +1647,22 @@ def attn_manual_tile(T: int, n_kv: int, head_dim: int) -> int | None:
     return None
 
 
+_ATTN_VMEM_BUDGET = 11 * 1024 * 1024
+_ATTN_RING = 3  # ring slots per cache stream in streamed mode
+
+
+def attn_manual_ring(T: int, n_kv: int, head_dim: int) -> int:
+    """Ring depth the manual attention kernel uses for this geometry:
+    0 = every cache tile resident in VMEM (bit-identical to the round-3
+    kernel), else _ATTN_RING streamed slots per k/v side."""
+    per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
+    return 0 if T * per_slot <= _ATTN_VMEM_BUDGET else _ATTN_RING
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "dot_dtype", "eps", "norm2", "q_dim",
-                     "n_kv", "n_heads", "head_dim", "tt"),
+                     "n_kv", "n_heads", "head_dim", "tt", "ring"),
 )
 def attn_block_megakernel_manual(
     h: jax.Array,  # [1, H]
@@ -1637,6 +1683,7 @@ def attn_block_megakernel_manual(
     n_heads: int,
     head_dim: int,
     tt: int,
+    ring: int | None = None,  # None = attn_manual_ring auto; tests override
     eps: float = 1e-5,
     norm2: bool = True,
     out_dtype=jnp.bfloat16,
@@ -1659,6 +1706,8 @@ def attn_block_megakernel_manual(
     tn_o = _pick_tile_n(n_h)
     nq, no = n_q // tn_q, n_h // tn_o
     nt = T // tt
+    ring = min(attn_manual_ring(T, KV, D) if ring is None else ring, nt)
+    rt = ring if ring else nt  # resident cache tiles in VMEM
     R = KV * 8
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     if attn_sub_l is None:
@@ -1669,7 +1718,7 @@ def attn_block_megakernel_manual(
             _attn_megakernel_manual,
             dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
             tn_q=tn_q, tn_o=tn_o, nt=nt, tt=tt, q_dim=q_dim, n_kv=KV,
-            n_heads=n_heads, head_dim=D,
+            n_heads=n_heads, head_dim=D, ring=ring,
         ),
         grid=(1,),
         in_specs=[
@@ -1700,8 +1749,8 @@ def attn_block_megakernel_manual(
         scratch_shapes=[
             pltpu.VMEM((nq, k4, tn_q), jnp.uint8),
             pltpu.VMEM((no, q4, tn_o), jnp.uint8),
-            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # k resident
-            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # v resident
+            pltpu.VMEM((rt * tt * KV, D), jnp.bfloat16),  # k resident/ring
+            pltpu.VMEM((rt * tt * KV, D), jnp.bfloat16),  # v resident/ring
             pltpu.VMEM((R, nt * tt * KV), jnp.float32),  # scores
             pltpu.VMEM((8, n_q), jnp.bfloat16),
             pltpu.VMEM((R, D), jnp.bfloat16),
@@ -1716,8 +1765,8 @@ def attn_block_megakernel_manual(
             pltpu.VMEM((R, D), jnp.float32),  # PV accumulator
             pltpu.SemaphoreType.DMA((nq,)),
             pltpu.SemaphoreType.DMA((no,)),
-            pltpu.SemaphoreType.DMA((nt,)),
-            pltpu.SemaphoreType.DMA((nt,)),
+            pltpu.SemaphoreType.DMA((rt,)),
+            pltpu.SemaphoreType.DMA((rt,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1739,7 +1788,7 @@ def attn_block_megakernel_manual(
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "dot_dtype", "eps", "norm2", "q_dim",
-                     "n_kv", "n_heads", "head_dim", "tt", "T"),
+                     "n_kv", "n_heads", "head_dim", "tt", "T", "ring"),
 )
 def attn_block_megakernel_manual_stacked(
     h: jax.Array,  # [1, H]
@@ -1762,6 +1811,7 @@ def attn_block_megakernel_manual_stacked(
     n_heads: int,
     head_dim: int,
     tt: int,
+    ring: int | None = None,  # None = attn_manual_ring auto; tests override
     eps: float = 1e-5,
     norm2: bool = True,
     out_dtype=jnp.bfloat16,
@@ -1784,6 +1834,8 @@ def attn_block_megakernel_manual_stacked(
     tn_o = _pick_tile_n(n_h)
     nq, no = n_q // tn_q, n_h // tn_o
     nt = T // tt
+    ring = min(attn_manual_ring(T, KV, D) if ring is None else ring, nt)
+    rt = ring if ring else nt  # resident cache tiles in VMEM
     R = KV * 8
     scalars = jnp.stack([
         jnp.asarray(layer, jnp.int32).reshape(()),
@@ -1816,8 +1868,8 @@ def attn_block_megakernel_manual_stacked(
         scratch_shapes=[
             pltpu.VMEM((nq, k4, tn_q), jnp.uint8),
             pltpu.VMEM((no, q4, tn_o), jnp.uint8),
-            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # k resident
-            pltpu.VMEM((nt * tt * KV, D), jnp.bfloat16),  # v resident
+            pltpu.VMEM((rt * tt * KV, D), jnp.bfloat16),  # k resident/ring
+            pltpu.VMEM((rt * tt * KV, D), jnp.bfloat16),  # v resident/ring
             pltpu.VMEM((R, nt * tt * KV), jnp.float32),  # scores
             pltpu.VMEM((8, n_q), jnp.bfloat16),
             pltpu.VMEM((R, D), jnp.bfloat16),
@@ -1832,8 +1884,8 @@ def attn_block_megakernel_manual_stacked(
             pltpu.VMEM((R, D), jnp.float32),  # PV accumulator
             pltpu.SemaphoreType.DMA((nq,)),
             pltpu.SemaphoreType.DMA((no,)),
-            pltpu.SemaphoreType.DMA((nt,)),
-            pltpu.SemaphoreType.DMA((nt,)),
+            pltpu.SemaphoreType.DMA((rt,)),
+            pltpu.SemaphoreType.DMA((rt,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -1843,6 +1895,7 @@ def attn_block_megakernel_manual_stacked(
             dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
             tn_q=tn_q, tn_o=tn_o, nt=nt, tt=tt, q_dim=q_dim, n_kv=KV,
             n_heads=n_heads, head_dim=D, stacked=True, cache_rows=T * KV,
+            ring=ring,
         ),
         grid_spec=grid_spec,
         out_shape=[
