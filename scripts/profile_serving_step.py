@@ -93,6 +93,10 @@ def main():
     ap.add_argument("--exact-head", type=int, default=64)
     ap.add_argument("--top", type=int, default=15,
                     help="top-N kernels to print")
+    ap.add_argument("--phase", default="decode",
+                    choices=["decode", "prefill"],
+                    help="prefill: trace the chunked-prefill rounds "
+                         "instead (the 2.2k-tok/s prefill-heavy gap)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -122,12 +126,60 @@ def main():
     params = init_params(cfg, seed=0)
     eng = Engine(params, cfg, ecfg)
 
+    import shutil
+
+    def submit_wave():
+        return [
+            eng.submit(list(range(1, args.prompt_len + 1)),
+                       SamplingParams(max_new_tokens=4096))
+            for _ in range(args.slots)
+        ]
+
+    if args.phase == "prefill":
+        # warm the prefill programs on one wave, then trace a fresh one
+        # (disable radix reuse by varying the prompt)
+        warm = [
+            eng.submit([2 + i] * args.prompt_len,
+                       SamplingParams(max_new_tokens=1))
+            for i in range(args.slots)
+        ]
+        while not all(r.finished for r in warm):
+            eng.step()
+        reqs = submit_wave()
+        shutil.rmtree(args.trace_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        with jax.profiler.trace(args.trace_dir):
+            while any(r.slot < 0 or r.pending for r in reqs):
+                eng.step()
+        wall = time.perf_counter() - t0
+        toks = args.slots * args.prompt_len
+        log(f"prefill wall {wall:.2f}s for {toks} tokens "
+            f"({toks / wall:.0f} prefill tok/s)")
+        sums = parse_trace(args.trace_dir)
+        by_group = defaultdict(float)
+        for name, us in sums.items():
+            by_group[classify(name)] += us
+        if sums:
+            total = sum(sums.values())
+            log("--- device time for the prefill wave ---")
+            for grp, us in sorted(by_group.items(), key=lambda kv: -kv[1]):
+                log(f"  {grp:16s} {us / 1e3:9.1f} ms ({100 * us / total:5.1f}%)")
+            log(f"  {'TOTAL':16s} {total / 1e3:9.1f} ms (wall {wall * 1e3:.0f})")
+            for name, us in sorted(sums.items(), key=lambda kv: -kv[1])[:args.top]:
+                log(f"  {us / 1e3:9.2f} ms  [{classify(name):14s}] {name[:80]}")
+        print(json.dumps({
+            "metric": "prefill decomposition",
+            "model": "tiny" if args.tiny else args.model,
+            "slots": args.slots, "prompt_len": args.prompt_len,
+            "prefill_tok_s": round(toks / wall, 1),
+            "wall_s": round(wall, 2),
+            "groups": {g: round(us / 1e3, 1) for g, us in
+                       sorted(by_group.items(), key=lambda kv: -kv[1])},
+        }))
+        return
+
     # fill every slot; prefill to completion so bursts are pure decode
-    reqs = [
-        eng.submit(list(range(1, args.prompt_len + 1)),
-                   SamplingParams(max_new_tokens=4096))
-        for _ in range(args.slots)
-    ]
+    reqs = submit_wave()
     t0 = time.perf_counter()
     while any(r.slot < 0 or r.pending for r in reqs):
         eng.step()
