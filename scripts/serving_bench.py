@@ -63,6 +63,10 @@ def main():
                          ".prefill_round_mode)")
     ap.add_argument("--max-prefill-slots", type=int, default=None,
                     help="decode-slot reservation cap")
+    ap.add_argument("--prefill-linear", default="auto",
+                    choices=["auto", "pallas", "xla"],
+                    help="linear path for prefill programs only "
+                         "(EngineConfig.prefill_linear)")
     ap.add_argument("--exact-head", type=int, default=0, metavar="K",
                     help="exact-greedy head: int8 scan + bf16 top-K rescore "
                          "+ certificate (argmax-exact; 0 = off)")
@@ -113,6 +117,7 @@ def main():
         speculative_k=args.spec,
         exact_head_k=args.exact_head,
         prefill_round_mode=args.prefill_mode,
+        prefill_linear=args.prefill_linear,
         max_prefill_slots=args.max_prefill_slots,
         attn_window=args.window,
         attn_global_tokens=args.global_tokens,

@@ -382,3 +382,33 @@ class TestStaggerPrefill:
         assert all(p == 30 for p in stag[1:]), stag  # others untouched
         lock = first_round_pending("bucket")
         assert all(0 < p < 30 for p in lock), lock  # everyone shallow
+
+
+class TestPrefillLinearSwitch:
+    """EngineConfig.prefill_linear='xla': prefill programs run the
+    stacked XLA linear path while decode keeps its own — outputs must be
+    token-identical (both paths match the jnp oracle bit-for-bit)."""
+
+    def _run_all(self, eng, prompts, max_new=6):
+        reqs = [eng.submit(p, SamplingParams(max_new_tokens=max_new))
+                for p in prompts]
+        while not all(r.finished for r in reqs):
+            eng.step()
+        return [r.output_ids for r in reqs]
+
+    def test_xla_prefill_matches_default(self, params):
+        from wrinklefree_tpu.ops.ternary_pallas import (
+            make_pallas_linear_stacked,
+        )
+
+        rng = np.random.default_rng(9)
+        prompts = [rng.integers(1, CFG.vocab_size, size=(n,)).tolist()
+                   for n in (5, 30, 12, 21)]
+        lf = make_pallas_linear_stacked(interpret=True)
+        want = self._run_all(
+            Engine(params, CFG, ECFG, linear_fn=lf), prompts)
+        ecfg = EngineConfig(**{**ECFG.__dict__, "prefill_linear": "xla"})
+        eng = Engine(params, CFG, ecfg, linear_fn=lf)
+        assert eng._prefill_linear_fn is not lf  # switch engaged
+        got = self._run_all(eng, prompts)
+        assert got == want

@@ -167,6 +167,14 @@ class EngineConfig:
     #   "all": every mid-prefill row advances each round at the oldest
     #     row's bucket width (more padding compute, fewer dispatches).
     prefill_round_mode: str = "stagger"
+    # Linear path for the PREFILL programs only: "auto" (same path as
+    # decode — Pallas when use_pallas), "pallas", or "xla" (stacked XLA
+    # oracle: per-layer stack slice + fused unpack/int8-dot — candidate
+    # win at MXU-bound prefill GEMM shapes where the GEMV-oriented
+    # Pallas kernels underperform). Token-identical either way (both
+    # paths match the jnp oracle bit-for-bit). WF_PREFILL_LINEAR env
+    # overrides "auto".
+    prefill_linear: str = "auto"
     max_queue: int = 256
     # Native C++ host runtime (csrc/wf_runtime.cpp) for page-allocator +
     # radix-tree bookkeeping; auto-falls back to Python if no toolchain.

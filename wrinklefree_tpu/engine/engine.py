@@ -166,6 +166,20 @@ class Engine:
 
                 linear_fn = make_pallas_linear_stacked()
         self._linear_fn = linear_fn
+        # prefill may use a different linear path than decode (prefill
+        # GEMM shapes are MXU-bound where decode is bandwidth-bound);
+        # "auto" keeps one path, env WF_PREFILL_LINEAR overrides
+        import os as _os0
+
+        plin = self.ecfg.prefill_linear
+        if plin == "auto":
+            plin = _os0.environ.get("WF_PREFILL_LINEAR", "auto")
+        if plin == "xla" and getattr(linear_fn, "stacked", False):
+            from ..ops.ternary import make_xla_linear_stacked
+
+            self._prefill_linear_fn = make_xla_linear_stacked()
+        else:
+            self._prefill_linear_fn = linear_fn
         self._attention_fn = attention_fn
 
         e = self.ecfg

@@ -295,7 +295,9 @@ def prefill_for_bucket(eng, bucket: int, with_logprobs: bool = False,
                         return_logits: bool = False):
     key = (bucket, with_logprobs, return_logits)
     if key not in eng._prefill_jits:
-        cfg, lf, af = eng.cfg, eng._linear_fn, eng._attention_fn
+        cfg, af = eng.cfg, eng._attention_fn
+        # prefill may run a different linear path than decode
+        lf = getattr(eng, '_prefill_linear_fn', eng._linear_fn)
         kvw = eng._kv_write
         tp_axis = "model" if eng.mesh is not None else None
 

@@ -269,3 +269,29 @@ def ternary_linear(
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def ternary_linear_jit(x, qweight, weight_scale, out_dtype=jnp.bfloat16):
     return ternary_linear(x, qweight, weight_scale, out_dtype=out_dtype)
+
+
+def make_xla_linear_stacked():
+    """Stacked-weights XLA linear_fn — drop-in for the Pallas stacked fn
+    (same (x, qw_stack [L,K4,N], scale_stack, layer, ...) signature,
+    `.stacked = True`). Slices the stack at `layer` and runs the
+    XLA-fused unpack+int8-dot oracle path; the per-layer slice copy is
+    amortized over prefill-sized row counts, which is the intended use:
+    prefill programs where the MXU-bound GEMM shape may favor XLA over
+    the GEMV-oriented Pallas kernels (EngineConfig.prefill_linear)."""
+
+    def linear_fn(x, qw_stack, scale_stack, layer, out_dtype=jnp.bfloat16,
+                  quant_axis=None):
+        qw = jax.lax.dynamic_index_in_dim(qw_stack, layer, 0, keepdims=False)
+        sc = jax.lax.dynamic_index_in_dim(
+            scale_stack, layer, 0, keepdims=False
+        )
+        if sc.ndim == 2:
+            # fused per-column scale rows [8, N] (models.fuse_projections)
+            sc = sc[0]
+        return ternary_linear(
+            x, qw, sc, out_dtype=out_dtype, quant_axis=quant_axis
+        )
+
+    linear_fn.stacked = True
+    return linear_fn
