@@ -212,3 +212,61 @@ def test_ring_streamed_matches_resident():
     wrote = np.asarray(ck4[pos * KV:(pos + 1) * KV], np.float32)
     before = np.asarray(ckf[pos * KV:(pos + 1) * KV], np.float32)
     assert not np.array_equal(wrote, before)  # new-token rows landed
+
+
+def test_ring_streamed_semantics_interpret():
+    """Ring-streamed mode is bitwise-identical to resident mode in
+    Pallas interpret mode, with genuine slot refills (nt=4 > ring=3).
+    CPU-runnable half of the ring gate; the Mosaic/DMA half is the
+    WF_TPU_TESTS test above. Uses a D=128 reduced geometry (the manual
+    kernel is lane-width-128 specific)."""
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+
+    from wrinklefree_tpu.ops import ternary_pallas as tp
+
+    orig = tp.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    tp.pl.pallas_call = patched
+    try:
+        H, KV, D, NH = 256, 2, 128, 4
+        Q = NH * D
+        n_q = Q + 2 * KV * D
+        L, T, tt = 2, 64, 16  # nt=4
+        rng = np.random.default_rng(0)
+        qw = jnp.asarray(rng.integers(0, 255, (L, H // 4, n_q), np.uint8))
+        ow = jnp.asarray(rng.integers(0, 255, (L, Q // 4, H), np.uint8))
+        sq = jnp.asarray(rng.uniform(0.01, 0.02, (L, 8, n_q)), jnp.float32)
+        so = jnp.asarray(rng.uniform(0.01, 0.02, (L, 8, H)), jnp.float32)
+        nw = jnp.asarray(rng.uniform(0.9, 1.1, (L, 8, H)), jnp.float32)
+        subw = jnp.asarray(rng.uniform(0.9, 1.1, (L, 8, Q)), jnp.float32)
+        cos8 = jnp.asarray(rng.uniform(-1, 1, (1, D)), jnp.float32) \
+            * jnp.ones((8, 1), jnp.float32)
+        sin8 = jnp.asarray(rng.uniform(-1, 1, (1, D)), jnp.float32) \
+            * jnp.ones((8, 1), jnp.float32)
+        h1 = jnp.asarray(rng.standard_normal((1, H)) * 0.05, jnp.bfloat16)
+        ckf = jnp.asarray(rng.standard_normal((L * T * KV, D)) * 0.1,
+                          jnp.bfloat16)
+        cvf = jnp.asarray(rng.standard_normal((L * T * KV, D)) * 0.1,
+                          jnp.bfloat16)
+        kw = dict(q_dim=Q, n_kv=KV, n_heads=NH, head_dim=D, eps=1e-5,
+                  norm2=True)
+        for pos in (0, 17, 63):
+            h0, ck0, cv0 = tp.attn_block_megakernel_manual_stacked(
+                h1, ckf, cvf, qw, ow, 1, pos, sq, so, nw, subw, cos8,
+                sin8, T=T, tt=tt, ring=0, **kw)
+            h3, ck3, cv3 = tp.attn_block_megakernel_manual_stacked(
+                h1, ckf, cvf, qw, ow, 1, pos, sq, so, nw, subw, cos8,
+                sin8, T=T, tt=tt, ring=3, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(h0, np.float32), np.asarray(h3, np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(ck0, np.float32), np.asarray(ck3, np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(cv0, np.float32), np.asarray(cv3, np.float32))
+    finally:
+        tp.pl.pallas_call = orig

@@ -54,6 +54,7 @@ __all__ = [
     "quantize_activations",
     "ternary_matmul_reference",
     "ternary_linear",
+    "make_xla_linear_stacked",
 ]
 
 
