@@ -77,3 +77,64 @@ class TestReport:
         payload = json.loads(paths["json"].read_text())
         assert payload["metrics"]["num_requests"] == 3
         assert "# unit" in paths["markdown"].read_text()
+
+
+class TestBenchSupervisor:
+    """bench.py's retry supervisor (VERDICT r3 item 1): forwards the
+    child's JSON line on success, emits a structured error line (never a
+    bare traceback) on terminal failure."""
+
+    def _load(self):
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "wf_bench", Path(__file__).resolve().parent.parent / "bench.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_success_forwards_json(self, capsys, monkeypatch):
+        mod = self._load()
+        line = json.dumps({"metric": "x", "value": 42.0})
+        monkeypatch.setattr(
+            mod, "_run_attempt", lambda t: (0, f"noise\n{line}\n", "")
+        )
+        assert mod._supervise() == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert json.loads(out)["value"] == 42.0
+
+    def test_terminal_failure_emits_structured_error(self, capsys,
+                                                     monkeypatch):
+        mod = self._load()
+        monkeypatch.setenv("WF_BENCH_ATTEMPTS", "2")
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        monkeypatch.setattr(
+            mod, "_run_attempt", lambda t: (1, "", "boom: TPU unavailable")
+        )
+        assert mod._supervise() == 1
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(out)
+        assert rec["value"] is None and "boom" in rec["error"]
+        assert rec["attempts"] == 2
+
+    def test_retry_recovers_after_transient_failure(self, capsys,
+                                                    monkeypatch):
+        mod = self._load()
+        monkeypatch.setenv("WF_BENCH_ATTEMPTS", "3")
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        calls = {"n": 0}
+        line = json.dumps({"metric": "x", "value": 7.0})
+
+        def attempt(t):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                return -9, "", "timeout"
+            return 0, line + "\n", ""
+
+        monkeypatch.setattr(mod, "_run_attempt", attempt)
+        assert mod._supervise() == 0
+        assert calls["n"] == 3
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert json.loads(out)["value"] == 7.0
