@@ -28,17 +28,26 @@ BASELINE_TOKS = 26.9
 
 def main():
     import jax
+
+    # WF_BENCH_PLATFORM=cpu forces CPU via the config API (the axon TPU
+    # plugin ignores a runtime JAX_PLATFORMS env) — used by the tiny
+    # CPU smoke of the full bench path.
+    plat = os.environ.get("WF_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     import jax.numpy as jnp
 
     from wrinklefree_tpu.config import BitNetConfig
     from wrinklefree_tpu.models.bitnet import KVCache, forward, init_params
 
     model = os.environ.get("WF_BENCH_MODEL", "bitnet2b")
-    cfg = (
-        BitNetConfig.llama3_8b_ternary()
-        if model == "llama8b"
-        else BitNetConfig.bitnet_2b()
-    )
+    if model == "llama8b":
+        cfg = BitNetConfig.llama3_8b_ternary()
+    elif model == "tiny":  # CPU smoke of the whole bench path
+        cfg = BitNetConfig.tiny()
+    else:
+        cfg = BitNetConfig.bitnet_2b()
     prompt_len = int(os.environ.get("WF_BENCH_PROMPT", "64"))
     decode_steps = int(os.environ.get("WF_BENCH_STEPS", "64"))
     batch = int(os.environ.get("WF_BENCH_BATCH", "1"))
@@ -249,7 +258,8 @@ def main():
 
     result = {
         "metric": "%s ternary decode throughput (batch %d, greedy)"
-        % ("llama-3-8b" if model == "llama8b" else "bitnet-2b", batch),
+        % ({"llama8b": "llama-3-8b", "tiny": "tiny-smoke"}.get(
+            model, "bitnet-2b"), batch),
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / BASELINE_TOKS, 2),
