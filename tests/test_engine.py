@@ -412,3 +412,52 @@ class TestPrefillLinearSwitch:
         assert eng._prefill_linear_fn is not lf  # switch engaged
         got = self._run_all(eng, prompts)
         assert got == want
+
+
+class TestAdaptiveBurst:
+    """Adaptive decode-burst length: when every active row's remaining
+    budget fits a shorter compiled burst, the dispatcher uses it (the
+    decode step is weight-bound and batch-invariant, so tail steps past
+    the last active row's finish are whole-batch waste). Must stay
+    token-identical to full-K bursts."""
+
+    def test_short_burst_engaged_and_identical(self, params):
+        import dataclasses
+
+        ecfg = dataclasses.replace(ECFG, decode_burst=16, max_context=64)
+        ref = Engine(params, CFG, dataclasses.replace(ecfg, decode_burst=8))
+        eng = Engine(params, CFG, ecfg)
+        prompts = [[1, 5, 9, 2, 7], [3, 3, 4], [8, 1]]
+        outs, want = [], []
+        for p in prompts:
+            want.append(ref.generate(p, SamplingParams(max_new_tokens=6)).output_ids)
+            outs.append(eng.generate(p, SamplingParams(max_new_tokens=6)).output_ids)
+        assert outs == want
+        # remaining budget 6 < 16 -> the K=8 variant must have engaged
+        assert 8 in eng._decode_jits_k, list(eng._decode_jits_k)
+
+    def test_full_burst_for_long_budgets(self, params):
+        import dataclasses
+
+        ecfg = dataclasses.replace(ECFG, decode_burst=16, max_context=64)
+        eng = Engine(params, CFG, ecfg)
+        r = eng.generate([1, 2, 3], SamplingParams(max_new_tokens=40))
+        assert len(r.output_ids) == 40
+        # first bursts had remaining 40 > 16: full-K path used (shorter
+        # variants may appear only for the tail)
+        assert r.output_ids == Engine(
+            params, CFG, dataclasses.replace(ecfg, decode_burst=8)
+        ).generate([1, 2, 3], SamplingParams(max_new_tokens=40)).output_ids
+
+    def test_stop_tokens_still_respected(self, params):
+        import dataclasses
+
+        ecfg = dataclasses.replace(ECFG, decode_burst=16, max_context=64)
+        eng = Engine(params, CFG, ecfg)
+        base = eng.generate([4, 4, 4], SamplingParams(max_new_tokens=12))
+        stop = base.output_ids[2]
+        first = base.output_ids.index(stop)  # stream may repeat tokens
+        r = eng.generate([4, 4, 4], SamplingParams(
+            max_new_tokens=12, stop_token_ids=[stop]))
+        assert r.output_ids[-1] == stop and len(r.output_ids) == first + 1
+        assert r.finish_reason == "stop"

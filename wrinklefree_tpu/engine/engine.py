@@ -321,6 +321,13 @@ class Engine:
         self._lock = threading.Lock()
 
         self._decode_jit = self._build_decode()
+        # shorter-burst variants (K/2, K/4, ... >= 8), built lazily:
+        # when every active slot needs fewer than decode_burst more
+        # tokens, a full burst wastes the tail steps (up to half the
+        # decode compute at e.g. 32-new-token requests under K=64 —
+        # the radix/llama/moe serving scenarios). The dispatcher picks
+        # the smallest bucket covering the max remaining budget.
+        self._decode_jits_k: Dict[int, Callable] = {}
         self._decode_lp_jit = None  # built lazily (first logprobs request)
         self._decode_spec_jit = None  # built lazily (speculative_k > 0)
         self._decode_cand_jit = None  # built lazily (first json_mode request)
@@ -1194,6 +1201,26 @@ class Engine:
         )
         want_lp = any(self.slots[i].sampling.logprobs_k > 0 for i in rows)
         want_miro = any(self.slots[i].sampling.mirostat for i in rows)
+        # adaptive burst length: when every row finishes within this
+        # burst anyway (max remaining budget < K), a shorter compiled
+        # variant avoids whole-batch idle tail steps — the decode step
+        # cost is weight-stream-bound and batch-invariant, so steps past
+        # the LAST active row's finish are pure waste (up to half the
+        # burst on 32-new-token scenarios at K=64). Buckets are K/2^i
+        # (floor 8), built lazily, cached by the persistent compile
+        # cache. Plain variant only (logprobs/mirostat bursts are rare).
+        if not want_lp and not want_miro and K > 8:
+            rem = 1
+            for i in rows:
+                r = self.slots[i]
+                rem = max(rem, min(
+                    r.sampling.max_new_tokens - len(r.output_ids),
+                    room_cap - r.seq_len,
+                ))
+            k_eff = K
+            while k_eff // 2 >= max(8, rem):
+                k_eff //= 2
+            K = k_eff
         if want_miro:
             if self._decode_miro_jit is None:
                 self._decode_miro_jit = self._build_decode(with_mirostat=True)
@@ -1208,6 +1235,14 @@ class Engine:
                 if self._decode_lp_jit is None:
                     self._decode_lp_jit = self._build_decode(with_logprobs=True)
                 fn = self._decode_lp_jit
+            elif K != self.ecfg.decode_burst:
+                if K not in self._decode_jits_k:
+                    from .programs import build_decode
+
+                    self._decode_jits_k[K] = build_decode(
+                        self, burst_steps=K
+                    )
+                fn = self._decode_jits_k[K]
             else:
                 fn = self._decode_jit
             outs_d, self.pools, d_last, d_sl, d_ctr, d_ring = fn(
@@ -1225,11 +1260,11 @@ class Engine:
             else:
                 toks_d, lp_data = outs_d, None
             toks = np.asarray(toks_d)  # [K, S] — the burst's single D2H fetch
-            self.stats["decode_steps"] += K
+            self.stats["decode_steps"] += toks.shape[0]
 
             for i in rows:
                 req = self.slots[i]
-                for k in range(K):
+                for k in range(toks.shape[0]):
                     if req.finished:
                         break
                     if req.seq_len >= room_cap:

@@ -48,7 +48,8 @@ def pool_spec(eng):
 
 def build_decode(eng, with_logprobs: bool = False,
                   return_logits: bool = False,
-                  with_mirostat: bool = False):
+                  with_mirostat: bool = False,
+                  burst_steps: int | None = None):
     """Fused K-step decode burst: a device-side `lax.scan` samples K
     tokens per slot per dispatch, so tunnel/host round-trips are paid
     once per K tokens instead of per token (the decode-loop-overhead
@@ -70,7 +71,7 @@ def build_decode(eng, with_logprobs: bool = False,
     FED, not when it is sampled."""
     cfg, lf, af = eng.cfg, eng._linear_fn, eng._attention_fn
     kvw = eng._kv_write
-    K = 1 if return_logits else eng.ecfg.decode_burst
+    K = 1 if return_logits else (burst_steps or eng.ecfg.decode_burst)
     tp_axis = "model" if eng.mesh is not None else None
     fd = eng.ecfg.flash_decode
     ek = (
