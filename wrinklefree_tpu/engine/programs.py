@@ -453,6 +453,27 @@ def warmup(eng, *, prefill_batches=(1,), page_buckets=None,
         ).compile()
         timings[f"decode_burst[mp={mp}]"] = _time.perf_counter() - t0
 
+        if full:
+            # adaptive short-burst variants (engine _dispatch_burst):
+            # K/2^i down to 8, engaged when every row's remaining
+            # budget fits a shorter burst
+            k = eng.ecfg.decode_burst
+            while k // 2 >= 8:
+                k //= 2
+                if k not in eng._decode_jits_k:
+                    eng._decode_jits_k[k] = build_decode(eng, burst_steps=k)
+                t0 = _time.perf_counter()
+                eng._decode_jits_k[k].lower(
+                    params_s, pools_s, sds((S,), jnp.int32),
+                    sds((S, mp), jnp.int32), sds((S,), jnp.int32),
+                    sds((S,), jnp.uint32), sds((S,), jnp.int32),
+                    sds((S,), jnp.int32), sds((S, W), jnp.int32),
+                    samp_s(S), sds((S,), jnp.float32),
+                ).compile()
+                timings[f"decode_burst[mp={mp},K={k}]"] = (
+                    _time.perf_counter() - t0
+                )
+
     for bucket in eng.ecfg.prefill_buckets:
         # the live prefill's page-table width is
         # _pages_bucket(seq_len + chunk + 1), NOT a constant: warm the
