@@ -461,3 +461,57 @@ class TestAdaptiveBurst:
             max_new_tokens=12, stop_token_ids=[stop]))
         assert r.output_ids[-1] == stop and len(r.output_ids) == first + 1
         assert r.finish_reason == "stop"
+
+
+class TestInFlightPrefixSharing:
+    """Eager radix insert (at prefill completion) + in-queue re-match:
+    a same-wave shared-prefix admission no longer prefills the prefix
+    once per slot — row 0 publishes it, untouched rows adopt it before
+    their first chunk (works WITH staggered prefill, which keeps later
+    rows untouched while row 0 finishes)."""
+
+    def test_wave_shares_prefix_and_outputs_identical(self, params):
+        import dataclasses
+
+        rng = np.random.default_rng(11)
+        shared = rng.integers(1, CFG.vocab_size, size=(24,)).tolist()
+        prompts = [shared + rng.integers(1, CFG.vocab_size, size=(4,)).tolist()
+                   for _ in range(4)]
+        ecfg = dataclasses.replace(
+            ECFG, max_prefill_tokens_per_round=32)  # binding: depth-first
+        plain = Engine(params, CFG,
+                       dataclasses.replace(ecfg, enable_radix_cache=False))
+        eng = Engine(params, CFG, ecfg)
+
+        def run(e, ps):
+            rs = [e.submit(p, SamplingParams(max_new_tokens=5)) for p in ps]
+            while not all(r.finished for r in rs):
+                e.step()
+            return [r.output_ids for r in rs]
+
+        want = run(plain, prompts)
+        got = run(eng, prompts)
+        assert got == want
+        # rows 1-3 adopted the 24-token shared prefix (16 tokens = one
+        # full 2-page-aligned chunk at page_size 8 -> >= 16 each)
+        assert eng.stats["radix_hit_tokens"] >= 3 * 16, eng.stats
+        # and the engine prefilled FAR fewer tokens than 4 full prompts
+        assert eng.stats["prefill_tokens"] < plain.stats["prefill_tokens"]
+
+    def test_page_accounting_clean_after_sharing(self, params):
+        import dataclasses
+
+        rng = np.random.default_rng(12)
+        shared = rng.integers(1, CFG.vocab_size, size=(24,)).tolist()
+        prompts = [shared + rng.integers(1, CFG.vocab_size, size=(4,)).tolist()
+                   for _ in range(4)]
+        ecfg = dataclasses.replace(ECFG, max_prefill_tokens_per_round=32)
+        eng = Engine(params, CFG, ecfg)
+        rs = [eng.submit(p, SamplingParams(max_new_tokens=5)) for p in prompts]
+        while not all(r.finished for r in rs):
+            eng.step()
+        free0 = eng.allocator.num_free
+        # all remaining held pages belong to the radix tree; dropping it
+        # must return the pool to full
+        eng.radix.reset()
+        assert eng.allocator.num_free == eng.ecfg.num_pages - 1  # page 0 trash

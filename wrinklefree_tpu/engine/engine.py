@@ -675,6 +675,49 @@ class Engine:
                 self.slot_bias_vals[slot, k] = float(bv)
         self._dirty = True
 
+    def _rematch_prefix(self, slot: int, req: Request) -> None:
+        """Re-run the radix match for a row that has not written any KV
+        yet (seq_len == matched_tokens) and adopt any longer cached
+        prefix: lock the new nodes, release the superseded own pages,
+        rebuild the page-table row. Token-identical — only WHO computes
+        the shared prefix changes."""
+        ps = self.page_size
+        src = req.prompt_ids + req.output_ids
+        matched, pages, nodes = self.radix.match(src)
+        while matched >= len(src) and nodes:  # at least one token must run
+            nodes.pop()
+            pages.pop()
+            matched -= ps
+        if matched <= req.matched_tokens:
+            return
+        gained_pages = (matched - req.matched_tokens) // ps
+        # defensive: never adopt more than the own pages we can release
+        while gained_pages > len(req.pages) and nodes:
+            nodes.pop()
+            pages.pop()
+            matched -= ps
+            gained_pages -= 1
+        if matched <= req.matched_tokens:
+            return
+        self.radix.lock(nodes)
+        self.radix.unlock(req.matched_nodes)
+        # own pages for the newly-covered slots are unwritten: release
+        release = req.pages[:gained_pages]
+        req.pages = req.pages[gained_pages:]
+        self.allocator.release_all(release)
+        self.stats["radix_hit_tokens"] += matched - req.matched_tokens
+        req.matched_nodes = nodes
+        req.matched_pages = pages
+        req.matched_tokens = matched
+        req.seq_len = matched
+        req.pending = list(src[matched:])
+        all_pages = pages + req.pages
+        row = np.zeros((self.max_pages_per_seq,), np.int32)
+        row[: len(all_pages)] = all_pages
+        self.page_table[slot] = row
+        self.seq_lens[slot] = matched
+        self._dirty = True
+
     def _prefill_round(self) -> bool:
         """One batched prefill dispatch: the next chunk for EVERY
         mid-prefill slot at once. Rows are padded to a power-of-two
@@ -688,6 +731,19 @@ class Engine:
         ]
         if not rows:
             return False
+        if self.radix is not None:
+            # in-queue re-match: rows that haven't written any KV yet can
+            # adopt prefix pages another row published since admission
+            # (eager insert below). With staggered prefill this collapses
+            # a shared-prefix admission wave from N full prefills to ~1 +
+            # N-1 suffixes: row 0 finishes whole in round 1 and inserts;
+            # the untouched rows re-match before their first chunk.
+            for i, r in rows:
+                if r.seq_len == r.matched_tokens:
+                    self._rematch_prefix(i, r)
+            rows = [(i, r) for i, r in rows if r.pending]
+            if not rows:
+                return False
         NS = len(self.slots)
         # group rows by their natural chunk bucket — padding every row to
         # the round's max bucket wastes up to max/min bucket compute when
@@ -840,6 +896,19 @@ class Engine:
             self.seq_lens[i] = r.seq_len
             self.stats["prefill_tokens"] += len(chunk)
             if not r.pending:  # prompt fully cached: first sampled token
+                if self.radix is not None:
+                    # EAGER insert: publish the prompt's full pages now
+                    # (not at finish) so queued same-wave rows can adopt
+                    # them via _rematch_prefix. insert() skips existing
+                    # chunks, so the finish-time insert stays a no-op
+                    # for these pages.
+                    fullp = r.seq_len // self.page_size
+                    if fullp > 0:
+                        src_r = r.prompt_ids + r.output_ids
+                        self.radix.insert(
+                            src_r[: fullp * self.page_size],
+                            (r.matched_pages + r.pages)[:fullp],
+                        )
                 if nxt_np is None:
                     nxt_np = np.asarray(nxt)
                 status = ""
