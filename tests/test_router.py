@@ -68,3 +68,58 @@ class TestMultihost:
         # default: tp = local devices
         m2 = global_mesh()
         assert m2.shape["model"] == jax.local_device_count()
+
+
+class TestCacheAwareRouting:
+    """Cache-aware DP routing: a request whose prompt has a cached
+    prefix on some replica routes there (within the load slack);
+    fresh prompts still spread least-loaded."""
+
+    def _mk(self):
+        params = init_params(CFG, seed=0)
+        return ReplicaRouter([Engine(params, CFG, ECFG) for _ in range(2)])
+
+    def test_routes_to_cached_replica(self):
+        router = self._mk()
+        shared = list(range(1, 25))  # 24 tokens = 3 full pages
+        # warm replica 1 directly so its radix holds the prefix
+        e1 = router.engines[1]
+        e1.generate(shared + [30], SamplingParams(max_new_tokens=4))
+        assert e1.prefix_match_len(shared) >= 16
+        # router must prefer the cached replica despite round-robin
+        for _ in range(3):
+            assert router.pick(shared + [31]) is e1
+        hits0 = e1.stats["radix_hit_tokens"]
+        r = router.generate(shared + [31], SamplingParams(max_new_tokens=4))
+        assert e1.stats["radix_hit_tokens"] > hits0
+        assert len(r.output_ids) == 4
+
+    def test_fresh_prompts_spread(self):
+        router = self._mk()
+        picks = {id(router.pick([7, 7, 7])) for _ in range(4)}
+        assert len(picks) == 2  # no cached prefix anywhere: round-robin
+
+    def test_load_slack_bounds_hotspotting(self):
+        router = self._mk()
+        router.load_slack = 0
+        shared = list(range(1, 25))
+        e1 = router.engines[1]
+        e1.generate(shared + [30], SamplingParams(max_new_tokens=2))
+        # pile queue depth onto the cached replica beyond the slack
+        held = [e1.submit([40 + i], SamplingParams(max_new_tokens=2))
+                for i in range(3)]
+        assert router.pick(shared + [31]) is router.engines[0]
+        while not all(h.finished for h in held):
+            e1.step()
+
+    def test_cache_aware_off(self):
+        params = init_params(CFG, seed=0)
+        router = ReplicaRouter(
+            [Engine(params, CFG, ECFG) for _ in range(2)],
+            cache_aware=False,
+        )
+        shared = list(range(1, 25))
+        router.engines[1].generate(shared + [30],
+                                   SamplingParams(max_new_tokens=2))
+        picks = {id(router.pick(shared + [31])) for _ in range(4)}
+        assert len(picks) == 2  # pure least-loaded/round-robin

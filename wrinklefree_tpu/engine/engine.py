@@ -482,6 +482,16 @@ class Engine:
             or any(s is not None for s in self.slots)
         )
 
+    def prefix_match_len(self, prompt_ids) -> int:
+        """Length (tokens) of this engine's cached radix prefix for the
+        prompt — read-only probe for cache-aware DP routing
+        (parallel/router.py). 0 without a radix cache."""
+        if self.radix is None:
+            return 0
+        with self._lock:
+            matched, _pages, _nodes = self.radix.match(list(prompt_ids))
+        return matched
+
     # ------------------------------------------------------------------
     # preemption: snapshot / restore
     # ------------------------------------------------------------------
