@@ -313,8 +313,10 @@ def _run_attempt(timeout_s):
 
 def _supervise():
     """Retry-with-backoff supervisor. Emits ONE JSON line no matter what."""
-    attempts = int(os.environ.get("WF_BENCH_ATTEMPTS", "5"))
-    timeout_s = float(os.environ.get("WF_BENCH_ATTEMPT_TIMEOUT", "1500"))
+    attempts = int(os.environ.get("WF_BENCH_ATTEMPTS", "4"))
+    # r2's cold run: 24 s init + 139 s first prefill compile + decode
+    # window compiles — 1800 s covers a fully cold attempt with margin
+    timeout_s = float(os.environ.get("WF_BENCH_ATTEMPT_TIMEOUT", "1800"))
     backoffs = [20, 45, 90, 150, 240]
     last_err = ""
     for i in range(attempts):
