@@ -1508,8 +1508,17 @@ def _attn_megakernel_manual(
 
     # scores pass: one joint dot per tile over [tt*KV, D] rows; column
     # c of tile t is (time t*tt + c//KV, head c%KV); the head mask
-    # keeps each packed q row on its own kv head
-    scores[:] = jnp.full((R, nt * tt * KV), -1e30, jnp.float32)
+    # keeps each packed q row on its own kv head.
+    # Init only the tiles the pass will NOT visit (pos <= t*tt): visited
+    # tiles write every column (the masked where covers the full tile),
+    # so a full-buffer init would be redundant VPU traffic — at long T
+    # that's half the scores-buffer writes.
+    for t in range(nt):
+        @pl.when(pos <= t * tt)
+        def _():
+            scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.full(
+                (R, tt * KV), -1e30, jnp.float32
+            )
     row_head = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 0) // 8
     col_head = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 1) % KV
     col_time0 = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 1) // KV
