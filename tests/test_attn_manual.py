@@ -270,3 +270,65 @@ def test_ring_streamed_semantics_interpret():
                 np.asarray(cv0, np.float32), np.asarray(cv3, np.float32))
     finally:
         tp.pl.pallas_call = orig
+
+
+def test_value_softmax_matches_scratch_interpret(monkeypatch):
+    """WF_ATTN_VSM=1 (single-tile value-form softmax, chip-day
+    experiment) must be bitwise-identical to the scratch-buffer path in
+    interpret mode, including pos=0 (empty history: garbage k/v must be
+    masked/guarded out)."""
+    import jax.numpy as jnp
+
+    from wrinklefree_tpu.ops import ternary_pallas as tp
+
+    orig = tp.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    tp.pl.pallas_call = patched
+    try:
+        H, KV, D, NH = 256, 2, 128, 4
+        Q = NH * D
+        n_q = Q + 2 * KV * D
+        L, T = 2, 64  # single tile (tt = T)
+        rng = np.random.default_rng(3)
+        qw = jnp.asarray(rng.integers(0, 255, (L, H // 4, n_q), np.uint8))
+        ow = jnp.asarray(rng.integers(0, 255, (L, Q // 4, H), np.uint8))
+        sq = jnp.asarray(rng.uniform(0.01, 0.02, (L, 8, n_q)), jnp.float32)
+        so = jnp.asarray(rng.uniform(0.01, 0.02, (L, 8, H)), jnp.float32)
+        nw = jnp.asarray(rng.uniform(0.9, 1.1, (L, 8, H)), jnp.float32)
+        subw = jnp.asarray(rng.uniform(0.9, 1.1, (L, 8, Q)), jnp.float32)
+        cos8 = jnp.asarray(rng.uniform(-1, 1, (1, D)), jnp.float32) \
+            * jnp.ones((8, 1), jnp.float32)
+        sin8 = jnp.asarray(rng.uniform(-1, 1, (1, D)), jnp.float32) \
+            * jnp.ones((8, 1), jnp.float32)
+        h1 = jnp.asarray(rng.standard_normal((1, H)) * 0.05, jnp.bfloat16)
+        ckf = jnp.asarray(rng.standard_normal((L * T * KV, D)) * 0.1,
+                          jnp.bfloat16)
+        cvf = jnp.asarray(rng.standard_normal((L * T * KV, D)) * 0.1,
+                          jnp.bfloat16)
+        kw = dict(q_dim=Q, n_kv=KV, n_heads=NH, head_dim=D, eps=1e-5,
+                  norm2=True)
+        import jax
+
+        for pos in (0, 17, 63):
+            monkeypatch.delenv("WF_ATTN_VSM", raising=False)
+            jax.clear_caches()
+            h0, ck0, cv0 = tp.attn_block_megakernel_manual_stacked(
+                h1, ckf, cvf, qw, ow, 1, pos, sq, so, nw, subw, cos8,
+                sin8, T=T, tt=T, ring=0, **kw)
+            monkeypatch.setenv("WF_ATTN_VSM", "1")
+            jax.clear_caches()
+            h2, ck2, cv2 = tp.attn_block_megakernel_manual_stacked(
+                h1, ckf, cvf, qw, ow, 1, pos, sq, so, nw, subw, cos8,
+                sin8, T=T, tt=T, ring=0, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(h0, np.float32), np.asarray(h2, np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(ck0, np.float32), np.asarray(ck2, np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(cv0, np.float32), np.asarray(cv2, np.float32))
+    finally:
+        tp.pl.pallas_call = orig

@@ -1327,6 +1327,7 @@ def _attn_megakernel_manual(
     sem_qw, sem_ow, sem_k, sem_v, sem_wr,
     *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, nt, tt, q_dim,
     n_kv, n_heads, head_dim, stacked=False, cache_rows=0, ring=0,
+    vsm=False,
 ):
     """Manual-DMA attention megakernel (batch-1 decode, unrolled layer).
 
@@ -1513,31 +1514,9 @@ def _attn_megakernel_manual(
     # tiles write every column (the masked where covers the full tile),
     # so a full-buffer init would be redundant VPU traffic — at long T
     # that's half the scores-buffer writes.
-    for t in range(nt):
-        @pl.when(pos <= t * tt)
-        def _():
-            scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.full(
-                (R, tt * KV), -1e30, jnp.float32
-            )
     row_head = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 0) // 8
     col_head = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 1) % KV
     col_time0 = jax.lax.broadcasted_iota(jnp.int32, (R, tt * KV), 1) // KV
-    for t in range(nt):
-        @pl.when(pos > t * tt)
-        def _():
-            k_dma(t).wait()
-            s = jax.lax.dot_general(
-                q_roped, k_res[pl.ds(_slot(t) * tt * KV, tt * KV), :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [R, tt*KV]
-            ok = (col_head == row_head) & (col_time0 + (t * tt) < pos)
-            scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.where(ok, s, -1e30)
-            if ring and t + ring < nt:
-                # slot free: stream the next k tile behind the compute
-                @pl.when(pos > (t + ring) * tt)
-                def _():
-                    k_dma(t + ring).start()
 
     # new-token scores [R, 8] (cols >= KV masked; head-matched)
     s_new = jax.lax.dot_general(
@@ -1548,39 +1527,106 @@ def _attn_megakernel_manual(
     rowh = jax.lax.broadcasted_iota(jnp.int32, (R, 8), 0) // 8
     s_new = jnp.where((colh == rowh) & (colh < KV), s_new, -1e30)
 
-    # exact two-pass softmax over buffer + new column
-    m = jnp.maximum(
-        jnp.max(scores[:], axis=-1, keepdims=True),
-        jnp.max(s_new, axis=-1, keepdims=True),
-    )  # [R, 1]
-    scores[:] = jnp.exp(scores[:] - m)
-    e_new = jnp.exp(s_new - m)  # [R, 8]
-    denom = (
-        jnp.sum(scores[:], axis=-1, keepdims=True)
-        + jnp.sum(e_new, axis=-1, keepdims=True)
-    )
-
-    # PV: tiled accumulation (VMEM ref — pl.when bodies cannot carry
-    # Python values out) from resident v + the new-token term
-    oacc_ref[:] = jax.lax.dot_general(
-        e_new, vnew[:].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    for t in range(nt):
-        @pl.when(pos > t * tt)
+    if vsm:
+        # single-tile VALUE-form softmax (WF_ATTN_VSM experiment):
+        # scores never round-trip through the scratch buffer — the
+        # masked where keeps any unstreamed-garbage k (pos == 0) out,
+        # and the PV dot is guarded so garbage v never multiplies.
+        # Bit-identical to the scratch path (same reduction shapes,
+        # same bf16 cast before the PV dot).
+        assert nt == 1
+        @pl.when(pos > 0)
         def _():
-            v_dma(t).wait()
-            p = scores[:, pl.ds(t * tt * KV, tt * KV)].astype(qkv.dtype)
+            k_dma(0).wait()
+        s = jax.lax.dot_general(
+            q_roped, k_res[pl.ds(0, tt * KV), :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ok = (col_head == row_head) & (col_time0 < pos)
+        s = jnp.where(ok, s, -1e30)
+        m = jnp.maximum(
+            jnp.max(s, axis=-1, keepdims=True),
+            jnp.max(s_new, axis=-1, keepdims=True),
+        )
+        e = jnp.exp(s - m)
+        e_new = jnp.exp(s_new - m)
+        denom = (
+            jnp.sum(e, axis=-1, keepdims=True)
+            + jnp.sum(e_new, axis=-1, keepdims=True)
+        )
+        oacc_ref[:] = jax.lax.dot_general(
+            e_new, vnew[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        @pl.when(pos > 0)
+        def _():
+            v_dma(0).wait()
             oacc_ref[:] += jax.lax.dot_general(
-                p, v_res[pl.ds(_slot(t) * tt * KV, tt * KV), :],
+                e.astype(qkv.dtype), v_res[pl.ds(0, tt * KV), :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if ring and t + ring < nt:
-                @pl.when(pos > (t + ring) * tt)
-                def _():
-                    v_dma(t + ring).start()
+    else:
+        # Init only the tiles the scores pass will NOT visit
+        # (pos <= t*tt): visited tiles write every column.
+        for t in range(nt):
+            @pl.when(pos <= t * tt)
+            def _():
+                scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.full(
+                    (R, tt * KV), -1e30, jnp.float32
+                )
+        for t in range(nt):
+            @pl.when(pos > t * tt)
+            def _():
+                k_dma(t).wait()
+                s = jax.lax.dot_general(
+                    q_roped, k_res[pl.ds(_slot(t) * tt * KV, tt * KV), :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [R, tt*KV]
+                ok = (col_head == row_head) & (col_time0 + (t * tt) < pos)
+                scores[:, pl.ds(t * tt * KV, tt * KV)] = jnp.where(ok, s, -1e30)
+                if ring and t + ring < nt:
+                    # slot free: stream the next k tile behind the compute
+                    @pl.when(pos > (t + ring) * tt)
+                    def _():
+                        k_dma(t + ring).start()
+
+        # exact two-pass softmax over buffer + new column
+        m = jnp.maximum(
+            jnp.max(scores[:], axis=-1, keepdims=True),
+            jnp.max(s_new, axis=-1, keepdims=True),
+        )  # [R, 1]
+        scores[:] = jnp.exp(scores[:] - m)
+        e_new = jnp.exp(s_new - m)  # [R, 8]
+        denom = (
+            jnp.sum(scores[:], axis=-1, keepdims=True)
+            + jnp.sum(e_new, axis=-1, keepdims=True)
+        )
+
+        # PV: tiled accumulation (VMEM ref — pl.when bodies cannot carry
+        # Python values out) from resident v + the new-token term
+        oacc_ref[:] = jax.lax.dot_general(
+            e_new, vnew[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for t in range(nt):
+            @pl.when(pos > t * tt)
+            def _():
+                v_dma(t).wait()
+                p = scores[:, pl.ds(t * tt * KV, tt * KV)].astype(qkv.dtype)
+                oacc_ref[:] += jax.lax.dot_general(
+                    p, v_res[pl.ds(_slot(t) * tt * KV, tt * KV), :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if ring and t + ring < nt:
+                    @pl.when(pos > (t + ring) * tt)
+                    def _():
+                        v_dma(t + ring).start()
     out_all = (oacc_ref[:] / denom).astype(qkv.dtype)  # [R, D]
 
     # repack head rows into qkv_s columns, then sub-norm + quant
@@ -1625,7 +1671,12 @@ def attn_manual_tile(T: int, n_kv: int, head_dim: int) -> int | None:
     T=1024 it is 8.9 vs 41.9 and beyond T=1638 the auto kernel cannot
     run at all (VMEM cap). Lab chains overstate the auto kernel ~2x
     (27.8 measured solo) — gate on the in-window numbers."""
-    if T % 8 or T < 512:
+    import os as _os
+
+    # experiment knob: lower the auto/manual crossover floor (the auto
+    # kernel wins below ~512 per in-window profiling — ROOFLINE.md)
+    tmin = int(_os.environ.get("WF_ATTN_MANUAL_TMIN", "512"))
+    if T % 8 or T < tmin:
         return None
     # per-slot VMEM: k+v rows (bf16) + scores row block (f32)
     per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
@@ -1717,6 +1768,8 @@ def attn_block_megakernel_manual(
     nt = T // tt
     ring = min(attn_manual_ring(T, KV, D) if ring is None else ring, nt)
     rt = ring if ring else nt  # resident cache tiles in VMEM
+    import os as _os
+    vsm = nt == 1 and _os.environ.get("WF_ATTN_VSM", "0") == "1"
     R = KV * 8
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     if attn_sub_l is None:
@@ -1727,7 +1780,7 @@ def attn_block_megakernel_manual(
             _attn_megakernel_manual,
             dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
             tn_q=tn_q, tn_o=tn_o, nt=nt, tt=tt, q_dim=q_dim, n_kv=KV,
-            n_heads=n_heads, head_dim=D, ring=ring,
+            n_heads=n_heads, head_dim=D, ring=ring, vsm=vsm,
         ),
         grid=(1,),
         in_specs=[
@@ -1845,6 +1898,8 @@ def attn_block_megakernel_manual_stacked(
     nt = T // tt
     ring = min(attn_manual_ring(T, KV, D) if ring is None else ring, nt)
     rt = ring if ring else nt  # resident cache tiles in VMEM
+    import os as _os
+    vsm = nt == 1 and _os.environ.get("WF_ATTN_VSM", "0") == "1"
     R = KV * 8
     scalars = jnp.stack([
         jnp.asarray(layer, jnp.int32).reshape(()),
@@ -1904,7 +1959,7 @@ def attn_block_megakernel_manual_stacked(
             dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
             tn_q=tn_q, tn_o=tn_o, nt=nt, tt=tt, q_dim=q_dim, n_kv=KV,
             n_heads=n_heads, head_dim=D, stacked=True, cache_rows=T * KV,
-            ring=ring,
+            ring=ring, vsm=vsm,
         ),
         grid_spec=grid_spec,
         out_shape=[
