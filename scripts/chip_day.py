@@ -40,6 +40,12 @@ def steps(out: Path):
          {**e, "WF_BENCH_PROMPT": "2048", "WF_BENCH_STEPS": "64"}),
         ("bench_ctx3968", [PY, "bench.py"], 1800,
          {**e, "WF_BENCH_PROMPT": "3968", "WF_BENCH_STEPS": "64"}),
+        # small-T attention experiments (VERDICT r3 item 6): manual
+        # kernel engaged below the 512 floor, value-form softmax on
+        ("bench_smallT_manual", [PY, "bench.py"], 1800,
+         {**e, "WF_ATTN_MANUAL_TMIN": "256"}),
+        ("bench_smallT_manual_vsm", [PY, "bench.py"], 1800,
+         {**e, "WF_ATTN_MANUAL_TMIN": "256", "WF_ATTN_VSM": "1"}),
         ("profile_decode_step", [PY, "scripts/profile_serving_step.py",
                                  "--slots", "16", "--bursts", "4"], 2400, e),
         ("profile_prefill", [PY, "scripts/profile_serving_step.py",
