@@ -155,7 +155,7 @@ def main():
     # random tokens is negligible)
     warm = [
         eng.submit([int(t) for t in wrng.integers(1, cfg.vocab_size, args.prompt_len)],
-                   SamplingParams(max_new_tokens=2))
+                   SamplingParams(max_new_tokens=args.new_tokens))
         for i in range(args.slots)
     ]
     while not all(r.finished for r in warm):
@@ -168,7 +168,7 @@ def main():
     # scenario after a kernel change invalidated the compile cache)
     warm2 = [
         eng.submit([int(t) for t in wrng.integers(1, cfg.vocab_size, args.prompt_len)],
-                   SamplingParams(max_new_tokens=2))
+                   SamplingParams(max_new_tokens=args.new_tokens))
         for i in range(args.streams)
     ]
     while not all(r.finished for r in warm2):

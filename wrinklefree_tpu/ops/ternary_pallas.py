@@ -1714,8 +1714,17 @@ _ATTN_RING = 3  # ring slots per cache stream in streamed mode
 def attn_manual_ring(T: int, n_kv: int, head_dim: int) -> int:
     """Ring depth the manual attention kernel uses for this geometry:
     0 = every cache tile resident in VMEM (bit-identical to the round-3
-    kernel), else _ATTN_RING streamed slots per k/v side."""
+    kernel), else _ATTN_RING streamed slots per k/v side.
+
+    WF_ATTN_FORCE_RING=1 streams even when the cache fits resident —
+    chip A/B knob: at mid-T (resident tile picks degrade to many small
+    tiles, e.g. T=2312 -> tt=136 x 17) the streamed pipeline measured
+    FASTER than the resident copy-in (bench_ctx2048 anomaly)."""
+    import os as _os
+
     per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
+    if _os.environ.get("WF_ATTN_FORCE_RING", "0") == "1":
+        return _ATTN_RING
     return 0 if T * per_slot <= _ATTN_VMEM_BUDGET else _ATTN_RING
 
 
