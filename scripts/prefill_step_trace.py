@@ -72,7 +72,11 @@ def main():
             eng.submit(
                 [int(t) for t in
                  wrng.integers(1, cfg.vocab_size, args.prompt_len)],
-                SamplingParams(max_new_tokens=2),
+                # full token budget: warmup must cover every decode
+                # program variant the measured wave reaches (ADVICE r4
+                # item 2 — max_new_tokens=2 left burst shapes beyond 2
+                # tokens compiling inside the measured per-step walls)
+                SamplingParams(max_new_tokens=args.new_tokens),
             )
             for _ in range(args.streams)
         ]

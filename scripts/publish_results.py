@@ -97,6 +97,13 @@ def run_scenario(name: str, tiny: bool, timeout: int, trials: int) -> dict:
     runs_sorted = sorted(runs, key=lambda r: r.get("decode_tok_s", 0.0))
     rep = dict(runs_sorted[len(runs_sorted) // 2])  # median-decode trial
     rep["trials"] = trials
+    # in-window compile guard (VERDICT r4 item 1): serving_bench counts
+    # XLA compiles inside its measured window; any nonzero trial means
+    # warmup missed a program variant and the row's wall includes
+    # compile time — the row cannot stamp HEALTHY
+    compiles = [r.get("in_window_compiles", 0) for r in runs]
+    rep["in_window_compiles_per_trial"] = compiles
+    rep["compile_clean"] = all(c == 0 for c in compiles)
     spreads = {}
     for m in SPREAD_METRICS:
         vals = [r[m] for r in runs if m in r]
@@ -112,7 +119,7 @@ def run_scenario(name: str, tiny: bool, timeout: int, trials: int) -> dict:
     rep["stable"] = all(
         spreads[m]["spread_pct"] <= 100.0 * SPREAD_GATE
         for m in GATED_METRICS if m in spreads
-    ) and trials >= 2
+    ) and trials >= 2 and rep["compile_clean"]
     rep["trial_values"] = {
         m: [r.get(m) for r in runs] for m in SPREAD_METRICS
     }
@@ -161,6 +168,8 @@ def render_md(stamp: str, reports: list, cal=None) -> str:
             default=0.0,
         )
         stab = f"{worst:.0f}%" + ("" if r.get("stable") else " UNSTABLE")
+        if not r.get("compile_clean", True):
+            stab += f" COMPILES{r.get('in_window_compiles_per_trial')}"
         lines.append(
             f"| {r['scenario']} | {r['decode_tok_s']} | {r['total_tok_s']} "
             f"| {r['ttft_p50_s']} s | {r['ttft_p95_s']} s | {stab} "

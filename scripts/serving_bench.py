@@ -199,6 +199,14 @@ def main():
     # replays the full scenario shape twice). Deltas = measured window.
     pre = {k: eng.stats[k]
            for k in ("prefill_tokens", "radix_hit_tokens", "decode_steps")}
+    # in-window compile guard (VERDICT r4 item 1): any XLA compile
+    # after this snapshot means warmup missed a program variant and the
+    # measured wall includes compile/deserialize time — publishers
+    # refuse the HEALTHY stamp on a nonzero count
+    from wrinklefree_tpu.utils.jaxcache import CompileWatcher
+
+    cw = CompileWatcher()
+    cw_snap = cw.snapshot()
 
     t0 = time.perf_counter()
     threading.Thread(target=submit_all).start()
@@ -234,6 +242,9 @@ def main():
         "spec_accept_rate": round(eng.stats.get("spec_accepted", 0) / max(eng.stats.get("spec_drafted", 1), 1), 3), "decode_steps": eng.stats["decode_steps"] - pre["decode_steps"],
         "native_runtime": eng.native_runtime,
     }
+    cwd = cw.delta(cw_snap)
+    report["in_window_compiles"] = cwd["compiles"]
+    report["in_window_compile_s"] = cwd["compile_s"]
     print(json.dumps(report))
 
 

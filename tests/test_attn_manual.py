@@ -46,14 +46,20 @@ def test_tile_gate_geometry():
     assert attn_manual_tile(1288, 5, 128) == 184
     assert attn_manual_tile(1024, 5, 128) == 512
     assert attn_manual_tile(2048, 5, 128) == 512
-    # beyond the resident-VMEM cap: ring-streamed mode engages
-    # (VERDICT r3 item 10 — was None; scores stay full-T, k/v stream
-    # through attn_manual_ring slots)
-    from wrinklefree_tpu.ops.ternary_pallas import attn_manual_ring
+    # ring policy (attn_manual_plan, VERDICT r4 item 2): resident only
+    # for few-large-tile plans (nt <= 2); many-tile plans stream
+    from wrinklefree_tpu.ops.ternary_pallas import (
+        attn_manual_plan, attn_manual_ring)
 
-    assert attn_manual_ring(2048, 5, 128) == 0  # resident
+    assert attn_manual_ring(1024, 5, 128) == 0  # nt=2: resident
+    assert attn_manual_ring(2048, 5, 128) > 0  # nt=4: streamed
     assert attn_manual_tile(4096, 5, 128) == 512
     assert attn_manual_ring(4096, 5, 128) > 0  # streamed
+    # awkward mid-T (the ctx-2048 cliff, VERDICT r4 item 2): the bench
+    # allocates T=2312=8*17^2 whose only 8-multiple tiling is nt=17;
+    # round 4 returned None here and decode fell off the megakernel
+    # path entirely (480 -> 262 tok/s)
+    assert attn_manual_plan(2312, 5, 128) == (136, 3)
     # far past any budget (scores alone overflow): still gated off
     assert attn_manual_tile(16384, 5, 128) is None
 

@@ -1658,73 +1658,97 @@ def _attn_megakernel_manual(
     wr_v.wait()
 
 
-def attn_manual_tile(T: int, n_kv: int, head_dim: int) -> int | None:
-    """Time-tile for the manual attention kernel, or None if the
-    geometry doesn't fit: T must be a multiple of 8 (aligned RMW
-    groups) and of the tile; resident k/v + f32 scores must fit the
-    VMEM budget next to the ~4.1 MB weight tiles.
+_ATTN_VMEM_BUDGET = 11 * 1024 * 1024
+_ATTN_RING = 3  # ring slots per cache stream in streamed mode
+# auto/manual crossover floor. In the REAL decode window (profiled, not
+# lab chains) the auto kernel runs 13.6 us/layer at T=328 vs 19.4
+# manual — the manual variant's fixed VPU cost (joint masked scores
+# over [KV*8, T*KV], buffer init, RMW roll) loses below ~T=512, while
+# at T=1024 it is 8.9 vs 41.9 and beyond T=1638 the auto kernel cannot
+# run at all (VMEM cap). Lab chains overstate the auto kernel ~2x
+# (27.8 measured solo) — gate on the in-window numbers. Env override is
+# read ONCE at import (ADVICE r4 item 1: these feed jit-static args
+# whose cache key is shapes only — flipping mid-process would silently
+# reuse stale kernels; process-launch-only semantics).
+_ATTN_TMIN = int(os.environ.get("WF_ATTN_MANUAL_TMIN", "512"))
+# value-form-softmax single-tile experiment (lost its chip A/B, kept
+# for re-measurement; import-time read, process-launch-only semantics)
+_ATTN_VSM = os.environ.get("WF_ATTN_VSM", "0") == "1"
+# resident tiles with nt <= this stream no ring; beyond it the copy-in
+# of many small tiles loses to the 3-slot streamed pipeline (chip A/B,
+# bench_ctx2048 anomaly: resident-style small tiles degraded mid-T
+# decode while the T=4232 ring path sustained 394 tok/s)
+_ATTN_RESIDENT_MAX_TILES = 2
 
-    T floor: in the REAL decode window (profiled, not lab chains) the
-    auto kernel runs 13.6 us/layer at T=328 vs 19.4 manual — the
-    manual variant's fixed VPU cost (joint masked scores over
-    [KV*8, T*KV], buffer init, RMW roll) loses below ~T=512, while at
-    T=1024 it is 8.9 vs 41.9 and beyond T=1638 the auto kernel cannot
-    run at all (VMEM cap). Lab chains overstate the auto kernel ~2x
-    (27.8 measured solo) — gate on the in-window numbers."""
-    import os as _os
 
-    # experiment knob: lower the auto/manual crossover floor (the auto
-    # kernel wins below ~512 per in-window profiling — ROOFLINE.md)
-    tmin = int(_os.environ.get("WF_ATTN_MANUAL_TMIN", "512"))
-    if T % 8 or T < tmin:
+def attn_manual_plan(
+    T: int, n_kv: int, head_dim: int
+) -> tuple[int, int] | None:
+    """(time-tile, ring-depth) for the manual attention kernel, or
+    None if the geometry is out of policy: T must be a multiple of 8
+    (aligned RMW groups) and >= the auto/manual crossover floor
+    (_ATTN_TMIN), and the f32 scores row block must fit the VMEM
+    budget next to the ~4.1 MB weight tiles.
+
+    Tile: the LARGEST 8-multiple divisor of T that is <= 640 (tiny
+    tiles explode the unroll: T=1288 with the old divisor list fell to
+    tt=8 -> 161 tiles -> 71 us/layer), searching tile counts up to 64
+    so awkward lengths still plan (T=2312 = 8*17^2 has no 8-multiple
+    tile with nt <= 16 — round 4 silently fell back to the
+    non-megakernel path and decode dropped 480 -> 262 tok/s; now it
+    plans tt=136 x 17, ring-streamed).
+
+    Ring policy (replaces the WF_ATTN_FORCE_RING env knob, VERDICT r4
+    item 2): resident (ring=0, whole cache copied to VMEM up front)
+    only for few-large-tile plans (nt <= _ATTN_RESIDENT_MAX_TILES)
+    that fit the budget; otherwise stream k/v through _ATTN_RING slots
+    per side — only the scores stay full-T in VMEM."""
+    if T % 8 or T < _ATTN_TMIN:
         return None
-    # per-slot VMEM: k+v rows (bf16) + scores row block (f32)
     per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
-    resident = T * per_slot <= _ATTN_VMEM_BUDGET
-    if not resident:
-        # ring-streamed mode (VERDICT r3 item 10: T=4096 previously
-        # returned None): only the f32 scores stay full-T; k/v stream
-        # through _ATTN_RING ring slots per side
-        scores_b = T * 8 * 8 * n_kv * 4
-        tile = None
-        for nt in range(2, 33):
-            tt = T // nt
-            if T % nt or tt % 8 or tt > 640:
-                continue
-            ring_b = 2 * _ATTN_RING * tt * n_kv * head_dim * 2
-            if scores_b + ring_b <= _ATTN_VMEM_BUDGET:
-                tile = tt
-                break
-        return tile
-    if T <= 640:
-        return T
-    # smallest tile count whose tile is an 8-multiple <= 640 (tiny
-    # tiles explode the unroll: T=1288 with the old divisor list fell
-    # to tt=8 -> 161 tiles -> 71 us/layer)
-    for nt in range(2, 17):
-        if T % nt == 0 and (T // nt) % 8 == 0 and T // nt <= 640:
-            return T // nt
+    scores_b = T * 8 * 8 * n_kv * 4
+    tile = None
+    for nt in range(1, 65):
+        tt = T // nt
+        if T % nt or tt % 8 or tt > 640:
+            continue
+        tile = tt
+        break
+    if tile is None:
+        return None
+    nt = T // tile
+    if nt <= _ATTN_RESIDENT_MAX_TILES and T * per_slot <= _ATTN_VMEM_BUDGET:
+        return tile, 0
+    ring_b = 2 * _ATTN_RING * tile * n_kv * head_dim * 2
+    if scores_b + ring_b <= _ATTN_VMEM_BUDGET:
+        return tile, _ATTN_RING
+    # shrink the tile until the ring fits beside the scores
+    for nt2 in range(nt + 1, 257):
+        tt = T // nt2
+        if T % nt2 or tt % 8:
+            continue
+        if scores_b + 2 * _ATTN_RING * tt * n_kv * head_dim * 2 \
+                <= _ATTN_VMEM_BUDGET:
+            return tt, _ATTN_RING
     return None
 
 
-_ATTN_VMEM_BUDGET = 11 * 1024 * 1024
-_ATTN_RING = 3  # ring slots per cache stream in streamed mode
+def attn_manual_tile(T: int, n_kv: int, head_dim: int) -> int | None:
+    """Time-tile of `attn_manual_plan` (compat view used by the model's
+    kernel-selection gate)."""
+    plan = attn_manual_plan(T, n_kv, head_dim)
+    return plan[0] if plan else None
 
 
 def attn_manual_ring(T: int, n_kv: int, head_dim: int) -> int:
-    """Ring depth the manual attention kernel uses for this geometry:
-    0 = every cache tile resident in VMEM (bit-identical to the round-3
-    kernel), else _ATTN_RING streamed slots per k/v side.
-
-    WF_ATTN_FORCE_RING=1 streams even when the cache fits resident —
-    chip A/B knob: at mid-T (resident tile picks degrade to many small
-    tiles, e.g. T=2312 -> tt=136 x 17) the streamed pipeline measured
-    FASTER than the resident copy-in (bench_ctx2048 anomaly)."""
-    import os as _os
-
+    """Ring depth of `attn_manual_plan`: 0 = every cache tile resident
+    in VMEM (bit-identical to the round-3 kernel), else _ATTN_RING
+    streamed slots per k/v side. Falls back to the fit rule when the
+    plan is None (tests call this with out-of-policy T)."""
+    plan = attn_manual_plan(T, n_kv, head_dim)
+    if plan:
+        return plan[1]
     per_slot = 2 * n_kv * head_dim * 2 + 8 * 8 * n_kv * 4
-    if _os.environ.get("WF_ATTN_FORCE_RING", "0") == "1":
-        return _ATTN_RING
     return 0 if T * per_slot <= _ATTN_VMEM_BUDGET else _ATTN_RING
 
 
@@ -1777,8 +1801,7 @@ def attn_block_megakernel_manual(
     nt = T // tt
     ring = min(attn_manual_ring(T, KV, D) if ring is None else ring, nt)
     rt = ring if ring else nt  # resident cache tiles in VMEM
-    import os as _os
-    vsm = nt == 1 and _os.environ.get("WF_ATTN_VSM", "0") == "1"
+    vsm = nt == 1 and _ATTN_VSM  # import-time constant (ADVICE r4 item 1)
     R = KV * 8
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     if attn_sub_l is None:
@@ -1907,8 +1930,7 @@ def attn_block_megakernel_manual_stacked(
     nt = T // tt
     ring = min(attn_manual_ring(T, KV, D) if ring is None else ring, nt)
     rt = ring if ring else nt  # resident cache tiles in VMEM
-    import os as _os
-    vsm = nt == 1 and _os.environ.get("WF_ATTN_VSM", "0") == "1"
+    vsm = nt == 1 and _ATTN_VSM  # import-time constant (ADVICE r4 item 1)
     R = KV * 8
     scalars = jnp.stack([
         jnp.asarray(layer, jnp.int32).reshape(()),
