@@ -1122,7 +1122,6 @@ class Engine:
         want_lp = any(self.slots[i].sampling.logprobs_k > 0 for i in active)
         spec = (
             spec_k > 0
-            and self.mesh is None
             and not want_lp
             and all(
                 self.slots[i].sampling.temperature == 0.0

@@ -246,6 +246,7 @@ def build_decode_spec(eng):
     k = eng.ecfg.speculative_k
     ps = eng.page_size
     ek = eng.ecfg.exact_head_k
+    tp_axis = "model" if eng.mesh is not None else None
 
     from ..models.spec_decode import _draft_ngram
 
@@ -267,6 +268,7 @@ def build_decode_spec(eng):
             logits, pools = paged_forward(
                 params, cfg, toks, pools, page_table, sl, win,
                 linear_fn=lf, attention_fn=af, kv_write=kvw,
+                tp_axis=tp_axis, tp_kv_replicated=eng._tp_kv_rep,
                 slot_ids=slot_ids, logits_all=True,
             )
             g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
@@ -290,6 +292,24 @@ def build_decode_spec(eng):
         )
         return toks, counts, pools, last, sl, hist
 
+    if eng.mesh is not None:
+        # TP: per-device program over sharded params/pools (same specs
+        # as build_decode); drafts/history/verify bookkeeping are
+        # replicated int32, the k+1-token forward runs column/row
+        # sharded with the logits all-gathered for argmax verify
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.sharding import param_partition_specs
+
+        pspec = pool_spec(eng)
+        rep7 = tuple(P() for _ in range(7))
+        burst = jax.shard_map(
+            burst, mesh=eng.mesh,
+            in_specs=(param_partition_specs(eng.params, eng._tp_kv_rep),
+                      pspec) + rep7,
+            out_specs=(P(), P(), pspec, P(), P(), P()),
+            check_vma=False,
+        )
     return functools.partial(jax.jit, donate_argnums=(1,))(burst)
 
 def prefill_for_bucket(eng, bucket: int, with_logprobs: bool = False,
