@@ -36,6 +36,12 @@ def main():
     if plat:
         jax.config.update("jax_platforms", plat)
 
+    # install the compile-event listeners before anything compiles so
+    # the end-of-run cache report covers the whole process
+    from wrinklefree_tpu.utils.jaxcache import CompileWatcher
+
+    CompileWatcher()
+
     import jax.numpy as jnp
 
     from wrinklefree_tpu.config import BitNetConfig
@@ -272,6 +278,14 @@ def main():
         "fused_window_steps": decode_steps,
         "prefill_first_call_s": round(ttft_s, 2),
         "param_init_s": round(init_s, 1),
+    }
+    # persistent-cache health (VERDICT r4 item 7): compiles counts
+    # backend invocations incl. cache hits (~0 s each on a hit);
+    # compile_s >> 0 with cache_hits == 0 means a genuinely cold cache
+    cwc, cws, cwh = CompileWatcher().snapshot()
+    result["compile_cache"] = {
+        "dir_set": bool(jax.config.jax_compilation_cache_dir),
+        "compiles": cwc, "compile_s": round(cws, 1), "cache_hits": cwh,
     }
     if spec_result:
         result.update(spec_result)

@@ -60,6 +60,20 @@ class TestLongContext:
             pos += 1
         assert got == want, (got, want)
 
+    def test_qchunked_prefill_matches_unchunked(self, params):
+        """The blockwise-q ring prefill (engages when s_loc >
+        PREFILL_Q_CHUNK — the path a 16K single-chip prompt needs to
+        not OOM on [s_loc, s_loc] scores) is exact vs the plain path."""
+        mesh = _mesh(4)
+        rng = np.random.default_rng(3)
+        prompt = rng.integers(1, CFG.vocab_size, size=64).tolist()
+        eng = LongContextEngine(params, CFG, mesh)
+        want = eng.generate(prompt, max_new_tokens=6)
+        eng2 = LongContextEngine(params, CFG, mesh)
+        eng2.PREFILL_Q_CHUNK = 8  # s_loc=16 -> 2 chunks per device
+        got = eng2.generate(prompt, max_new_tokens=6)
+        assert got == want, (got, want)
+
     def test_prompt_not_multiple_of_devices(self, params):
         mesh = _mesh(8)
         eng = LongContextEngine(params, CFG, mesh)

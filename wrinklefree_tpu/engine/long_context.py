@@ -96,9 +96,19 @@ class LongContextEngine:
 
     # -- prefill -----------------------------------------------------------
 
+    # q-chunk width for the blockwise local attention inside each ring
+    # step: without it the per-device f32 scores are
+    # [KV, G, s_loc, s_loc] — a 16K prompt on ONE device would need
+    # ~21 GB for scores alone (>HBM). Chunking the q rows bounds the
+    # live score block to [KV, G, CQ, s_loc] (~1.3 GB at 16K) at the
+    # cost of one ring pass per chunk (still P-1 ppermutes each,
+    # overlappable; decode is untouched).
+    PREFILL_Q_CHUNK = 1024
+
     def _prefill_fn(self, s_loc: int):
         cfg, axis = self.cfg, self.axis
         dtype = cfg.dtype
+        CQ = self.PREFILL_Q_CHUNK
 
         def body(params, tokens_loc, t0):
             # tokens_loc [1, s_loc] this device's slice; t0 [] real length
@@ -117,7 +127,25 @@ class LongContextEngine:
                 v = _proj(normed, layers, "v", l, dtype).reshape(
                     1, s_loc, -1, cfg.head_dim)
                 q, k = apply_rope(q, k, cos, sin)
-                attn = ring_attention(q, k, v, axis)
+                if s_loc > CQ and s_loc % CQ == 0:
+                    # blockwise q: sequential ring passes per chunk.
+                    # ring_attention's base is idx*Sq + q_offset with
+                    # Sq = CQ here; offset it to the chunk's true
+                    # global start idx*s_loc + c0.
+                    def qchunk(c0, q=q, k=k, v=v):
+                        qc = jax.lax.dynamic_slice_in_dim(q, c0, CQ, 1)
+                        off = idx * (s_loc - CQ) + c0
+                        return ring_attention(
+                            qc, k, v, axis,
+                            q_offset=jnp.full((1,), off, jnp.int32),
+                        )
+                    attn = jax.lax.map(
+                        qchunk, jnp.arange(0, s_loc, CQ, dtype=jnp.int32)
+                    )  # [nc, 1, CQ, NH, D]
+                    attn = attn.transpose(1, 0, 2, 3, 4).reshape(
+                        1, s_loc, -1, cfg.head_dim)
+                else:
+                    attn = ring_attention(q, k, v, axis)
                 attn = attn.reshape(1, s_loc, -1)
                 if cfg.sub_norms:
                     attn = rms_norm(attn, layers["attn_sub"][l],
@@ -244,6 +272,8 @@ class LongContextEngine:
             raise ValueError(
                 f"max_new_tokens {max_new_tokens} > decode_buf "
                 f"{self.decode_buf}")
+        import time as _time
+
         t0 = len(prompt_ids)
         if t0 == 0:
             raise ValueError("empty prompt")
@@ -252,11 +282,16 @@ class LongContextEngine:
         total = s_loc * self.P
         toks = np.zeros((1, total), np.int32)
         toks[0, :t0] = prompt_ids
+        w0 = _time.perf_counter()
         if s_loc not in self._prefill_cache:
             self._prefill_cache[s_loc] = self._prefill_fn(s_loc)
         logits, (pk, pv) = self._prefill_cache[s_loc](
             self.params, jnp.asarray(toks), jnp.asarray(t0, jnp.int32))
+        # the int() fetch is the completion barrier (block_until_ready
+        # returns early on tunnel transports) -> honest stage walls
         first = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+        w1 = _time.perf_counter()
+        self.last_timings = {"prefill_s": w1 - w0, "prompt_tokens": t0}
         if max_new_tokens == 1 or first == eos_token_id:
             return [first]
         key = (s_loc, max_new_tokens - 1)
@@ -266,6 +301,8 @@ class LongContextEngine:
             self.params, pk, pv, jnp.asarray(first, jnp.int32),
             jnp.asarray(t0, jnp.int32))
         out = [first] + [int(x) for x in np.asarray(rest)]
+        self.last_timings["decode_s"] = _time.perf_counter() - w1
+        self.last_timings["decode_tokens"] = len(out) - 1
         if eos_token_id is not None and eos_token_id in out:
             out = out[: out.index(eos_token_id) + 1]
         return out
