@@ -865,7 +865,8 @@ def _attn_megakernel(
     so_ref, cos_ref, sin_ref, ck_ref, cv_ref,
     o_ref, ck_out, cv_out,
     qkv_s, qh_s, xq_ref, sx_ref, xq2_ref, sx2_ref,
-    *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, q_dim, n_kv, n_heads, head_dim
+    *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, q_dim, n_kv, n_heads,
+    head_dim, ablate=""
 ):
     """Whole attention block in ONE pallas_call (batch-1 decode):
     norm+quant -> qkv dot -> RoPE -> in-place KV cache row write ->
@@ -919,17 +920,18 @@ def _attn_megakernel(
         # the aliased out block is VMEM-pipelined: fill it with the input
         # cache content first, else the end-of-call DMA would clobber
         # history with uninitialized VMEM
-        ck_out[:] = ck_ref[:]
-        cv_out[:] = cv_ref[:]
+        if ablate != "nocache":  # timing ladder: see _ATTN_ABLATE
+            ck_out[:] = ck_ref[:]
+            cv_out[:] = cv_ref[:]
 
-        # write roped-k and v rows for the new token (row 0 is the real
-        # batch row), in place
-        for kvh in range(n_kv):
-            k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
-            k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
-            ck_out[0, 0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
-            v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
-            cv_out[0, 0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
+            # write roped-k and v rows for the new token (row 0 is the
+            # real batch row), in place
+            for kvh in range(n_kv):
+                k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
+                k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
+                ck_out[0, 0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
+                v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
+                cv_out[0, 0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
 
         # pack the G query heads of each KV head into sublanes of one
         # [KV*8, D] scratch: attention then needs KV score-dots + KV
@@ -945,22 +947,31 @@ def _attn_megakernel(
         key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         mask = key_idx <= pos  # [1, T]
         for kvh in range(n_kv):
-            k_all = ck_out[0, 0, :, kvh, :]  # [T, D] (includes new token)
-            v_all = cv_out[0, 0, :, kvh, :]
-            scores = jax.lax.dot_general(
-                q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [8, T] (rows 0..G-1 real)
-            scores = jnp.where(mask, scores, -1e30)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
-            out = jax.lax.dot_general(
-                probs, v_all,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(qkv.dtype)  # [8, D]
+            if ablate in ("noattn", "nocache"):
+                # ladder rung: no scores/PV dots; finite garbage out
+                out = q_roped[kvh * 8 : (kvh + 1) * 8, :].astype(qkv.dtype)
+            else:
+                k_all = ck_out[0, 0, :, kvh, :]  # [T, D] (incl. new token)
+                v_all = cv_out[0, 0, :, kvh, :]
+                scores = jax.lax.dot_general(
+                    q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [8, T] (rows 0..G-1 real)
+                scores = jnp.where(mask, scores, -1e30)
+                if ablate == "skipsm":
+                    # ladder rung: reductions (max/exp/sum) replaced by
+                    # a bounded elementwise op; dots kept
+                    probs = jnp.clip(scores, -1.0, 1.0).astype(v_all.dtype)
+                else:
+                    m = jnp.max(scores, axis=-1, keepdims=True)
+                    e = jnp.exp(scores - m)
+                    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
+                out = jax.lax.dot_general(
+                    probs, v_all,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(qkv.dtype)  # [8, D]
             for gg in range(G):
                 off = (kvh * G + gg) * D
                 qkv_s[0:1, pl.ds(off, D)] = out[gg : gg + 1, :]
@@ -1046,8 +1057,12 @@ def attn_block_megakernel(
     def _clip_o(g):
         return jnp.clip(g - nq, 0, no - 1)
 
-    cache_spec = pl.BlockSpec(
-        (1, 1, T, n_kv, head_dim), lambda i, g, s: (s[0], 0, 0, 0, 0)
+    ablate = _ATTN_ABLATE  # import-time timing knob; "" in production
+    cache_spec = (
+        pl.BlockSpec(memory_space=pl.ANY) if ablate == "nocache"
+        else pl.BlockSpec(
+            (1, 1, T, n_kv, head_dim), lambda i, g, s: (s[0], 0, 0, 0, 0)
+        )
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1089,7 +1104,7 @@ def attn_block_megakernel(
             _attn_megakernel,
             dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
             tn_q=tn_q, tn_o=tn_o, q_dim=q_dim, n_kv=n_kv,
-            n_heads=n_heads, head_dim=head_dim,
+            n_heads=n_heads, head_dim=head_dim, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1118,7 +1133,7 @@ def _attn_megakernel_static(
     o_ref, ck_out, cv_out,
     qkv_s, qh_s, xq_ref, sx_ref, xq2_ref, sx2_ref,
     *, dot_dtype, eps, norm2, nq, no, tn_q, tn_o, q_dim, n_kv, n_heads,
-    head_dim
+    head_dim, ablate=""
 ):
     """attn_block megakernel WITHOUT scalar-prefetch: the layer loop is
     unrolled with pre-split per-layer operands, so every index map is
@@ -1157,14 +1172,15 @@ def _attn_megakernel_static(
         cos = cos_ref[0:1, :].astype(qkv.dtype)
         sin = sin_ref[0:1, :].astype(qkv.dtype)
         scale = 1.0 / float(np.sqrt(D))
-        ck_out[:] = ck_ref[:]
-        cv_out[:] = cv_ref[:]
-        for kvh in range(n_kv):
-            k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
-            k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
-            ck_out[0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
-            v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
-            cv_out[0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
+        if ablate != "nocache":  # timing ladder: see _ATTN_ABLATE
+            ck_out[:] = ck_ref[:]
+            cv_out[:] = cv_ref[:]
+            for kvh in range(n_kv):
+                k_h = qkv[:, q_dim + kvh * D : q_dim + (kvh + 1) * D]
+                k_roped = k_h * cos + _rotate_half_lanes(k_h) * sin
+                ck_out[0, pl.ds(pos, 1), kvh, :] = k_roped[0:1, :]
+                v_h = qkv[:, q_dim + kvd + kvh * D : q_dim + kvd + (kvh + 1) * D]
+                cv_out[0, pl.ds(pos, 1), kvh, :] = v_h[0:1, :]
         for kvh in range(n_kv):
             for gg in range(G):
                 off = (kvh * G + gg) * D
@@ -1174,22 +1190,28 @@ def _attn_megakernel_static(
         key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         mask = key_idx <= pos
         for kvh in range(n_kv):
-            k_all = ck_out[0, :, kvh, :]
-            v_all = cv_out[0, :, kvh, :]
-            scores = jax.lax.dot_general(
-                q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            scores = jnp.where(mask, scores, -1e30)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
-            outv = jax.lax.dot_general(
-                probs, v_all,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(qkv.dtype)
+            if ablate in ("noattn", "nocache"):
+                outv = q_roped[kvh * 8 : (kvh + 1) * 8, :].astype(qkv.dtype)
+            else:
+                k_all = ck_out[0, :, kvh, :]
+                v_all = cv_out[0, :, kvh, :]
+                scores = jax.lax.dot_general(
+                    q_roped[kvh * 8 : (kvh + 1) * 8, :], k_all,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                scores = jnp.where(mask, scores, -1e30)
+                if ablate == "skipsm":
+                    probs = jnp.clip(scores, -1.0, 1.0).astype(v_all.dtype)
+                else:
+                    m = jnp.max(scores, axis=-1, keepdims=True)
+                    e = jnp.exp(scores - m)
+                    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_all.dtype)
+                outv = jax.lax.dot_general(
+                    probs, v_all,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(qkv.dtype)
             for gg in range(G):
                 off = (kvh * G + gg) * D
                 qkv_s[0:1, pl.ds(off, D)] = outv[gg : gg + 1, :]
@@ -1260,15 +1282,19 @@ def attn_block_megakernel_static(
     def _co(g):
         return jnp.clip(g - nq, 0, no - 1)
 
-    cache_spec = pl.BlockSpec(
-        (1, T, n_kv, head_dim), lambda i, g: (0, 0, 0, 0)
+    ablate = _ATTN_ABLATE  # import-time timing knob; "" in production
+    cache_spec = (
+        pl.BlockSpec(memory_space=pl.ANY) if ablate == "nocache"
+        else pl.BlockSpec(
+            (1, T, n_kv, head_dim), lambda i, g: (0, 0, 0, 0)
+        )
     )
     out, ck2, cv2 = pl.pallas_call(
         functools.partial(
             _attn_megakernel_static,
             dot_dtype=dot_dtype, eps=eps, norm2=norm2, nq=nq, no=no,
             tn_q=tn_q, tn_o=tn_o, q_dim=q_dim, n_kv=n_kv,
-            n_heads=n_heads, head_dim=head_dim,
+            n_heads=n_heads, head_dim=head_dim, ablate=ablate,
         ),
         grid=(1, nq + no),
         in_specs=[
@@ -1674,6 +1700,13 @@ _ATTN_TMIN = int(os.environ.get("WF_ATTN_MANUAL_TMIN", "512"))
 # value-form-softmax single-tile experiment (lost its chip A/B, kept
 # for re-measurement; import-time read, process-launch-only semantics)
 _ATTN_VSM = os.environ.get("WF_ATTN_VSM", "0") == "1"
+# small-T decomposition ladder for the AUTO attention kernel (VERDICT
+# r4 item 5): timing-only body ablations for same-session bench A/Bs.
+# "" (production) | "skipsm" (identity in place of softmax) | "noattn"
+# (skip scores/PV dots too) | "nocache" (noattn + cache blocks left in
+# HBM: measures the auto-pipelined cache in/out DMA). OUTPUT TOKENS ARE
+# GARBAGE for any non-empty value — never set outside the ladder.
+_ATTN_ABLATE = os.environ.get("WF_ATTN_ABLATE", "")
 # resident tiles with nt <= this stream no ring; beyond it the copy-in
 # of many small tiles loses to the 3-slot streamed pipeline (chip A/B,
 # bench_ctx2048 anomaly: resident-style small tiles degraded mid-T
