@@ -40,12 +40,20 @@ def steps(out: Path):
          {**e, "WF_BENCH_PROMPT": "2048", "WF_BENCH_STEPS": "64"}),
         ("bench_ctx3968", [PY, "bench.py"], 1800,
          {**e, "WF_BENCH_PROMPT": "3968", "WF_BENCH_STEPS": "64"}),
-        # small-T attention experiments (VERDICT r3 item 6): manual
-        # kernel engaged below the 512 floor, value-form softmax on
-        ("bench_smallT_manual", [PY, "bench.py"], 1800,
-         {**e, "WF_ATTN_MANUAL_TMIN": "256"}),
-        ("bench_smallT_manual_vsm", [PY, "bench.py"], 1800,
-         {**e, "WF_ATTN_MANUAL_TMIN": "256", "WF_ATTN_VSM": "1"}),
+        # small-T auto-kernel decomposition ladder (VERDICT r4 item 5):
+        # body ablations timed in the REAL window; full - skipsm =
+        # softmax reductions, skipsm - noattn = scores/PV dots,
+        # noattn - nocache = pipelined cache in/out DMA. Tokens are
+        # garbage under ablation — timing only.
+        ("bench_ablate_skipsm", [PY, "bench.py"], 1800,
+         {**e, "WF_ATTN_ABLATE": "skipsm"}),
+        ("bench_ablate_noattn", [PY, "bench.py"], 1800,
+         {**e, "WF_ATTN_ABLATE": "noattn"}),
+        ("bench_ablate_nocache", [PY, "bench.py"], 1800,
+         {**e, "WF_ATTN_ABLATE": "nocache"}),
+        ("long_context_16k", [PY, "scripts/long_context_bench.py",
+                              "--prompt-len", "16384", "--new-tokens",
+                              "32"], 2400, e),
         ("profile_decode_step", [PY, "scripts/profile_serving_step.py",
                                  "--slots", "16", "--bursts", "4"], 2400, e),
         ("profile_prefill", [PY, "scripts/profile_serving_step.py",
