@@ -88,6 +88,35 @@ class TestEngineSpeculative:
         assert len(r.output_ids) == 8
         assert eng.stats.get("spec_drafted", 0) == 0  # sampled: plain burst
 
+    def test_spec_adaptive_cutoff(self, tiny):
+        """spec_min_accept: drafting turns itself off (sticky) once the
+        realized acceptance over >= spec_min_accept_window drafts is
+        below the threshold; outputs stay token-identical."""
+        from wrinklefree_tpu.config import EngineConfig
+        from wrinklefree_tpu.engine import Engine, SamplingParams
+
+        cfg, params = tiny
+        base = dict(max_batch_slots=2, page_size=8, num_pages=64,
+                    max_context=64, prefill_buckets=(8, 16), decode_burst=4)
+        eng = Engine(params, cfg, EngineConfig(
+            speculative_k=3, spec_min_accept=0.99,
+            spec_min_accept_window=4, **base))
+        # random-ish prompt: n-gram drafts essentially never accept, so
+        # the 0.99 threshold trips right after the window fills
+        r = eng.generate([1, 9, 4, 2, 7, 5],
+                         SamplingParams(max_new_tokens=24, temperature=0.0))
+        assert len(r.output_ids) == 24
+        assert getattr(eng, "_spec_off", False) is True
+        drafted_at_off = eng.stats["spec_drafted"]
+        r2 = eng.generate([6, 8, 3], SamplingParams(max_new_tokens=8,
+                                                    temperature=0.0))
+        assert len(r2.output_ids) == 8
+        assert eng.stats["spec_drafted"] == drafted_at_off  # no new drafts
+        # token-identity vs a plain engine
+        plain = Engine(params, cfg, EngineConfig(**base))
+        assert plain.generate([1, 9, 4, 2, 7, 5], SamplingParams(
+            max_new_tokens=24, temperature=0.0)).output_ids == r.output_ids
+
     def test_spec_concurrent_page_crossing(self, tiny):
         """Concurrent spec requests crossing page boundaries at different
         offsets (the window clamp + position-triggered flush path)."""

@@ -192,6 +192,16 @@ class EngineConfig:
     # rejected-draft writes can never clobber committed staging rows.
     # 0 disables.
     speculative_k: int = 0
+    # Adaptive spec cutoff: once >= spec_min_accept_window drafts have
+    # run, speculative decoding turns itself OFF (sticky, per engine)
+    # when the realized per-draft acceptance rate (extra tokens /
+    # (drafts*k)) falls below this. The k+1-row verify forward costs
+    # more than k single-row steps at low acceptance, so workloads
+    # whose text never repeats shouldn't pay for drafting. Set from the
+    # measured chip curve (scripts/spec_accept_curve.py); 0 = never
+    # auto-disable.
+    spec_min_accept: float = 0.0
+    spec_min_accept_window: int = 256
     # Admission policy: "fifo" (arrival order) or "sjf" (shortest
     # unmatched prompt first — lower mean TTFT under mixed lengths;
     # requests older than admission_aging_s jump the queue so long

@@ -1135,9 +1135,30 @@ class Engine:
         K = self.ecfg.decode_burst
         ps = self.page_size
         spec_k = self.ecfg.speculative_k
+        # adaptive cutoff (EngineConfig.spec_min_accept): sticky-off
+        # once the realized acceptance shows drafting is a net loss
+        if (
+            spec_k > 0
+            and self.ecfg.spec_min_accept > 0.0
+            and not getattr(self, "_spec_off", False)
+            and self.stats.get("spec_drafted", 0)
+            >= self.ecfg.spec_min_accept_window
+        ):
+            rate = self.stats.get("spec_accepted", 0) / (
+                self.stats["spec_drafted"] * spec_k
+            )
+            if rate < self.ecfg.spec_min_accept:
+                self._spec_off = True
+                logger.info(
+                    "speculative decoding auto-disabled: accept rate "
+                    "%.3f < spec_min_accept %.3f over %d drafts",
+                    rate, self.ecfg.spec_min_accept,
+                    self.stats["spec_drafted"],
+                )
         want_lp = any(self.slots[i].sampling.logprobs_k > 0 for i in active)
         spec = (
             spec_k > 0
+            and not getattr(self, "_spec_off", False)
             and not want_lp
             and all(
                 self.slots[i].sampling.temperature == 0.0
