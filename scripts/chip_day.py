@@ -45,12 +45,18 @@ def steps(out: Path):
         # softmax reductions, skipsm - noattn = scores/PV dots,
         # noattn - nocache = pipelined cache in/out DMA. Tokens are
         # garbage under ablation — timing only.
+        # WF_BENCH_EXACT_HEAD=0 on EVERY rung (incl. the full baseline):
+        # ablation garbage would trip the exact head's near-tie lax.cond
+        # fallback inconsistently; the plain bf16 head is branch-free so
+        # rung deltas stay valid.
+        ("bench_ablate_full", [PY, "bench.py"], 1800,
+         {**e, "WF_BENCH_EXACT_HEAD": "0"}),
         ("bench_ablate_skipsm", [PY, "bench.py"], 1800,
-         {**e, "WF_ATTN_ABLATE": "skipsm"}),
+         {**e, "WF_ATTN_ABLATE": "skipsm", "WF_BENCH_EXACT_HEAD": "0"}),
         ("bench_ablate_noattn", [PY, "bench.py"], 1800,
-         {**e, "WF_ATTN_ABLATE": "noattn"}),
+         {**e, "WF_ATTN_ABLATE": "noattn", "WF_BENCH_EXACT_HEAD": "0"}),
         ("bench_ablate_nocache", [PY, "bench.py"], 1800,
-         {**e, "WF_ATTN_ABLATE": "nocache"}),
+         {**e, "WF_ATTN_ABLATE": "nocache", "WF_BENCH_EXACT_HEAD": "0"}),
         ("long_context_16k", [PY, "scripts/long_context_bench.py",
                               "--prompt-len", "16384", "--new-tokens",
                               "32"], 2400, e),
