@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, ".")
@@ -173,11 +172,24 @@ def main():
     ]
     while not all(r.finished for r in warm2):
         eng.step()
+    # drop warmup's radix residue: near pool capacity it forces
+    # eviction churn / preemption-retraction inside the measured wave
+    # (the prefill-heavy 1,904 self-rematch tokens + 36% trial spread)
+    dropped = eng.reset_prefix_cache()
+    print(f"warmup radix residue dropped: {dropped} pages", file=sys.stderr)
 
     results = [None] * args.streams
     lat, ttft = [None] * args.streams, [None] * args.streams
 
     def submit_all():
+        # submission is host-side queue work (sub-ms for 64 prompts) and
+        # runs INLINE before stepping: a submitter thread racing the
+        # step loop admitted nondeterministic partial waves, compiling
+        # row-count prefill variants inside the measured window (caught
+        # by the in-window compile guard: [3,3,3] on 8x3968) and
+        # fragmenting rounds — TTFT p50 3.5-6.0 s vs 1.35 s with full
+        # waves, 36% trial spread. TTFT is still measured per-request
+        # from its own submit timestamp.
         for i, p in enumerate(prompts):
             t_sub = time.perf_counter()
 
@@ -209,7 +221,7 @@ def main():
     cw_snap = cw.snapshot()
 
     t0 = time.perf_counter()
-    threading.Thread(target=submit_all).start()
+    submit_all()
     steps = 0
     while any(r is None or not r.finished for r in results):
         if not eng.step():

@@ -140,6 +140,32 @@ class TestEngine:
         r3 = eng2.generate(shared + [30], SamplingParams(max_new_tokens=5))
         assert r3.output_ids == r1.output_ids
 
+    def test_reset_prefix_cache(self, params):
+        """Engine.reset_prefix_cache drops every cached page (bench/ops
+        hygiene: warmup residue near pool capacity caused mid-window
+        eviction churn + preemption self-rematch on the chip)."""
+        eng = Engine(params, CFG, ECFG)
+        free0 = eng.allocator.num_free
+        shared = list(range(1, 25))
+        r1 = eng.generate(shared + [30], SamplingParams(max_new_tokens=5))
+        assert eng.radix.num_cached_pages > 0
+        dropped = eng.reset_prefix_cache()
+        assert dropped > 0 and eng.radix.num_cached_pages == 0
+        assert eng.allocator.num_free == free0
+        # post-reset: no hits, identical output
+        hits = eng.stats["radix_hit_tokens"]
+        r2 = eng.generate(shared + [30], SamplingParams(max_new_tokens=5))
+        assert eng.stats["radix_hit_tokens"] == hits
+        assert r2.output_ids == r1.output_ids
+        # refuses while a request is in flight
+        req = eng.submit(shared, SamplingParams(max_new_tokens=4))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            eng.reset_prefix_cache()
+        while not req.finished:
+            eng.step()
+
     def test_page_accounting_no_leaks(self, params):
         eng = Engine(params, CFG, ECFG)
         free0 = eng.allocator.num_free

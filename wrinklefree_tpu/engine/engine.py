@@ -1086,6 +1086,32 @@ class Engine:
         self._mp_bucket = mp
         self._dirty = False
 
+    def reset_prefix_cache(self) -> int:
+        """Drop every radix-cached page, returning them to the free
+        pool. Returns the number of pages released.
+
+        Ops/bench hygiene (llama.cpp's `/slots` erase analog): radix
+        pages persist after requests finish, so a warmed engine whose
+        pool is near capacity evicts — or, under decode pressure,
+        preemption-retracts a live request — mid-run. On the 8x3968
+        serving bench that retraction re-served 1,904 prompt tokens
+        from the victim's own published pages inside the measured
+        window (radix_hit_tokens on fully-disjoint prompts) and swung
+        trial walls 36%. Refuses while any request is active."""
+        with self._lock:
+            if (
+                any(r is not None for r in self.slots)
+                or self._backlog
+                or not self.waiting.empty()
+            ):
+                raise RuntimeError(
+                    "reset_prefix_cache requires an idle engine")
+            if self.radix is None:
+                return 0
+            n = self.radix.num_cached_pages
+            self.radix.reset()
+            return n
+
     def warmup(self, *, prefill_batches=(1,), page_buckets=None,
                full: bool = False) -> Dict[str, float]:
         """AOT-precompile the serving programs (engine/programs.py)."""
