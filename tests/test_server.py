@@ -723,6 +723,24 @@ class TestJsonMode:
         assert r.status_code == 400
 
 
+class TestAdminResetCache:
+    def test_reset_cache_idle(self, server_url):
+        # seed the radix with one request, then drop it
+        requests.post(
+            f"{server_url}/completion",
+            json={"prompt": "warm the cache with some tokens here",
+                  "n_predict": 4, "temperature": 0.0},
+            timeout=120,
+        )
+        r = requests.post(f"{server_url}/admin/reset-cache", timeout=30)
+        assert r.status_code == 200
+        body = r.json()
+        assert isinstance(body["dropped_pages"], list)
+        # idempotent: second reset drops nothing
+        r2 = requests.post(f"{server_url}/admin/reset-cache", timeout=30)
+        assert r2.json()["dropped_pages"] == [0] * len(body["dropped_pages"])
+
+
 class TestAdminSnapshot:
     """Preemption over HTTP: /admin/snapshot captures in-flight requests
     (token ids + sampling state, no tensors); /admin/restore resubmits

@@ -630,6 +630,19 @@ class InferenceServer:
             return web.json_response({"error": {"message": str(e)}}, status=400)
         return web.json_response({"embedding": emb})
 
+    async def admin_reset_cache(self, request):
+        """Drop every radix-cached page on every replica (llama.cpp's
+        slots-erase analog; Engine.reset_prefix_cache). 409 while any
+        replica has requests in flight."""
+        dropped = []
+        try:
+            for e in self.async_engine.engines:
+                dropped.append(e.reset_prefix_cache())
+        except RuntimeError as err:
+            return web.json_response(
+                {"error": {"message": str(err)}}, status=409)
+        return web.json_response({"dropped_pages": dropped})
+
     async def admin_snapshot(self, request):
         """Request-level preemption snapshot (engine.snapshot): token ids
         + sampling state only — KV is a recomputable cache (SURVEY.md
@@ -1078,6 +1091,7 @@ def build_app(server: InferenceServer) -> web.Application:
             web.get("/metrics", server.metrics),
             web.post("/admin/snapshot", server.admin_snapshot),
             web.post("/admin/restore", server.admin_restore),
+            web.post("/admin/reset-cache", server.admin_reset_cache),
             web.post("/v1/chat/completions", server.chat_completions),
             web.post("/v1/completions", server.completions),
             web.post("/completion", server.llamacpp_completion),
