@@ -782,7 +782,38 @@ class Engine:
             # x proportionally bigger chunks.
             bucket = self._pick_bucket(min(len(oldest[1].pending), budget))
             nrows = max(1, budget // bucket)
-            rows = sorted(rows, key=lambda ir: (ir[1].arrival_t, ir[0]))[:nrows]
+            rows_sorted = sorted(rows, key=lambda ir: (ir[1].arrival_t, ir[0]))
+            if self.radix is not None:
+                # same-wave prefix sharing: a row that shares its FIRST
+                # pending page with an earlier-selected row is deferred
+                # this round — the leader's eager insert publishes the
+                # prefix and the follower adopts it via _rematch_prefix
+                # (1 full prefill + N-1 suffixes instead of N fulls;
+                # without this, full-wave admission put all same-prefix
+                # rows in ONE round and nobody could share). Followers
+                # only defer while they can still re-match (no KV
+                # written); if the leader dies the group's next row
+                # leads the following round — no deadlock, and the
+                # oldest row always advances.
+                ps = self.page_size
+                seen, sel = set(), []
+                for i, r in rows_sorted:
+                    key = (
+                        tuple(r.pending[:ps])
+                        if r.seq_len == r.matched_tokens
+                        and len(r.pending) >= ps
+                        else None
+                    )
+                    if key is not None and key in seen:
+                        continue
+                    if key is not None:
+                        seen.add(key)
+                    sel.append((i, r))
+                    if len(sel) >= nrows:
+                        break
+                rows = sel
+            else:
+                rows = rows_sorted[:nrows]
         else:
             bucket = self._pick_bucket(len(oldest[1].pending))
             if mode == "all":
