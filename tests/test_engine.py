@@ -384,6 +384,43 @@ class TestStaggerPrefill:
         got = self._run_all(Engine(params, CFG, mk("stagger")), prompts)
         assert got == want
 
+    def test_same_wave_prefix_sharing(self, params):
+        """Same-prefix rows admitted in ONE wave collapse to ~1 full
+        prefill + N-1 suffixes: followers defer a round and adopt the
+        leader's eagerly-inserted pages (radix scenario fix)."""
+        rng = np.random.default_rng(9)
+        shared = rng.integers(1, CFG.vocab_size, size=(24,)).tolist()
+        prompts = [shared + rng.integers(1, CFG.vocab_size, size=(6,)).tolist()
+                   for _ in range(4)]
+        eng = Engine(params, CFG, ECFG)
+        got = self._run_all(eng, prompts)
+        # naive cost = 4 x 30; with sharing the 3 followers adopt the
+        # 24-token (3-page) prefix: 30 + 3 x 6 = 48... allow page
+        # rounding slop but require well under 2 fulls
+        assert eng.stats["prefill_tokens"] < 2 * 30, eng.stats
+        assert eng.stats["radix_hit_tokens"] >= 3 * 24
+        ecfg_nr = EngineConfig(**{**ECFG.__dict__,
+                                  "enable_radix_cache": False})
+        want = self._run_all(Engine(params, CFG, ecfg_nr), prompts)
+        assert got == want
+
+    def test_same_wave_sharing_diverging_prefixes(self, params):
+        """Two prefix groups + a diverger: each group leads its own
+        round; rows whose suffix diverges after the shared pages still
+        produce identical tokens."""
+        rng = np.random.default_rng(10)
+        g1 = rng.integers(1, CFG.vocab_size, size=(16,)).tolist()
+        g2 = rng.integers(1, CFG.vocab_size, size=(16,)).tolist()
+        prompts = [g1 + [7], g1 + [9, 11], g2 + [3], g2 + [5, 13],
+                   rng.integers(1, CFG.vocab_size, size=(11,)).tolist()]
+        eng = Engine(params, CFG, ECFG)
+        got = self._run_all(eng, prompts)
+        ecfg_nr = EngineConfig(**{**ECFG.__dict__,
+                                  "enable_radix_cache": False})
+        want = self._run_all(Engine(params, CFG, ecfg_nr), prompts)
+        assert got == want
+        assert eng.stats["radix_hit_tokens"] > 0
+
     def test_stagger_finishes_oldest_first(self, params):
         """Under a binding budget the first-submitted request completes
         its WHOLE prefill in round 1 (depth-first) while later rows have
