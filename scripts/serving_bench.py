@@ -165,8 +165,18 @@ def main():
     # slots-only warmup leaves e.g. 8-stream rounds compiling inside the
     # measured window (observed: 7.1 s -> 16.0 s wall on the 8x3968
     # scenario after a kernel change invalidated the compile cache)
+    # mirror the measured wave's SHARING structure too: with same-wave
+    # prefix sharing, a shared-prefix wave runs leader/follower round
+    # shapes (1-row full-bucket rounds, wide suffix-bucket rounds) that
+    # disjoint warm prompts never produce — they compiled inside the
+    # measured window every trial (radix row [2,2,2], trial-1 decode
+    # 43.1 vs 314.8/325.1 warm). Warm shared tokens come from wrng so
+    # the measured prompts still share nothing with warmup.
+    wshared = [int(t) for t in wrng.integers(
+        1, cfg.vocab_size, args.shared_prefix)]
     warm2 = [
-        eng.submit([int(t) for t in wrng.integers(1, cfg.vocab_size, args.prompt_len)],
+        eng.submit(wshared + [int(t) for t in wrng.integers(
+            1, cfg.vocab_size, args.prompt_len - args.shared_prefix)],
                    SamplingParams(max_new_tokens=args.new_tokens))
         for i in range(args.streams)
     ]
