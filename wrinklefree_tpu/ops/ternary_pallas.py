@@ -946,7 +946,35 @@ def _attn_megakernel(
 
         key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         mask = key_idx <= pos  # [1, T]
-        for kvh in range(n_kv):
+        if _ATTN_JOINT and ablate == "":
+            R = n_kv * 8
+            k_flat = ck_out[0, 0].reshape(T * n_kv, D)  # row t*KV+kvh
+            v_flat = cv_out[0, 0].reshape(T * n_kv, D)
+            s_j = jax.lax.dot_general(
+                q_roped, k_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [R, T*KV]
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, T * n_kv), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, T * n_kv), 0)
+            mj = ((col % n_kv) == (row // 8)) & ((col // n_kv) <= pos)
+            s_j = jnp.where(mj, s_j, -1e30)
+            m_j = jnp.max(s_j, axis=-1, keepdims=True)
+            e_j = jnp.exp(s_j - m_j)
+            p_j = (e_j / jnp.sum(e_j, axis=-1, keepdims=True)).astype(
+                v_flat.dtype)
+            out_j = jax.lax.dot_general(
+                p_j, v_flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(qkv.dtype)  # [R, D]
+            for kvh in range(n_kv):
+                for gg in range(G):
+                    off = (kvh * G + gg) * D
+                    qkv_s[0:1, pl.ds(off, D)] = out_j[
+                        kvh * 8 + gg : kvh * 8 + gg + 1, :]
+        else:
+          for kvh in range(n_kv):
             if ablate in ("noattn", "nocache"):
                 # ladder rung: no scores/PV dots; finite garbage out
                 out = q_roped[kvh * 8 : (kvh + 1) * 8, :].astype(qkv.dtype)
@@ -1189,7 +1217,35 @@ def _attn_megakernel_static(
         q_roped = qall * cos + _rotate_half_lanes(qall) * sin
         key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         mask = key_idx <= pos
-        for kvh in range(n_kv):
+        if _ATTN_JOINT and ablate == "":
+            R = n_kv * 8
+            k_flat = ck_out[0].reshape(T * n_kv, D)  # row t*KV+kvh
+            v_flat = cv_out[0].reshape(T * n_kv, D)
+            s_j = jax.lax.dot_general(
+                q_roped, k_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [R, T*KV]
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, T * n_kv), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, T * n_kv), 0)
+            mj = ((col % n_kv) == (row // 8)) & ((col // n_kv) <= pos)
+            s_j = jnp.where(mj, s_j, -1e30)
+            m_j = jnp.max(s_j, axis=-1, keepdims=True)
+            e_j = jnp.exp(s_j - m_j)
+            p_j = (e_j / jnp.sum(e_j, axis=-1, keepdims=True)).astype(
+                v_flat.dtype)
+            out_j = jax.lax.dot_general(
+                p_j, v_flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(qkv.dtype)  # [R, D]
+            for kvh in range(n_kv):
+                for gg in range(G):
+                    off = (kvh * G + gg) * D
+                    qkv_s[0:1, pl.ds(off, D)] = out_j[
+                        kvh * 8 + gg : kvh * 8 + gg + 1, :]
+        else:
+          for kvh in range(n_kv):
             if ablate in ("noattn", "nocache"):
                 outv = q_roped[kvh * 8 : (kvh + 1) * 8, :].astype(qkv.dtype)
             else:
@@ -1707,6 +1763,13 @@ _ATTN_VSM = os.environ.get("WF_ATTN_VSM", "0") == "1"
 # HBM: measures the auto-pipelined cache in/out DMA). OUTPUT TOKENS ARE
 # GARBAGE for any non-empty value — never set outside the ladder.
 _ATTN_ABLATE = os.environ.get("WF_ATTN_ABLATE", "")
+# joint-dot attention in the AUTO kernel: ONE [KV*8, D] x [D, T*KV]
+# masked scores dot + ONE PV dot instead of 2*KV tiny 8-row dots (the
+# ladder measured those at 5.9 us/layer of the 13.6 at T=328 — MXU
+# issue cost, not bandwidth). Bitwise-equal: masked entries are exact
+# -1e30 -> exp underflows to +0.0, and adding/multiplying exact zeros
+# never changes the per-head partials. Import-time read.
+_ATTN_JOINT = os.environ.get("WF_ATTN_JOINT", "0") == "1"
 # resident tiles with nt <= this stream no ring; beyond it the copy-in
 # of many small tiles loses to the 3-slot streamed pipeline (chip A/B,
 # bench_ctx2048 anomaly: resident-style small tiles degraded mid-T
