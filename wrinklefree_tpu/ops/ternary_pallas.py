@@ -1763,13 +1763,16 @@ _ATTN_VSM = os.environ.get("WF_ATTN_VSM", "0") == "1"
 # HBM: measures the auto-pipelined cache in/out DMA). OUTPUT TOKENS ARE
 # GARBAGE for any non-empty value — never set outside the ladder.
 _ATTN_ABLATE = os.environ.get("WF_ATTN_ABLATE", "")
-# joint-dot attention in the AUTO kernel: ONE [KV*8, D] x [D, T*KV]
-# masked scores dot + ONE PV dot instead of 2*KV tiny 8-row dots (the
-# ladder measured those at 5.9 us/layer of the 13.6 at T=328 — MXU
-# issue cost, not bandwidth). Bitwise-equal: masked entries are exact
-# -1e30 -> exp underflows to +0.0, and adding/multiplying exact zeros
-# never changes the per-head partials. Import-time read.
-_ATTN_JOINT = os.environ.get("WF_ATTN_JOINT", "0") == "1"
+# joint-dot attention in the AUTO kernel (DEFAULT since round 5): ONE
+# [KV*8, D] x [D, T*KV] masked scores dot + ONE PV dot instead of 2*KV
+# tiny 8-row dots. The ablation ladder measured the per-head dots at
+# 5.9 us/layer of the 13.6 at T=328 (MXU issue cost, not bandwidth);
+# the joint form benched 504.9 tok/s vs 470.9-472.5 same-day
+# (bench_joint.log, 1.981 ms/token). Bitwise-equal: masked entries are
+# exact -1e30 -> exp underflows to +0.0, and adding/multiplying exact
+# zeros never changes the per-head partials (interpret-mode bitwise
+# gate). WF_ATTN_JOINT=0 restores the per-head loop; import-time read.
+_ATTN_JOINT = os.environ.get("WF_ATTN_JOINT", "1") == "1"
 # resident tiles with nt <= this stream no ring; beyond it the copy-in
 # of many small tiles loses to the 3-slot streamed pipeline (chip A/B,
 # bench_ctx2048 anomaly: resident-style small tiles degraded mid-T
