@@ -195,12 +195,17 @@ class EngineConfig:
     # Adaptive spec cutoff: once >= spec_min_accept_window drafts have
     # run, speculative decoding turns itself OFF (sticky, per engine)
     # when the realized per-draft acceptance rate (extra tokens /
-    # (drafts*k)) falls below this. The k+1-row verify forward costs
-    # more than k single-row steps at low acceptance, so workloads
-    # whose text never repeats shouldn't pay for drafting. Set from the
-    # measured chip curve (scripts/spec_accept_curve.py); 0 = never
-    # auto-disable.
-    spec_min_accept: float = 0.0
+    # (drafts*k)) falls below this. Threshold from the round-5 chip
+    # measurements: at BATCH-1 the k+1-row verify rides the same
+    # weight stream as a 1-row step, so break-even acceptance is 0.0
+    # (spec_curve.json, 1.06x at forced 0); at 16-SLOT serving the
+    # stream is already amortized over the batch and the verify's
+    # extra rows cost real gather/attention — measured 0.69x at
+    # acceptance ~0 (k=4, main scenario), i.e. break-even ~= 0.11.
+    # Default 0.1: enabling speculative_k is safe everywhere — serving
+    # engines shed drafting within spec_min_accept_window drafts when
+    # the workload doesn't repeat. 0 = never auto-disable.
+    spec_min_accept: float = 0.1
     spec_min_accept_window: int = 256
     # Admission policy: "fifo" (arrival order) or "sjf" (shortest
     # unmatched prompt first — lower mean TTFT under mixed lengths;
