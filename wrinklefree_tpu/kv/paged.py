@@ -43,6 +43,12 @@ import numpy as np
 from ..config import BitNetConfig
 from ..models.bitnet import LinearFn, default_linear
 from ..ops.norms import rms_norm
+
+import os as _os_mod
+
+# joint block-diagonal decode attention (see _gqa_core). Import-time
+# read — process-launch-only semantics, same as the kernel knobs.
+_PAGED_JOINT = _os_mod.environ.get("WF_PAGED_JOINT", "1") == "1"
 from ..ops.rope import apply_rope, rope_cos_sin
 from .quantized import KV_DTYPES, dequantize_kv, needs_scale, quantize_kv
 
@@ -189,6 +195,34 @@ def _gqa_core(q, k_cur, v_cur, k_hist, v_hist, hist_ok, new_lens):
     v = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
 
     scale = 1.0 / np.sqrt(D)
+    if S == 1 and _PAGED_JOINT:
+        # joint block-diagonal decode attention (round 5): ONE batched
+        # [B, NH, (T+1)*KV] scores dot + ONE PV dot instead of B*KV
+        # tiny per-(batch, kv-head) dots — the same MXU-issue-cost fix
+        # that took the batch-1 auto kernel 471 -> 505 tok/s. Masked
+        # cross-head entries are exact -1e30 -> exp underflows to +0.0;
+        # adding/multiplying exact zeros never changes the per-head
+        # partials, so outputs are bitwise-equal to the einsum form.
+        TK = (T + 1) * KV
+        k_flat = k.reshape(B, TK, D)  # row t*KV + kv (leading merge)
+        v_flat = v.reshape(B, TK, D)
+        q_rows = q.reshape(B, NH, D)  # row kv*G + g
+        s_j = jnp.einsum(
+            "brd,btd->brt", q_rows, k_flat,
+            preferred_element_type=jnp.float32,
+        ) * scale  # [B, NH, TK]
+        col = jnp.arange(TK)
+        row_kv = (jnp.arange(NH) // G)[:, None]  # [NH, 1]
+        same_head = (col[None, :] % KV) == row_kv  # [NH, TK]
+        col_t = col // KV  # [TK]
+        ok_t = jnp.concatenate(
+            [hist_ok, (new_lens > 0)[:, None]], axis=1
+        )  # [B, T+1]
+        mj = same_head[None] & ok_t[:, col_t][:, None, :]  # [B, NH, TK]
+        s_j = jnp.where(mj, s_j, -1e30)
+        p_j = jax.nn.softmax(s_j, axis=-1).astype(v_flat.dtype)
+        out = jnp.einsum("brt,btd->brd", p_j, v_flat)
+        return out.reshape(B, S, NH, D)
     qg = q.reshape(B, S, KV, G, D)
     scores = (
         jnp.einsum("bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32)
