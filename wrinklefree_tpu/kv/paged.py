@@ -46,9 +46,13 @@ from ..ops.norms import rms_norm
 
 import os as _os_mod
 
-# joint block-diagonal decode attention (see _gqa_core). Import-time
-# read — process-launch-only semantics, same as the kernel knobs.
-_PAGED_JOINT = _os_mod.environ.get("WF_PAGED_JOINT", "1") == "1"
+# joint block-diagonal decode attention (see _gqa_core). Default OFF:
+# the chip A/B at 16 slots measured 2,039.7 vs 2,274 decode tok/s —
+# at serving batch XLA already batches the per-(b, kv) dots well and
+# the joint form's KV-fold cross-head FLOPs cost real time (unlike the
+# batch-1 Pallas kernel, where dot-issue overhead dominated and the
+# same trick won 471 -> 505). Import-time read, process-launch-only.
+_PAGED_JOINT = _os_mod.environ.get("WF_PAGED_JOINT", "0") == "1"
 from ..ops.rope import apply_rope, rope_cos_sin
 from .quantized import KV_DTYPES, dequantize_kv, needs_scale, quantize_kv
 
