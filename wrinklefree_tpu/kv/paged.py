@@ -53,6 +53,9 @@ import os as _os_mod
 # batch-1 Pallas kernel, where dot-issue overhead dominated and the
 # same trick won 471 -> 505). Import-time read, process-launch-only.
 _PAGED_JOINT = _os_mod.environ.get("WF_PAGED_JOINT", "0") == "1"
+# lane-slice-stack instead of minor-dim-split reshape for the gathered
+# history pages (see _paged_attention_dual); A/B knob, import-time.
+_PAGED_STACKSPLIT = _os_mod.environ.get("WF_PAGED_STACKSPLIT", "0") == "1"
 from ..ops.rope import apply_rope, rope_cos_sin
 from .quantized import KV_DTYPES, dequantize_kv, needs_scale, quantize_kv
 
@@ -278,8 +281,22 @@ def _paged_attention_dual(
 
     k_pages = main[page_table, layer]  # [B, MP, ps, KVD] page-contiguous
     v_pages = main[page_table, lp + layer]
-    k_main = k_pages.reshape(B, MP * ps, KV, D)
-    v_main = v_pages.reshape(B, MP * ps, KV, D)
+    if _PAGED_STACKSPLIT:
+        # A/B: the [.., KVD] -> [.., KV, D] MINOR-dim split retiles
+        # (KV=5 pads to 8 sublane tiles; profiled 302 us/step each on
+        # the 16-slot decode step). Lane slices stacked on a LEADING
+        # axis move the same bytes without retiling — if XLA lowers
+        # them as plain lane-range copies.
+        def _split(p):
+            f = p.reshape(B, MP * ps, KV * D)  # leading merge, cheap
+            return jnp.stack(
+                [f[..., i * D:(i + 1) * D] for i in range(KV)], axis=2
+            )
+        k_main = _split(k_pages)
+        v_main = _split(v_pages)
+    else:
+        k_main = k_pages.reshape(B, MP * ps, KV, D)
+        v_main = v_pages.reshape(B, MP * ps, KV, D)
     k_stage = staging_b[:, :, layer].reshape(B, ps, KV, D)
     v_stage = staging_b[:, :, lp + layer].reshape(B, ps, KV, D)
     if main_scale is not None:
