@@ -54,8 +54,12 @@ import os as _os_mod
 # same trick won 471 -> 505). Import-time read, process-launch-only.
 _PAGED_JOINT = _os_mod.environ.get("WF_PAGED_JOINT", "0") == "1"
 # lane-slice-stack instead of minor-dim-split reshape for the gathered
-# history pages (see _paged_attention_dual); A/B knob, import-time.
-_PAGED_STACKSPLIT = _os_mod.environ.get("WF_PAGED_STACKSPLIT", "0") == "1"
+# history pages (see _paged_attention_dual). DEFAULT ON since round 5:
+# the [.., KVD]->[.., KV, D] minor split retiles (KV=5 pads to 8;
+# profiled 302 us/step x2 on the 16-slot step) — the stacked lane
+# slices measured 2,354.6 vs 2,274 decode tok/s on the main scenario.
+# Import-time read, process-launch-only.
+_PAGED_STACKSPLIT = _os_mod.environ.get("WF_PAGED_STACKSPLIT", "1") == "1"
 from ..ops.rope import apply_rope, rope_cos_sin
 from .quantized import KV_DTYPES, dequantize_kv, needs_scale, quantize_kv
 
