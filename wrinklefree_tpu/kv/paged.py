@@ -533,8 +533,19 @@ def _paged_attention_dual_flash(
     ps = main.shape[2]
     MP = page_table.shape[1]
     T = MP * ps
-    k_hist = main[page_table, layer].reshape(B, T, KV, D)
-    v_hist = main[page_table, lp + layer].reshape(B, T, KV, D)
+    if _PAGED_STACKSPLIT:
+        # lane-slice stack: avoids the KVD -> (KV, D) minor-split
+        # retile (KV=5 pads to 8) — same fix as the decode path
+        def _split(p):
+            f = p.reshape(B, T, KV * D)
+            return jnp.stack(
+                [f[..., i * D:(i + 1) * D] for i in range(KV)], axis=2
+            )
+        k_hist = _split(main[page_table, layer])
+        v_hist = _split(main[page_table, lp + layer])
+    else:
+        k_hist = main[page_table, layer].reshape(B, T, KV, D)
+        v_hist = main[page_table, lp + layer].reshape(B, T, KV, D)
     k_full = jnp.concatenate([k_hist, k_cur.astype(k_hist.dtype)], axis=1)
     v_full = jnp.concatenate([v_hist, v_cur.astype(v_hist.dtype)], axis=1)
     out = flash_paged_prefill(
