@@ -1768,10 +1768,15 @@ _ATTN_ABLATE = os.environ.get("WF_ATTN_ABLATE", "")
 # tiny 8-row dots. The ablation ladder measured the per-head dots at
 # 5.9 us/layer of the 13.6 at T=328 (MXU issue cost, not bandwidth);
 # the joint form benched 504.9 tok/s vs 470.9-472.5 same-day
-# (bench_joint.log, 1.981 ms/token). Bitwise-equal: masked entries are
-# exact -1e30 -> exp underflows to +0.0, and adding/multiplying exact
-# zeros never changes the per-head partials (interpret-mode bitwise
-# gate). WF_ATTN_JOINT=0 restores the per-head loop; import-time read.
+# (bench_joint.log, 1.981 ms/token). Exactness: equal in exact
+# arithmetic (masked entries underflow to +0.0; interpret-mode bitwise
+# gate), but on the MXU the wider contraction partitions the real
+# elements across different accumulation chunks -> last-ulp f32
+# reduction-order drift, the SAME class as the manual kernel vs auto
+# (ROOFLINE exactness contract; measured on chip: greedy tokens on
+# random near-tied weights diverge after ~7 steps, exactly as any
+# fusion/reduction-order change can). WF_ATTN_JOINT=0 restores the
+# per-head loop; import-time read.
 _ATTN_JOINT = os.environ.get("WF_ATTN_JOINT", "1") == "1"
 # resident tiles with nt <= this stream no ring; beyond it the copy-in
 # of many small tiles loses to the 3-slot streamed pipeline (chip A/B,
