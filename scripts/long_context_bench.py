@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=32)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="jax.profiler trace of the WARM pass; prints a "
+                         "per-kernel self-time table (decode-step "
+                         "decomposition for the 16K surface)")
     args = ap.parse_args()
 
     import jax
@@ -71,9 +75,13 @@ def main():
            "devices": args.devices,
            "q_chunk": eng.PREFILL_Q_CHUNK}
     for phase in ("cold", "warm"):
+        if phase == "warm" and args.profile:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         out = eng.generate(prompt, max_new_tokens=args.new_tokens)
         wall = time.perf_counter() - t0
+        if phase == "warm" and args.profile:
+            jax.profiler.stop_trace()
         t = dict(eng.last_timings)
         rep[phase] = {
             "wall_s": round(wall, 2),
@@ -86,6 +94,20 @@ def main():
         }
         print(f"[{phase}] {rep[phase]} tokens={out[:4]}...",
               file=sys.stderr, flush=True)
+    if args.profile:
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).resolve().parent))
+        from profile_serving_step import parse_trace
+
+        sums = parse_trace(args.profile)
+        steps = max(args.new_tokens - 1, 1)
+        for name, us in sorted(sums.items(), key=lambda kv: -kv[1])[:18]:
+            print(f"[prof] {us / steps:9.1f} us/step  {name[:80]}",
+                  file=sys.stderr)
+        print(f"[prof] TOTAL {sum(sums.values()) / steps / 1e3:.2f} "
+              f"ms/step over {steps} decode steps (prefill excluded "
+              "only if it ran outside the trace window — it did not; "
+              "subtract the prefill-named rows)", file=sys.stderr)
     print(json.dumps(rep))
 
 
