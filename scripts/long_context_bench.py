@@ -76,12 +76,14 @@ def main():
            "q_chunk": eng.PREFILL_Q_CHUNK}
     for phase in ("cold", "warm"):
         if phase == "warm" and args.profile:
-            jax.profiler.start_trace(args.profile)
+            # decode-only window (LongContextEngine.generate hook):
+            # tracing the whole warm pass buried the decode kernels
+            # under the prefill's per-layer ring fusions
+            eng.profile_decode_dir = args.profile
         t0 = time.perf_counter()
         out = eng.generate(prompt, max_new_tokens=args.new_tokens)
         wall = time.perf_counter() - t0
-        if phase == "warm" and args.profile:
-            jax.profiler.stop_trace()
+        eng.profile_decode_dir = None
         t = dict(eng.last_timings)
         rep[phase] = {
             "wall_s": round(wall, 2),

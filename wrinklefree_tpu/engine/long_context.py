@@ -297,10 +297,15 @@ class LongContextEngine:
         key = (s_loc, max_new_tokens - 1)
         if key not in self._decode_cache:
             self._decode_cache[key] = self._decode_fn(s_loc, key[1])
+        prof = getattr(self, "profile_decode_dir", None)
+        if prof:  # decode-only jax.profiler window (bench tooling)
+            jax.profiler.start_trace(prof)
         rest = self._decode_cache[key](
             self.params, pk, pv, jnp.asarray(first, jnp.int32),
             jnp.asarray(t0, jnp.int32))
         out = [first] + [int(x) for x in np.asarray(rest)]
+        if prof:
+            jax.profiler.stop_trace()
         self.last_timings["decode_s"] = _time.perf_counter() - w1
         self.last_timings["decode_tokens"] = len(out) - 1
         if eos_token_id is not None and eos_token_id in out:
