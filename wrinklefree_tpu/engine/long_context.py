@@ -221,7 +221,12 @@ class LongContextEngine:
                                         dtype)
                 h = params["embed"][tok[None, None]].astype(dtype)[0]
                 h = h[:, None, :] if h.ndim == 2 else h  # [1,1,H]
-                kb_n, vb_n = kb, vb
+                # this step's k/v per layer, committed to the carried
+                # buffers in ONE stacked scatter after the layer loop —
+                # the per-layer .at[l, :, t].set pair profiled as
+                # ~1.7 ms/step of add_bitcast fusions at 16K (the
+                # scan-carried buffer copy trap)
+                ks_t, vs_t = [], []
                 for l in range(cfg.num_layers):
                     normed = rms_norm(h, layers["input_ln"][l],
                                       cfg.rms_norm_eps)
@@ -232,16 +237,24 @@ class LongContextEngine:
                     v = _proj(normed, layers, "v", l, dtype).reshape(
                         1, 1, -1, cfg.head_dim)
                     q, k = apply_rope(q, k, cos, sin)
-                    kb_n = kb_n.at[l, :, t].set(k[:, 0])
-                    vb_n = vb_n.at[l, :, t].set(v[:, 0])
+                    ks_t.append(k[:, 0])
+                    vs_t.append(v[:, 0])
+                    # the CURRENT layer's buffer view for attention:
+                    # a small per-layer [1, NB, KV, D] copy (164 KB)
+                    # instead of writing the whole carried [L, ...]
+                    # buffer per layer
+                    kb_l = kb[l].at[:, t].set(k[:, 0])
+                    vb_l = vb[l].at[:, t].set(v[:, 0])
                     attn = attend(q, prefix_k[l], prefix_v[l],
-                                  kb_n[l], vb_n[l], t0, t)
+                                  kb_l, vb_l, t0, t)
                     attn = attn.reshape(1, 1, -1)
                     if cfg.sub_norms:
                         attn = rms_norm(attn, layers["attn_sub"][l],
                                         cfg.rms_norm_eps)
                     h = h + _proj(attn, layers, "o", l, dtype)
                     h = _mlp(h, layers, l, cfg, dtype)
+                kb_n = kb.at[:, :, t].set(jnp.stack(ks_t))
+                vb_n = vb.at[:, :, t].set(jnp.stack(vs_t))
                 final = rms_norm(h[:, 0], params["final_norm"],
                                  cfg.rms_norm_eps)
                 logits = compute_logits(final, params, cfg)  # [1, V]
