@@ -184,16 +184,7 @@ class LongContextEngine:
         scale = 1.0 / np.sqrt(cfg.head_dim)
 
         def attend(q, k_loc, v_loc, kb, vb, t0, t):
-            """q [1,1,NH,D]; sharded prefix + replicated buffer.
-
-            Prefix attention runs as TWO joint block-diagonal MXU dots
-            ([NH, D] x [D, s_loc*KV] masked scores + PV) instead of the
-            per-head einsum: at S=1 XLA lowered the einsum to VPU
-            multiply-reduce fusions profiled at 154 us/layer — 3x the
-            52 us/layer k+v stream roofline at 16K (the same tiny-dot
-            issue-cost regime the batch-1 paged kernel hit; see
-            ROOFLINE round-5). Reduction-order class: same last-ulp
-            contract as any fusion change."""
+            """q [1,1,NH,D]; sharded prefix + replicated buffer."""
             B, _, NH, D = q.shape
             KV = k_loc.shape[2]
             G = NH // KV
@@ -202,41 +193,17 @@ class LongContextEngine:
             def bshape(f):  # [B,KV,G,1] -> [B,1,NH,1]
                 return f.transpose(0, 3, 1, 2).reshape(B, 1, NH)[..., None]
 
-            S = k_loc.shape[1]
-            q_rows = q.reshape(NH, D)
-            k_flat = k_loc.reshape(S * KV, D)  # row s*KV + kv
-            v_flat = v_loc.reshape(S * KV, D)
-            s_j = jax.lax.dot_general(
-                q_rows, k_flat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [NH, S*KV]
-            col = jnp.arange(S * KV)
-            same = (col[None, :] % KV) == (jnp.arange(NH)[:, None] // G)
-            kpos = idx * s_loc + col // KV
-            ok = same & (kpos[None, :] < t0)
-            s_j = jnp.where(ok, s_j, -jnp.inf)
-            m1f = jnp.max(s_j, axis=-1)  # [NH]
-            m1s = jnp.where(jnp.isneginf(m1f), 0.0, m1f)
-            e_j = jnp.where(ok, jnp.exp(s_j - m1s[:, None]), 0.0)
-            l1f = jnp.sum(e_j, axis=-1)  # [NH]
-            a1f = jax.lax.dot_general(
-                e_j, v_flat.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [NH, D]
-            # reshape to the [B,KV,G,Sq]/[B,Sq,NH,D] stat layout the
-            # merge path speaks
-            m1 = m1s.reshape(1, KV, G, 1)
-            l1 = l1f.reshape(1, KV, G, 1)
-            a1 = a1f.reshape(1, 1, NH, D)
+            q_pos = jnp.full((1, 1), 2**30, jnp.int32)  # attends everything
+            # prefix shard: keys valid iff global pos < t0
+            k_pos_loc = idx * s_loc + jnp.arange(s_loc)
+            k_pos_m = jnp.where(k_pos_loc < t0, k_pos_loc, 2**31 - 1)
+            m1, l1, a1 = _block_attend(q, k_loc, v_loc, q_pos, k_pos_m, scale)
             # cross-device combine of the prefix partials
             mg = jax.lax.pmax(m1, axis)
             w = jnp.exp(m1 - mg)
             lg = jax.lax.psum(l1 * w, axis)
             ag = jax.lax.psum(a1 * bshape(w), axis)
             # replicated decode buffer: entries valid iff index <= t
-            q_pos = jnp.full((1, 1), 2**30, jnp.int32)  # attends all
             b_pos = jnp.arange(NB)
             b_pos_m = jnp.where(b_pos <= t, t0 + b_pos, 2**31 - 1)
             m2, l2, a2 = _block_attend(q, kb, vb, q_pos, b_pos_m, scale)
