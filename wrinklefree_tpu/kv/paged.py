@@ -285,12 +285,16 @@ def _paged_attention_dual(
 
     k_pages = main[page_table, layer]  # [B, MP, ps, KVD] page-contiguous
     v_pages = main[page_table, lp + layer]
-    if _PAGED_STACKSPLIT:
-        # A/B: the [.., KVD] -> [.., KV, D] MINOR-dim split retiles
-        # (KV=5 pads to 8 sublane tiles; profiled 302 us/step each on
-        # the 16-slot decode step). Lane slices stacked on a LEADING
-        # axis move the same bytes without retiling — if XLA lowers
-        # them as plain lane-range copies.
+    if _PAGED_STACKSPLIT and MP * ps <= 512:
+        # the [.., KVD] -> [.., KV, D] MINOR-dim split retiles (KV=5
+        # pads to 8 sublane tiles; profiled 302 us/step each on the
+        # 16-slot decode step). Lane slices stacked on a LEADING axis
+        # avoid the retile — but only up to moderate history widths:
+        # same-session decode A/Bs measured +3.5% at MP*ps=512 (main,
+        # 2,354.6 vs 2,274) and -10% at MP*ps=1024 (radix, 649.6 vs
+        # 723.4), so the stack form is gated to <=512 history tokens.
+        # (The flash PREFILL path keeps it unconditionally: +7% total
+        # at MP*ps=4096 — different reuse regime.)
         def _split(p):
             f = p.reshape(B, MP * ps, KV * D)  # leading merge, cheap
             return jnp.stack(
