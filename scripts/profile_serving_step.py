@@ -239,17 +239,29 @@ def main():
                           "groups": {}, "kernels": {}}))
         return
 
+    # program-wrapper spans ("jit_*", "while.*") live on a DIFFERENT
+    # trace lane than the op events, so self-time can't subtract their
+    # cross-lane children — including them double-counts the whole
+    # step (r4's 68.6%-"other" artifact in a new guise). Sum ops only;
+    # report the wrappers separately as the program-span time.
+    def _is_wrapper(n):
+        return n.startswith("jit_") or n.startswith("while")
+
     by_group = defaultdict(float)
     for name, us in sums.items():
-        by_group[classify(name)] += us
-    total = sum(sums.values())
+        if not _is_wrapper(name):
+            by_group[classify(name)] += us
+    total = sum(us for n, us in sums.items() if not _is_wrapper(n))
+    span = max((us for n, us in sums.items() if _is_wrapper(n)),
+               default=0.0)
 
     log(f"--- device time per decode step ({steps} steps traced) ---")
     for grp, us in sorted(by_group.items(), key=lambda kv: -kv[1]):
         log(f"  {grp:16s} {us / steps / 1e3:8.3f} ms/step "
             f"({100 * us / total:5.1f}%)")
-    log(f"  {'TOTAL':16s} {total / steps / 1e3:8.3f} ms/step "
-        f"(wall {wall / K * 1e3:.3f})")
+    log(f"  {'TOTAL ops':16s} {total / steps / 1e3:8.3f} ms/step "
+        f"(program span {span / steps / 1e3:.3f}, wall "
+        f"{wall / K * 1e3:.3f})")
     log(f"--- top {args.top} kernels ---")
     for name, us in sorted(sums.items(), key=lambda kv: -kv[1])[:args.top]:
         log(f"  {us / steps * 1e0:9.1f} us/step  [{classify(name):14s}] "
