@@ -295,3 +295,28 @@ class TestFlashPagedDecode:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref[:, 0], np.float32),
             rtol=5e-2, atol=5e-2)
+
+
+def test_stacksplit_forms_token_identical(tiny):
+    """The lane-slice-stack and minor-split-reshape forms of the
+    gathered-history view are semantically identical (the round-5
+    size gate picks between them purely on measured perf)."""
+    import wrinklefree_tpu.kv.paged as pg
+
+    cfg, params = tiny
+    prompts = [list(range(1, 20)), [5, 9, 2], list(range(4, 30))]
+    outs = {}
+    orig = pg._PAGED_STACKSPLIT
+    try:
+        for ss in (False, True):
+            pg._PAGED_STACKSPLIT = ss
+            eng = _engine(cfg, params, "layer")
+            rs = [
+                eng.generate(p, SamplingParams(max_new_tokens=16,
+                                               temperature=0.0))
+                for p in prompts
+            ]
+            outs[ss] = [r.output_ids for r in rs]
+    finally:
+        pg._PAGED_STACKSPLIT = orig
+    assert outs[False] == outs[True]
