@@ -161,16 +161,6 @@ class Engine:
 
                 linear_fn = make_pallas_linear_fused()
                 self.params = fuse_projections(self.params, cfg)
-                # pre-materialize the [L, 8, N] scale/norm row forms
-                # the prologue kernels consume: as program inputs they
-                # cost nothing per step, vs ~0.4 ms/step re-broadcast
-                # inside the decode burst's while loop (kv/paged.py
-                # precompute_prologue_rows docstring)
-                from ..kv.paged import precompute_prologue_rows
-
-                self.params = dict(self.params)
-                self.params["layers"] = precompute_prologue_rows(
-                    self.params["layers"])
             else:
                 from ..ops.ternary_pallas import make_pallas_linear_stacked
 

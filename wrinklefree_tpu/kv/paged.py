@@ -729,41 +729,6 @@ def _dual_write(
     return PagedKV(main, main_s, staging, staging_s)
 
 
-def precompute_prologue_rows(layers: dict) -> dict:
-    """Materialize the [L, 8, N] f32 row forms of per-layer 1-D scale
-    scalars and 2-D norm vectors used by the prologue linear path, so
-    they enter the decode program as INPUTS instead of in-loop
-    broadcasts. The decode-burst HLO showed XLA hoisting these out of
-    the layer scan but NOT out of the K-step while loop — profiled at
-    ~0.4 ms/step re-broadcast cost ([30,8,2560] x2 + [30,8,6912],
-    results/chipday_r5/profile_decode_step_final.log). Idempotent;
-    returns a new dict with *_rows8 keys added."""
-    out = dict(layers)
-    nL = None
-    for v in out.values():
-        if hasattr(v, "shape") and v.ndim >= 1:
-            nL = v.shape[0]
-            break
-
-    def rows(a, n):
-        return jnp.broadcast_to(
-            a.astype(jnp.float32).reshape(nL, 1, -1)[:, :, :n], (nL, 8, n)
-        )
-
-    for name in ("qkv", "o", "gateup", "down", "gate", "up", "q", "k", "v"):
-        qw = out.get(name + "_qw")
-        sw = out.get(name + "_scale")
-        if qw is None or sw is None or sw.ndim != 1:
-            continue
-        n = qw.shape[-1]
-        out[name + "_scale_rows8"] = rows(sw[:, None] * jnp.ones((1, n)), n)
-    for nm in ("input_ln", "post_ln", "attn_sub", "ffn_sub"):
-        w = out.get(nm)
-        if w is not None and getattr(w, "ndim", 0) == 2:
-            out[nm + "_rows8"] = rows(w, w.shape[-1])
-    return out
-
-
 def paged_forward(
     params,
     cfg: BitNetConfig,
@@ -925,16 +890,11 @@ def paged_forward(
             qw = stack[name + "_qw"]
             sw = stack[name + "_scale"]
             if sw.ndim == 1:
-                sw = stack.get(name + "_scale_rows8")
-                if sw is None:
-                    sw = _rows(stack[name + "_scale"][:, None]
-                               * jnp.ones((1, qw.shape[-1])), qw.shape[-1])
+                sw = _rows(sw[:, None] * jnp.ones((1, qw.shape[-1])), qw.shape[-1])
             nw = None
             if norm_name is not None:
-                nw = stack.get(norm_name + "_rows8")
-                if nw is None:
-                    w = stack[norm_name]
-                    nw = _rows(w, w.shape[-1])
+                w = stack[norm_name]
+                nw = _rows(w, w.shape[-1])
             return lf(x, qw, sw, l, nw, act=act,
                       norm=norm_name is not None, eps=cfg.rms_norm_eps)
 
@@ -980,16 +940,11 @@ def paged_forward(
                 h = mega(
                     h, stack["gateup_qw"], stack["down_qw"], l,
                     stack["gateup_scale"],
-                    stack.get("down_scale_rows8") if "down_scale_rows8"
-                    in stack else
                     _rows(stack["down_scale"][:, None]
                           * jnp.ones((1, stack["down_qw"].shape[-1])),
                           stack["down_qw"].shape[-1]),
-                    stack.get("post_ln_rows8") if "post_ln_rows8" in stack
-                    else _rows(stack["post_ln"], stack["post_ln"].shape[-1]),
-                    (stack.get("ffn_sub_rows8") if "ffn_sub_rows8" in stack
-                     else _rows(stack["ffn_sub"], inter))
-                    if cfg.sub_norms else None,
+                    _rows(stack["post_ln"], stack["post_ln"].shape[-1]),
+                    _rows(stack["ffn_sub"], inter) if cfg.sub_norms else None,
                     eps=cfg.rms_norm_eps, act=mlp_act, norm2=cfg.sub_norms,
                 )
             else:
